@@ -1,0 +1,187 @@
+"""The CDC replay pipeline: tail → normalize → shuffle → merge → commit.
+
+Graft of the reference parser's Run loop
+(/root/reference/parser/dex/dex.go:87-267): the contiguous height
+range becomes a contiguous range of change-log files (an epoch), the
+per-height parse becomes vectorized map_batches, the one-transaction
+insert+cursor becomes per-partition Parquet writes + a manifest commit,
+and quarantine rows become a side output under the same epoch.
+
+Execution shape per epoch (all lazy until the merge consumes):
+
+    read_parquet(files)                       # prune columns upstream
+      ├─ valid_events   → PartitionAssigner   # map_batches, pyarrow
+      │                 → fold_partial        # COMBINER map_batches
+      │                 → groupby("pid")      # THE one shuffle
+      │                 → MergeWithState      # actor-pool map_groups
+      │                 → stats rows (P)      # tiny take
+      └─ quarantine_events → write_parquet    # dead-letter side output
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray.data
+
+from cosmwasm_etl_ray.config import DEFAULT_CONFIG, EngineConfig
+from cosmwasm_etl_ray.stages.merge import (
+    KEY_COLS,
+    OP_COL,
+    MergeWithState,
+    fold_override,
+    fold_partial,
+)
+from cosmwasm_etl_ray.stages.normalize import (
+    quarantine_events,
+    valid_events,
+    with_partition,
+)
+
+
+def plan_epochs(files: list[str], cfg: EngineConfig) -> list[list[str]]:
+    """Slice the change log's file list into epochs of ≤ epoch_max_events,
+    on file boundaries only (files are commit-contiguous, like height
+    batches — /root/reference/pkg/db/parser/repository.go:143-164 never
+    splits a height across batches)."""
+    epochs: list[list[str]] = []
+    cur: list[str] = []
+    cur_rows = 0
+    for f in sorted(files):
+        n = pq.read_metadata(f).num_rows
+        if cur and cur_rows + n > cfg.epoch_max_events:
+            epochs.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(f)
+        cur_rows += n
+    if cur:
+        epochs.append(cur)
+    return epochs
+
+
+def apply_epoch(
+    changes: "ray.data.Dataset",
+    store,
+    epoch: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    offset_range: tuple[str, str] = ("", ""),
+) -> dict:
+    """Apply one epoch of change events to the store. Idempotent:
+    re-running a committed epoch is a no-op; re-running an uncommitted
+    (crashed) epoch overwrites the same partition files."""
+    if store.is_committed(epoch):
+        return store.manifest(epoch)
+
+    prior = store.partition_files()
+
+    valid = with_partition(valid_events(changes), cfg.num_partitions)
+    if not cfg.override_coalesce:
+        valid = valid.map_batches(
+            fold_partial, batch_format="pandas", batch_size=cfg.batch_size
+        )
+    merge = MergeWithState(
+        store.state_dir, epoch, prior, override=cfg.override_coalesce
+    )
+
+    def merge_fn(group: pd.DataFrame) -> pd.DataFrame:
+        return merge(group)
+
+    stats = (
+        valid.groupby("pid")
+        .map_groups(merge_fn, batch_format="pandas")
+        .to_pandas()
+    )
+
+    qdir = os.path.join(store.quarantine_dir, f"epoch={epoch}")
+    qds = quarantine_events(changes)
+    qrows = qds.count()
+    if qrows:
+        qds.write_parquet(qdir)
+
+    touched = {
+        int(r.pid): {
+            "file": r.file,
+            "rows": int(r.rows),
+            "live_rows": int(r.live_rows),
+            "applied_events": int(r.applied_events),
+        }
+        for r in stats.itertuples()
+    }
+    counts = {
+        "applied_events": int(stats["applied_events"].sum()) if len(stats) else 0,
+        "quarantined": int(qrows),
+        "touched_partitions": len(touched),
+    }
+    return store.commit_epoch(epoch, touched, offset_range, counts)
+
+
+def replay_files(
+    files: list[str], store, cfg: EngineConfig = DEFAULT_CONFIG
+) -> list[dict]:
+    """Tail the change log: resume from the cursor (max committed
+    epoch), apply every remaining epoch in order. The epoch barrier is
+    the reference's parent-height wait analogue
+    (/root/reference/aggregator/task.go:785-811): epoch e+1's merge
+    reads epoch e's state."""
+    epochs = plan_epochs(files, cfg)
+    start = (store.latest_epoch() + 1) if store.latest_epoch() is not None else 0
+    out = []
+    for e in range(start, len(epochs)):
+        ds = ray.data.read_parquet(epochs[e])
+        out.append(
+            apply_epoch(ds, store, e, cfg, (epochs[e][0], epochs[e][-1]))
+        )
+    return out
+
+
+def read_state(store, epoch: int | None = None) -> "ray.data.Dataset":
+    """The live current-state table (tombstones dropped) as a Dataset."""
+    files = list(store.partition_files(epoch).values())
+    ds = ray.data.read_parquet(files)
+    return ds.map_batches(
+        lambda df: df[df[OP_COL] != "delete"].drop(columns=[OP_COL, "pid"]),
+        batch_format="pandas",
+    )
+
+
+def quick_final_state(
+    changes: "ray.data.Dataset", cfg: EngineConfig = DEFAULT_CONFIG
+) -> "ray.data.Dataset":
+    """Single-shot replay with no persistent store (for oracle-checked
+    queries and tests): same operators, minus the sink."""
+    valid = with_partition(valid_events(changes), cfg.num_partitions)
+    fold = fold_override if cfg.override_coalesce else fold_partial
+    if not cfg.override_coalesce:
+        valid = valid.map_batches(
+            fold_partial, batch_format="pandas", batch_size=cfg.batch_size
+        )
+
+    def fold_and_finalize(g: pd.DataFrame) -> pd.DataFrame:
+        f = fold(g)
+        return f[f[OP_COL] != "delete"].drop(columns=["pid"])
+
+    return valid.groupby("pid").map_groups(
+        fold_and_finalize, batch_format="pandas"
+    )
+
+
+def serial_oracle_replay(changes_df: pd.DataFrame) -> pd.DataFrame:
+    """Independent serial reference apply (plain dict LWW) — the test
+    oracle (SURVEY.md §5): NOT built on the engine's fold code."""
+    state: dict[tuple[str, str], dict] = {}
+    df = changes_df.sort_values("commit", kind="stable")
+    for row in df.to_dict("records"):
+        if not row.get("commit") or not str(row["commit"]).isdigit():
+            continue
+        key = (row["repo"], row["path"])
+        if row["op"] == "delete":
+            state.pop(key, None)
+        elif row["op"] in ("insert", "update"):
+            state[key] = row
+    rows = [
+        {k: v for k, v in r.items() if k != "op"} for r in state.values()
+    ]
+    return pd.DataFrame(rows)

@@ -1,0 +1,181 @@
+"""Keyed last-writer-wins upsert — the heart of the engine.
+
+Graft of the reference's keyed apply: pair upsert + parsed-tx insert
+committed per height (/root/reference/parser/dex/repo/repository.go:63-122)
+and the ParsedTx.Override "last non-empty wins" merge
+(/root/reference/parser/dex/dto.go:45-95), re-expressed as an
+associative fold over Arrow/pandas batches:
+
+  partial(batch)   = max-commit row per (repo, path), tombstones KEPT
+  merge(p1, p2)    = partial(concat(p1, p2))            (associative)
+  finalize(state)  = drop rows whose op == 'delete'
+
+Because the partial fold is associative and order-free (it compares the
+``commit`` sequence number, not arrival order), it doubles as:
+
+- the COMBINER: every map_batches batch is pre-folded before the
+  hash-partition shuffle, so a hot key's millions of events collapse to
+  one row per batch — skew dies before the all-to-all exchange;
+- the SALT MERGE: hot keys split across salted sub-partitions produce
+  partial rows that the final per-key reduce merges exactly (SURVEY.md
+  §7.4 "fold by max-commit is associative").
+
+Tombstones are retained in persisted state (finalize only on export),
+so re-applying an epoch is idempotent — the exactly-once story does not
+depend on tasks running once.
+
+Override mode (column-wise coalesce) applies the reference's
+field-wise "last non-empty wins" within a key's live suffix (events
+after the last tombstone); it is implemented as a per-group fold and is
+NOT combined per-batch (per-column partials would need a commit vector
+per column — documented limitation, config.override_coalesce).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+KEY_COLS = ["repo", "path"]
+SEQ_COL = "commit"
+OP_COL = "op"
+META_COLS = KEY_COLS + [SEQ_COL, OP_COL, "pid"]
+
+
+def fold_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-row LWW partial fold: max-commit row per key, deletes kept.
+
+    Ties on equal commit resolve to the later input position (stable
+    sort — the analogue of the reference's insertion-id tiebreak,
+    /root/reference/pkg/db/parser/repository.go:492).
+    """
+    if len(df) <= 1:
+        return df
+    return df.sort_values(SEQ_COL, kind="stable").drop_duplicates(
+        KEY_COLS, keep="last"
+    )
+
+
+def fold_override(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-coalesce fold (Override semantics) with tombstone barrier.
+
+    Per key: discard events up to and including the last delete; the
+    surviving suffix folds column-wise "last non-empty wins". Keys whose
+    last event is a delete yield their tombstone row (state keeps it).
+    """
+    if df.empty:
+        return df
+    df = df.sort_values(SEQ_COL, kind="stable").reset_index(drop=True)
+    pos = np.arange(len(df))
+    is_del = df[OP_COL].to_numpy() == "delete"
+    delpos = np.where(is_del, pos, -1)
+    g = pd.Series(delpos).groupby([df[c] for c in KEY_COLS], sort=False)
+    last_del = g.transform("max").to_numpy()
+    live = df[pos > last_del]
+
+    value_cols = [c for c in df.columns if c not in META_COLS]
+    out_parts = []
+    if not live.empty:
+        lv = live.copy()
+        # '' counts as "no value" (Override non-empty wins)
+        for c in value_cols:
+            lv[c] = lv[c].replace("", np.nan)
+        gb = lv.groupby(KEY_COLS, sort=False, dropna=False)
+        folded = gb.last()  # column-wise last non-null
+        folded[SEQ_COL] = gb[SEQ_COL].last()
+        folded[OP_COL] = gb[OP_COL].last()
+        if "pid" in lv.columns:
+            folded["pid"] = gb["pid"].last()
+        out_parts.append(folded.reset_index())
+    # tombstones for keys with no live suffix
+    dead = df[is_del].drop_duplicates(KEY_COLS, keep="last")
+    if out_parts:
+        live_keys = out_parts[0][KEY_COLS].apply(tuple, axis=1)
+        dead = dead[~dead[KEY_COLS].apply(tuple, axis=1).isin(set(live_keys))]
+    out_parts.append(dead)
+    out = pd.concat(out_parts, ignore_index=True)
+    return out[list(df.columns)]
+
+
+def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Drop tombstones — the exported 'current state' view."""
+    return df[df[OP_COL] != "delete"]
+
+
+def _to_arrow(df: pd.DataFrame) -> pa.Table:
+    """pandas → Arrow, forcing all-null object columns to string (they
+    appear when schema evolution backfills a new column with nulls)."""
+    fields = []
+    for c in df.columns:
+        if df[c].dtype == object and df[c].notna().sum() == 0:
+            fields.append((c, pa.string()))
+    if not fields:
+        return pa.Table.from_pandas(df, preserve_index=False)
+    schema = pa.Table.from_pandas(df.head(0), preserve_index=False).schema
+    for name, typ in fields:
+        schema = schema.set(schema.get_field_index(name), pa.field(name, typ))
+    return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+
+
+class MergeWithState:
+    """The per-partition merge stage — runs under
+    ``groupby("pid").map_groups`` as an actor pool.
+
+    One call = one partition's folded change rows for this epoch.
+    Reads the partition's prior state file (additive schema evolution:
+    missing columns null-backfill via pandas concat alignment), folds,
+    writes ``epoch={e}/part-{pid:05d}.parquet`` atomically
+    (tmp + rename → task retries self-overwrite, never append — the
+    exactly-once write half; the manifest commit is the other half),
+    and returns a one-row stats frame (the lineage record).
+
+    This is the ST1 analogue: the reference holds the pair key set in
+    process memory and mutates it serially
+    (/root/reference/parser/dex/dezswap/app.go:42-68); here each
+    partition's key set lives in its state file and is owned by
+    whichever actor processes that pid group — state is partition-local
+    because keys route by pure hash.
+    """
+
+    def __init__(
+        self,
+        state_root: str,
+        epoch: int,
+        prior_files: dict[int, str],
+        override: bool = False,
+    ):
+        self.state_root = state_root
+        self.epoch = epoch
+        self.prior_files = prior_files
+        self.override = override
+        os.makedirs(os.path.join(state_root, f"epoch={epoch}"), exist_ok=True)
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        pid = int(group["pid"].iloc[0])
+        parts = [group]
+        prior = self.prior_files.get(pid)
+        if prior is not None:
+            parts.insert(0, pq.read_table(prior).to_pandas())
+        allrows = pd.concat(parts, ignore_index=True)  # aligns evolved columns
+        folded = (fold_override if self.override else fold_partial)(allrows)
+        folded = folded.sort_values(KEY_COLS, kind="stable")  # deterministic file
+
+        out = os.path.join(self.state_root, f"epoch={self.epoch}", f"part-{pid:05d}.parquet")
+        tmp = out + ".tmp"
+        pq.write_table(_to_arrow(folded), tmp)
+        os.replace(tmp, out)
+
+        live = int((folded[OP_COL] != "delete").sum())
+        return pd.DataFrame(
+            {
+                "pid": [pid],
+                "rows": [len(folded)],
+                "live_rows": [live],
+                "applied_events": [len(group)],
+                "file": [out],
+            }
+        )

@@ -1,0 +1,81 @@
+"""Normalize / validate / route stage — the parse front of the engine.
+
+Graft of the reference's per-height parse step: rule-based event
+classification (/root/reference/pkg/eventlog/finder.go:36-116) becomes
+a vectorized validity + op classification over Arrow batches; the
+ambiguity → quarantine path (/root/reference/pkg/eventlog/util.go:58-114,
+/root/reference/parser/dex/quarantine.go:18-27) becomes a side filter
+producing a dead-letter Dataset that preserves the raw row for
+deterministic replay.
+
+All functions are pure per-batch transforms (stateless map_batches,
+batch_format="pyarrow", zero-copy in).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from cosmwasm_etl_ray.functions.hashing import assign_partition
+
+_VALID_OPS = ("insert", "update", "delete")
+
+
+def _valid_mask(batch: pa.Table) -> pa.Array:
+    """A row is valid iff commit is a non-empty decimal string and op is
+    a known op. Malformed rows are the quarantine side output."""
+    commit = batch["commit"]
+    ok_commit = pc.and_(
+        pc.invert(pc.is_null(commit, nan_is_null=True)),
+        pc.match_substring_regex(pc.coalesce(commit, pa.scalar("")), r"^[0-9]+$"),
+    )
+    ok_op = pc.is_in(batch["op"], value_set=pa.array(_VALID_OPS))
+    ok_key = pc.and_(
+        pc.invert(pc.is_null(batch["repo"])), pc.invert(pc.is_null(batch["path"]))
+    )
+    return pc.and_(pc.and_(ok_commit, ok_op), ok_key).combine_chunks()
+
+
+def valid_events(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda t: t.filter(_valid_mask(t)), batch_format="pyarrow"
+    )
+
+
+def quarantine_events(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Dead-letter rows, raw payload preserved + error tag (the
+    ParseQuarantine analogue). Replay = fix + feed back through
+    valid_events in a later epoch."""
+
+    def q(t: pa.Table) -> pa.Table:
+        bad = t.filter(pc.invert(_valid_mask(t)))
+        return bad.append_column(
+            "error", pa.array(["invalid_commit_or_op"] * len(bad), type=pa.string())
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+class PartitionAssigner:
+    """Adds pid = stable_hash(repo, path) % P. A callable class so the
+    stage runs as an actor pool when given concurrency, though it holds
+    only config (cheap either way)."""
+
+    def __init__(self, num_partitions: int):
+        self.p = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        repo = batch["repo"].to_numpy(zero_copy_only=False)
+        path = batch["path"].to_numpy(zero_copy_only=False)
+        pid = assign_partition(np.asarray(repo), np.asarray(path), self.p)
+        return batch.append_column("pid", pa.array(pid, type=pa.int32()))
+
+
+def with_partition(ds: "ray.data.Dataset", num_partitions: int) -> "ray.data.Dataset":
+    return ds.map_batches(
+        PartitionAssigner(num_partitions), batch_format="pyarrow"
+    )

@@ -1,0 +1,178 @@
+"""End-to-end replay vs the independent serial oracle, resume from
+crash-mid-epoch, idempotent re-run, quarantine, schema evolution.
+
+These are the north-star tests (BASELINE.md): final-state per-row
+content sha256 equality, exactly-once under retries/crashes.
+"""
+
+import glob
+import hashlib
+import os
+
+import pandas as pd
+import pytest
+
+import ray.data
+
+from cosmwasm_etl_ray.config import EngineConfig, GeneratorConfig
+from cosmwasm_etl_ray.pipelines.replay import (
+    apply_epoch,
+    plan_epochs,
+    quick_final_state,
+    read_state,
+    replay_files,
+    serial_oracle_replay,
+)
+from cosmwasm_etl_ray.sources.changes import changes_from_documents
+from cosmwasm_etl_ray.sources.generator import generate_change_stream
+from cosmwasm_etl_ray.state.manifest import StateStore
+
+CFG = EngineConfig(num_partitions=8, epoch_max_events=30_000, batch_size=4096)
+
+
+@pytest.fixture(scope="module")
+def change_log(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("changes"))
+    info = generate_change_stream(
+        out,
+        GeneratorConfig(
+            seed=11, n_keys=2_000, n_events=80_000, events_per_file=10_000,
+            malformed_frac=0.003, evolve_at_frac=0.6,
+        ),
+    )
+    return info
+
+
+def _state_key_content(df: pd.DataFrame) -> dict:
+    return {
+        (r.repo, r.path): (r.commit, r.content)
+        for r in df.itertuples()
+    }
+
+
+def test_replay_matches_serial_oracle(change_log, tmp_path):
+    store = StateStore(str(tmp_path / "store"))
+    replay_files(change_log["files"], store, CFG)
+
+    engine = read_state(store).to_pandas()
+    raw = pd.concat(
+        [pd.read_parquet(f) for f in change_log["files"]], ignore_index=True
+    )
+    oracle = serial_oracle_replay(raw)
+
+    assert len(engine) == len(oracle)
+    e_map = _state_key_content(engine)
+    o_map = _state_key_content(oracle)
+    assert e_map.keys() == o_map.keys()
+    # the per-row invariant: content sha256 equality, 100% of keys
+    mismatches = [
+        k
+        for k in e_map
+        if hashlib.sha256(e_map[k][1].encode()).digest()
+        != hashlib.sha256(o_map[k][1].encode()).digest()
+    ]
+    assert mismatches == []
+
+
+def test_quarantine_side_output(change_log, tmp_path):
+    store = StateStore(str(tmp_path / "store"))
+    replay_files(change_log["files"], store, CFG)
+    qfiles = glob.glob(os.path.join(store.quarantine_dir, "**/*.parquet"), recursive=True)
+    q = pd.concat([pd.read_parquet(f) for f in qfiles], ignore_index=True)
+    assert len(q) == change_log["n_malformed"] > 0
+    assert (q["error"] == "invalid_commit_or_op").all()
+    # raw payload preserved for deterministic replay
+    assert {"repo", "path", "commit", "content", "op"} <= set(q.columns)
+
+
+def test_crash_mid_epoch_resume_reconverges(change_log, tmp_path):
+    """Kill between partition write and manifest commit; the re-run must
+    reconverge to identical state (SURVEY.md §7.2 step 3)."""
+    full_store = StateStore(str(tmp_path / "full"))
+    replay_files(change_log["files"], full_store, CFG)
+    expected = (
+        read_state(full_store).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+
+    crash_store = StateStore(str(tmp_path / "crash"))
+    epochs = plan_epochs(change_log["files"], CFG)
+    # epoch 0 commits fine
+    apply_epoch(ray.data.read_parquet(epochs[0]), crash_store, 0, CFG)
+
+    # epoch 1 "crashes": partitions written, manifest withheld
+    class CrashingStore(StateStore):
+        def commit_epoch(self, *a, **k):
+            raise RuntimeError("simulated crash before manifest commit")
+
+    crashing = CrashingStore(crash_store.root)
+    with pytest.raises(RuntimeError):
+        apply_epoch(ray.data.read_parquet(epochs[1]), crashing, 1, CFG)
+    assert crash_store.latest_epoch() == 0  # cursor did not advance
+    leftover = glob.glob(os.path.join(crash_store.state_dir, "epoch=1", "*.parquet"))
+    assert leftover  # orphan partition files exist
+
+    # resume: replays epoch 1 from the cursor, overwrites orphans
+    replay_files(change_log["files"], crash_store, CFG)
+    got = (
+        read_state(crash_store).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        expected[["repo", "path", "commit", "content"]],
+        got[["repo", "path", "commit", "content"]],
+    )
+
+
+def test_rerun_committed_epoch_is_noop(change_log, tmp_path):
+    store = StateStore(str(tmp_path / "store"))
+    manifests = replay_files(change_log["files"], store, CFG)
+    again = replay_files(change_log["files"], store, CFG)
+    assert again == []  # cursor says done
+    m = apply_epoch(ray.data.read_parquet(change_log["files"][:1]), store, 0, CFG)
+    assert m["counts"] == manifests[0]["counts"]  # returns existing manifest
+
+
+def test_schema_evolution_null_backfill(tmp_path):
+    """The additive `mode` column appears mid-stream; earlier keys whose
+    last event predates it must carry mode = null in final state."""
+    log_dir = str(tmp_path / "late_evolve")
+    change_log = generate_change_stream(
+        log_dir,
+        GeneratorConfig(
+            seed=13, n_keys=3_000, n_events=20_000, events_per_file=5_000,
+            malformed_frac=0.0, evolve_at_frac=0.95,
+        ),
+    )
+    store = StateStore(str(tmp_path / "store"))
+    replay_files(change_log["files"], store, CFG)
+    state = read_state(store).to_pandas()
+    assert "mode" in state.columns
+    assert state["mode"].isna().any()
+    assert state["mode"].notna().any()
+    raw = pd.concat(
+        [pd.read_parquet(f) for f in change_log["files"]], ignore_index=True
+    )
+    oracle = serial_oracle_replay(raw)
+    o_mode = {
+        (r.repo, r.path): (r.mode if isinstance(r.mode, str) else None)
+        for r in oracle.itertuples()
+    }
+    e_mode = {
+        (r.repo, r.path): (r.mode if isinstance(r.mode, str) else None)
+        for r in state.itertuples()
+    }
+    assert o_mode == e_mode
+
+
+def test_quick_final_state_matches_store_replay(change_log, sf_dir):
+    quick = (
+        quick_final_state(changes_from_documents(sf_dir), CFG)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    oracle = serial_oracle_replay(changes_from_documents(sf_dir).to_pandas())
+    oracle = oracle.sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        quick[["repo", "path", "commit", "content"]],
+        oracle[["repo", "path", "commit", "content"]],
+    )
