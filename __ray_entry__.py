@@ -3,14 +3,7 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+DuckDB. No function here (or in the library) calls ``ray.init()``.
 """
 
 from __future__ import annotations
@@ -20,25 +13,50 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full CDC replay (final-state table with
+    per-row content sha256) over /root/testdata/sf0.001."""
+    from cosmwasm_etl_ray.pipelines.queries_cdc import cdc_final_state
+
+    return cdc_final_state("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from cosmwasm_etl_ray.pipelines import queries_cdc
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(queries_cdc.QUERIES)
+    try:
+        from cosmwasm_etl_ray.pipelines import queries_relational
+
+        out.update(queries_relational.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from cosmwasm_etl_ray.pipelines import queries_textml
+
+        out.update(queries_textml.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for every SQL-expressible query (same column names)."""
+    from cosmwasm_etl_ray.pipelines import queries_cdc
+
+    out: dict[str, str] = {}
+    out.update(queries_cdc.ORACLE_SQL)
+    try:
+        from cosmwasm_etl_ray.pipelines import queries_relational
+
+        out.update(queries_relational.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from cosmwasm_etl_ray.pipelines import queries_textml
+
+        out.update(queries_textml.ORACLE_SQL)
+    except ImportError:
+        pass
+    return out
