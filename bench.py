@@ -1,0 +1,163 @@
+"""Benchmark driver: headline CDC replay throughput + per-query timings.
+
+Prints ONE JSON line:
+    {"metric": "cdc_replay_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "events": E, "events_per_sec": R}
+
+Modes:
+    python bench.py             # one run at RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling   # fresh processes at 8 and 32 CPUs over
+                                # the same input; reports both + efficiency
+
+The headline pipeline is the full engine path (generate→tail→normalize
+→combine→shuffle→merge→manifest-commit per epoch) over a seeded skewed
+change stream cached under /tmp — generation and page-cache warmup are
+untimed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "2000000"))
+CACHE_ROOT = os.environ.get("GRAFT_BENCH_CACHE", "/tmp/cdc_bench_cache")
+
+
+def ensure_change_log() -> list[str]:
+    from cosmwasm_etl_ray.config import GeneratorConfig
+    from cosmwasm_etl_ray.sources.generator import generate_change_stream
+
+    tag = f"seed42-n{N_EVENTS}"
+    out = os.path.join(CACHE_ROOT, tag)
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        generate_change_stream(
+            out,
+            GeneratorConfig(
+                seed=42,
+                n_keys=max(1000, N_EVENTS // 10),
+                n_events=N_EVENTS,
+                events_per_file=250_000,
+                malformed_frac=0.001,
+                evolve_at_frac=0.5,
+            ),
+        )
+        open(marker, "w").close()
+    return sorted(
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+
+
+def run_once() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from cosmwasm_etl_ray.config import EngineConfig
+    from cosmwasm_etl_ray.pipelines.replay import read_state, replay_files
+    from cosmwasm_etl_ray.state.manifest import StateStore
+
+    files = ensure_change_log()
+    # warm page cache (untimed)
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    store_root = f"/tmp/cdc_bench_store_{NUM_CPUS}_{os.getpid()}"
+    shutil.rmtree(store_root, ignore_errors=True)
+    store = StateStore(store_root)
+    cfg = EngineConfig(
+        num_partitions=64, epoch_max_events=1_000_000, batch_size=65_536
+    )
+
+    t0 = time.time()
+    manifests = replay_files(files, store, cfg)
+    replay_sec = time.time() - t0
+    applied = sum(m["counts"]["applied_events"] for m in manifests)
+    live = read_state(store).count()
+
+    # per-query timings over the sf dir (the oracle-checked pipelines)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qtimes = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # consume the lazy Dataset
+        qtimes[name] = round(time.time() - t0, 3)
+
+    shutil.rmtree(store_root, ignore_errors=True)
+    result = {
+        "metric": "cdc_replay_sec",
+        "value": round(replay_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events": N_EVENTS,
+        "applied_events": applied,
+        "live_keys": live,
+        "events_per_sec": round(N_EVENTS / replay_sec),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    ensure_change_log()  # build cache once, outside both timed runs
+    lo, hi = sub(8), sub(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": lo["value"],
+        "sec_32cpu": hi["value"],
+        "events_per_sec_8cpu": lo["events_per_sec"],
+        "events_per_sec_32cpu": hi["events_per_sec"],
+        "events": lo["events"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -34,9 +34,10 @@ from cosmwasm_etl_ray.stages.merge import (
     MergeWithState,
     fold_override,
     fold_partial,
+    fold_partial_flagged,
 )
 from cosmwasm_etl_ray.stages.normalize import (
-    quarantine_events,
+    FlagAndPartition,
     valid_events,
     with_partition,
 )
@@ -68,8 +69,11 @@ def apply_epoch(
     epoch: int,
     cfg: EngineConfig = DEFAULT_CONFIG,
     offset_range: tuple[str, str] = ("", ""),
+    input_rows: int | None = None,
 ) -> dict:
-    """Apply one epoch of change events to the store. Idempotent:
+    """Apply one epoch of change events to the store — ONE pass over
+    the input: flag+partition → combiner → shuffle → merge (which also
+    writes the quarantine side output per partition). Idempotent:
     re-running a committed epoch is a no-op; re-running an uncommitted
     (crashed) epoch overwrites the same partition files."""
     if store.is_committed(epoch):
@@ -77,42 +81,47 @@ def apply_epoch(
 
     prior = store.partition_files()
 
-    valid = with_partition(valid_events(changes), cfg.num_partitions)
+    flagged = changes.map_batches(
+        FlagAndPartition(cfg.num_partitions), batch_format="pyarrow"
+    )
     if not cfg.override_coalesce:
-        valid = valid.map_batches(
-            fold_partial, batch_format="pandas", batch_size=cfg.batch_size
+        flagged = flagged.map_batches(
+            fold_partial_flagged,
+            batch_format="pandas",
+            batch_size=cfg.batch_size,
         )
     merge = MergeWithState(
-        store.state_dir, epoch, prior, override=cfg.override_coalesce
+        store.state_dir,
+        epoch,
+        prior,
+        override=cfg.override_coalesce,
+        quarantine_root=store.quarantine_dir,
     )
 
     def merge_fn(group: pd.DataFrame) -> pd.DataFrame:
         return merge(group)
 
     stats = (
-        valid.groupby("pid")
+        flagged.groupby("pid")
         .map_groups(merge_fn, batch_format="pandas")
         .to_pandas()
     )
 
-    qdir = os.path.join(store.quarantine_dir, f"epoch={epoch}")
-    qds = quarantine_events(changes)
-    qrows = qds.count()
-    if qrows:
-        qds.write_parquet(qdir)
-
+    quarantined = int(stats["quarantined"].sum()) if len(stats) else 0
     touched = {
         int(r.pid): {
             "file": r.file,
             "rows": int(r.rows),
             "live_rows": int(r.live_rows),
-            "applied_events": int(r.applied_events),
         }
         for r in stats.itertuples()
     }
     counts = {
-        "applied_events": int(stats["applied_events"].sum()) if len(stats) else 0,
-        "quarantined": int(qrows),
+        "input_events": int(input_rows) if input_rows is not None else None,
+        "applied_events": (
+            int(input_rows) - quarantined if input_rows is not None else None
+        ),
+        "quarantined": quarantined,
         "touched_partitions": len(touched),
     }
     return store.commit_epoch(epoch, touched, offset_range, counts)
@@ -131,8 +140,11 @@ def replay_files(
     out = []
     for e in range(start, len(epochs)):
         ds = ray.data.read_parquet(epochs[e])
+        rows = sum(pq.read_metadata(f).num_rows for f in epochs[e])
         out.append(
-            apply_epoch(ds, store, e, cfg, (epochs[e][0], epochs[e][-1]))
+            apply_epoch(
+                ds, store, e, cfg, (epochs[e][0], epochs[e][-1]), input_rows=rows
+            )
         )
     return out
 

@@ -66,8 +66,17 @@ def generate_change_stream(out_dir: str, cfg: GeneratorConfig) -> dict:
     repo = np.char.add("repo_", key_repo[key_ids].astype("U6")).astype(object)
     path = np.char.add("src/k", key_ids.astype("U10")).astype(object)
 
-    words = _WORDS[rng.integers(0, len(_WORDS), size=(n, max(1, cfg.content_len // 5)))]
-    content = np.array([" ".join(w) for w in words], dtype=object)
+    # content: pool of pre-joined sentences + per-event version suffix
+    # (vectorized — a per-row join loop would dominate at bench scale)
+    pool_n = min(n, 16_384)
+    pool_words = _WORDS[
+        rng.integers(0, len(_WORDS), size=(pool_n, max(1, cfg.content_len // 5)))
+    ]
+    pool = np.array([" ".join(w) for w in pool_words], dtype=object)
+    content = np.char.add(
+        np.char.add(pool[rng.integers(0, pool_n, size=n)].astype("U"), " #v"),
+        np.arange(n).astype("U12"),
+    ).astype(object)
     content[op == "delete"] = ""
     lang = np.array(["go", "py", "rs", "md", "ts"], dtype=object)[
         key_ids % 5

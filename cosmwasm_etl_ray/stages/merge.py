@@ -60,6 +60,19 @@ def fold_partial(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def fold_partial_flagged(df: pd.DataFrame) -> pd.DataFrame:
+    """Combiner for the single-pass pipeline: fold only ``valid`` rows,
+    pass quarantine rows through untouched (they must reach the merge
+    stage with their raw payload intact)."""
+    if "valid" not in df.columns:
+        return fold_partial(df)
+    mask = df["valid"].to_numpy()
+    if mask.all():
+        return fold_partial(df)
+    folded = fold_partial(df[mask])
+    return pd.concat([folded, df[~mask]], ignore_index=True)
+
+
 def fold_override(df: pd.DataFrame) -> pd.DataFrame:
     """Column-coalesce fold (Override semantics) with tombstone barrier.
 
@@ -108,17 +121,19 @@ def finalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def _to_arrow(df: pd.DataFrame) -> pa.Table:
     """pandas → Arrow, forcing all-null object columns to string (they
-    appear when schema evolution backfills a new column with nulls)."""
-    fields = []
+    appear when schema evolution backfills a new column with nulls —
+    inferring them as pa.null() would poison later schema unification)."""
+    arrays, fields = [], []
     for c in df.columns:
         if df[c].dtype == object and df[c].notna().sum() == 0:
-            fields.append((c, pa.string()))
-    if not fields:
-        return pa.Table.from_pandas(df, preserve_index=False)
-    schema = pa.Table.from_pandas(df.head(0), preserve_index=False).schema
-    for name, typ in fields:
-        schema = schema.set(schema.get_field_index(name), pa.field(name, typ))
-    return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+            arr = pa.array([None] * len(df), type=pa.string())
+        else:
+            arr = pa.array(df[c], from_pandas=True)
+            if pa.types.is_null(arr.type):
+                arr = arr.cast(pa.string())
+        arrays.append(arr)
+        fields.append(pa.field(str(c), arr.type))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
 class MergeWithState:
@@ -147,15 +162,41 @@ class MergeWithState:
         epoch: int,
         prior_files: dict[int, str],
         override: bool = False,
+        quarantine_root: str | None = None,
     ):
         self.state_root = state_root
         self.epoch = epoch
         self.prior_files = prior_files
         self.override = override
+        self.quarantine_root = quarantine_root
         os.makedirs(os.path.join(state_root, f"epoch={epoch}"), exist_ok=True)
+        if quarantine_root:
+            os.makedirs(
+                os.path.join(quarantine_root, f"epoch={epoch}"), exist_ok=True
+            )
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         pid = int(group["pid"].iloc[0])
+
+        n_quarantined = 0
+        if "valid" in group.columns:
+            mask = group["valid"].to_numpy()
+            bad = group[~mask]
+            group = group[mask].drop(columns=["valid"])
+            n_quarantined = len(bad)
+            if n_quarantined and self.quarantine_root:
+                qout = os.path.join(
+                    self.quarantine_root,
+                    f"epoch={self.epoch}",
+                    f"part-{pid:05d}.parquet",
+                )
+                bad = bad.drop(columns=["valid"]).assign(
+                    error="invalid_commit_or_op"
+                )
+                tmp = qout + ".tmp"
+                pq.write_table(_to_arrow(bad), tmp)
+                os.replace(tmp, qout)
+
         parts = [group]
         prior = self.prior_files.get(pid)
         if prior is not None:
@@ -175,7 +216,8 @@ class MergeWithState:
                 "pid": [pid],
                 "rows": [len(folded)],
                 "live_rows": [live],
-                "applied_events": [len(group)],
+                "merged_partials": [len(group)],
+                "quarantined": [n_quarantined],
                 "file": [out],
             }
         )

@@ -15,6 +15,7 @@ batch_format="pyarrow", zero-copy in).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -71,6 +72,8 @@ class PartitionAssigner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         repo = batch["repo"].to_numpy(zero_copy_only=False)
         path = batch["path"].to_numpy(zero_copy_only=False)
+        repo = np.where(pd.isna(repo), "", repo)
+        path = np.where(pd.isna(path), "", path)
         pid = assign_partition(np.asarray(repo), np.asarray(path), self.p)
         return batch.append_column("pid", pa.array(pid, type=pa.int32()))
 
@@ -79,3 +82,19 @@ def with_partition(ds: "ray.data.Dataset", num_partitions: int) -> "ray.data.Dat
     return ds.map_batches(
         PartitionAssigner(num_partitions), batch_format="pyarrow"
     )
+
+
+class FlagAndPartition:
+    """Single-pass front stage: adds ``valid`` (bool) and ``pid``.
+
+    Invalid (quarantine) rows keep flowing through the SAME shuffle as
+    valid ones and are split out inside the merge stage — one read of
+    the input instead of three (valid pass, quarantine count pass,
+    quarantine write pass)."""
+
+    def __init__(self, num_partitions: int):
+        self.assign = PartitionAssigner(num_partitions)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("valid", _valid_mask(batch))
+        return self.assign(batch)
