@@ -1,0 +1,207 @@
+"""Training-data operators as queries(): text analysis, dedup family,
+similarity search. Oracle twins where SQL can express the semantics;
+rows-only otherwise (sketch-based ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from cosmwasm_etl_ray.functions.dedup import (
+    exact_dedup_keep_min,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+)
+from cosmwasm_etl_ray.functions.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+from cosmwasm_etl_ray.functions.text import (
+    LangId,
+    QualityScorer,
+    rolling_fingerprint,
+    token_stats_batch,
+)
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _emb(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def augmented_docs(sf_dir: str) -> "ray.data.Dataset":
+    """documents ∪ perturbed copies (every 13th word dropped, id+10^6) —
+    the deterministic near-dup corpus for the sketch operators (3-gram
+    Jaccard of a pair ≈ 0.6-0.8, inside MinHash-LSH's detection band)."""
+
+    def perturb(df: pd.DataFrame) -> pd.DataFrame:
+        mut = df.copy()
+        mut["doc_id"] = mut["doc_id"] + 1_000_000
+        mut["text"] = mut["text"].map(
+            lambda s: " ".join(w for i, w in enumerate(s.split()) if i % 13 != 5)
+        )
+        return pd.concat([df, mut], ignore_index=True)
+
+    return _docs(sf_dir).map_batches(perturb, batch_format="pandas")
+
+
+# ---- oracle-checked ----
+
+def text_stats(sf_dir: str) -> "ray.data.Dataset":
+    return _docs(sf_dir).map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str) -> "ray.data.Dataset":
+    return _docs(sf_dir).map_batches(
+        QualityScorer, batch_format="pandas", batch_size=2048, concurrency=(1, 4)
+    )
+
+
+def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """md5 content fingerprint (the sha256-style id hashing the
+    reference applies to raw tx bytes)."""
+    import hashlib
+
+    def fp(t: pa.Table) -> pa.Table:
+        out = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fp_md5": pa.array(out, type=pa.string())})
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def dedup_exact_prefix(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup on a normalized key (20-char prefix): hash-partition
+    by key, keep min doc_id per group."""
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "key20": pc.utf8_slice_codeunits(t["text"], 0, 20),
+            }
+        )
+
+    return exact_dedup_keep_min(_docs(sf_dir), key, "key20")
+
+
+def embedding_neardup(sf_dir: str) -> "ray.data.Dataset":
+    return embedding_neardup_pairs(_emb(sf_dir), threshold=0.45)
+
+
+def ann_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Brute-force cosine top-10: queries = vec_id < 5, db = the rest."""
+    emb = _emb(sf_dir)
+    qdf = emb.filter(lambda r: r["vec_id"] < 5).to_pandas()
+    db = emb.filter(lambda r: r["vec_id"] >= 5)
+    return brute_force_topk(db, qdf, k=10)
+
+
+# ---- rows-only (sketches / heuristics not SQL-expressible) ----
+
+def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    return _docs(sf_dir).map_batches(
+        LangId, batch_format="pandas", batch_size=2048, concurrency=(1, 4)
+    )
+
+
+def text_features(sf_dir: str) -> "ray.data.Dataset":
+    """Rolling-hash winnowing fingerprint (rows-only)."""
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "rolling_fp": rolling_fingerprint(df["text"]).astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(feats, batch_format="pandas", batch_size=2048)
+
+
+def dedup_minhash(sf_dir: str) -> "ray.data.Dataset":
+    return minhash_dedup_pairs(augmented_docs(sf_dir), threshold=0.5)
+
+
+def dedup_simhash(sf_dir: str) -> "ray.data.Dataset":
+    return simhash_dedup_pairs(augmented_docs(sf_dir), max_hamming=16)
+
+
+def dedup_ngram_jaccard(sf_dir: str) -> "ray.data.Dataset":
+    """Same LSH candidates, exact word-3-gram Jaccard ≥ 0.3 verification."""
+    return minhash_dedup_pairs(augmented_docs(sf_dir), threshold=0.3)
+
+
+def ann_lsh(sf_dir: str) -> "ray.data.Dataset":
+    emb = _emb(sf_dir)
+    qdf = emb.filter(lambda r: r["vec_id"] < 5).to_pandas()
+    db = emb.filter(lambda r: r["vec_id"] >= 5)
+    return lsh_topk(db, qdf, k=10)
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "quality_scores": quality_scores,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_exact_prefix": dedup_exact_prefix,
+    "embedding_neardup": embedding_neardup,
+    "ann_topk": ann_topk,
+    "lang_id": lang_id,
+    "text_features": text_features,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "ann_lsh": ann_lsh,
+}
+
+ORACLE_SQL = {
+    "text_stats": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+FROM documents
+""",
+    "quality_scores": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+       CAST(len(list_filter(string_split(text, ' '),
+                x -> list_contains(['the','a','of','to','and'], x))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio
+FROM documents
+""",
+    "doc_fingerprints": """
+SELECT doc_id, md5(text) AS fp_md5 FROM documents
+""",
+    "dedup_exact_prefix": """
+SELECT substr(text, 1, 20) AS key20,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY substr(text, 1, 20)
+""",
+    "embedding_neardup": """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+""",
+    "ann_topk": """
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, d.embedding) DESC,
+                        d.vec_id
+           ) AS rank
+    FROM embeddings q JOIN embeddings d ON d.vec_id >= 5
+    WHERE q.vec_id < 5
+) WHERE rank <= 10
+""",
+}

@@ -1,0 +1,136 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode / feature-extract / resize / frame-sample as actor-pool stages.
+
+The image/audio/video codec libraries are NOT in this container, so the
+codec call itself is stubbed: ``DecodeStub`` raises NotImplementedError
+when asked for a real codec, and ``FakeDecoder`` produces a
+deterministic fake decode (byte-histogram "pixels") so the Ray-side
+plumbing — schema (binary + metadata struct), batch sizing for wide
+binary rows, actor signatures, output layout — is real and tested.
+
+Scale notes: binary payload rows are wide → small batch_size and
+``batch_format="pyarrow"`` end-to-end (binary columns do not round-trip
+pandas object dtype safely); payload bytes stay zero-copy in Arrow
+until the decode kernel reads them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),          # image | audio | video
+        pa.field("payload", pa.large_binary()),  # opaque encoded bytes
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("n_frames", pa.int32()),
+    ]
+)
+
+
+def synthesize_media(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Deterministic fake media table derived from documents: payload =
+    repeated utf-8 bytes of the text (stands in for encoded pixels)."""
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        kinds = ["image", "audio", "video"]
+        payloads = [s.encode("utf-8") * 3 for s in texts]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "kind": pa.array([kinds[int(i) % 3] for i in ids], type=pa.string()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+                "width": pa.array((ids % 640 + 32).astype(np.int32)),
+                "height": pa.array((ids % 480 + 32).astype(np.int32)),
+                "n_frames": pa.array((ids % 24 + 1).astype(np.int32)),
+            }
+        )
+
+    return docs.map_batches(make, batch_format="pyarrow", batch_size=512)
+
+
+class DecodeStub:
+    """Actor-pool decode stage. Real codecs are unavailable in this
+    container: constructing with use_real_codec=True raises, exactly
+    like a missing-import gate would in production."""
+
+    def __init__(self, use_real_codec: bool = False):
+        if use_real_codec:
+            raise NotImplementedError(
+                "image/audio codecs are not installed in this environment; "
+                "run with use_real_codec=False for the deterministic fake"
+            )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        raise NotImplementedError("use FakeDecoder for the test path")
+
+
+class FakeDecoder:
+    """Deterministic fake decode: byte histogram (256 bins) as the
+    'decoded' feature vector + payload sha256. Setup (the 'model') is
+    built once per actor; __call__ is vectorized per batch."""
+
+    def __init__(self, bins: int = 64):
+        self.bins = bins
+        self.edges = np.linspace(0, 256, bins + 1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats, shas = [], []
+        for buf in t["payload"]:
+            b = np.frombuffer(buf.as_py(), dtype=np.uint8)
+            hist = np.histogram(b, bins=self.edges)[0].astype(np.float32)
+            norm = np.linalg.norm(hist)
+            feats.append((hist / norm if norm else hist).tolist())
+            shas.append(hashlib.sha256(buf.as_py()).hexdigest())
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "feature": pa.array(feats, type=pa.list_(pa.float32())),
+                "payload_sha256": pa.array(shas, type=pa.string()),
+            }
+        )
+
+
+class FrameSampler:
+    """Video frame-sampling plumbing: emits one row per sampled frame
+    index (every ``stride``-th of n_frames) with the parent media_id —
+    the flat_map layout a real decoder would fill with frame tensors."""
+
+    def __init__(self, stride: int = 8):
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_numpy(zero_copy_only=False)
+        nf = t["n_frames"].to_numpy(zero_copy_only=False)
+        counts = (nf + self.stride - 1) // self.stride
+        rep = np.repeat(np.arange(len(ids)), counts)
+        ends = np.cumsum(counts)
+        local = np.arange(int(ends[-1])) - np.repeat(ends - counts, counts)
+        return pa.table(
+            {
+                "media_id": pa.array(ids[rep], type=pa.int64()),
+                "frame_index": pa.array((local * self.stride).astype(np.int32)),
+            }
+        )
+
+
+def media_features(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The full multimodal plumbing pipeline: synthesize → decode
+    (actor pool, small batches for wide binary rows) → features."""
+    media = synthesize_media(docs)
+    return media.map_batches(
+        FakeDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )

@@ -1,0 +1,91 @@
+"""Training-data operator tests: dedup recall, ANN recall, text stages.
+
+The near-dup corpora contain planted pairs (doc d vs its perturbed
+copy d+10^6), so recall is measurable without an external oracle.
+"""
+
+import numpy as np
+import pandas as pd
+
+from cosmwasm_etl_ray.functions.similarity import brute_force_topk, lsh_topk
+from cosmwasm_etl_ray.pipelines.queries_textml import (
+    ann_topk,
+    augmented_docs,
+    dedup_minhash,
+    dedup_simhash,
+    lang_id,
+    text_features,
+)
+
+import ray.data
+
+
+def planted_recall(pairs: pd.DataFrame, n_docs: int) -> float:
+    found = {
+        (min(a, b), max(a, b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+    }
+    hits = sum((d, d + 1_000_000) in found for d in range(n_docs))
+    return hits / n_docs
+
+
+def test_minhash_lsh_finds_planted_neardups(sf_dir):
+    pairs = dedup_minhash(sf_dir).to_pandas()
+    rec = planted_recall(pairs, 500)
+    assert rec >= 0.85, f"minhash recall {rec}"
+    # verified pairs carry their jaccard and meet the threshold
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_simhash_finds_planted_neardups(sf_dir):
+    pairs = dedup_simhash(sf_dir).to_pandas()
+    rec = planted_recall(pairs, 500)
+    assert rec >= 0.8, f"simhash recall {rec}"
+    assert (pairs["hamming"] <= 16).all()
+    # not degenerate: false-pair volume bounded
+    assert len(pairs) < 5 * 500
+
+
+def test_lsh_ann_recall_vs_brute_force(sf_dir):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.filter(lambda r: r["vec_id"] < 5).to_pandas()
+    db = emb.filter(lambda r: r["vec_id"] >= 5)
+    exact = brute_force_topk(db, qdf, k=10).to_pandas()
+    approx = lsh_topk(db, qdf, k=10).to_pandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / 10 for q in e.index]
+    assert np.mean(recalls) >= 0.5, recalls  # 8 planes x 4 tables, small db
+
+
+def test_brute_force_topk_is_exact(sf_dir):
+    res = ann_topk(sf_dir).to_pandas()
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").to_pandas()
+    X = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    dbm = ids >= 5
+    for q in range(5):
+        sims = X[ids == q][0] @ X[dbm].T
+        order = np.lexsort((ids[dbm], -sims))
+        expected = ids[dbm][order][:10].tolist()
+        got = res[res["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == expected, f"query {q}"
+
+
+def test_augmented_corpus_deterministic(sf_dir):
+    a = augmented_docs(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = augmented_docs(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 1000
+
+
+def test_lang_id_and_features_deterministic_schema(sf_dir):
+    li = lang_id(sf_dir).to_pandas()
+    assert set(li.columns) == {"doc_id", "lang_pred"}
+    assert li["lang_pred"].isin(["en", "es", "de", "fr"]).all()
+    tf = text_features(sf_dir).to_pandas()
+    assert set(tf.columns) == {"doc_id", "rolling_fp"}
+    tf2 = text_features(sf_dir).to_pandas()
+    assert tf.sort_values("doc_id").reset_index(drop=True).equals(
+        tf2.sort_values("doc_id").reset_index(drop=True)
+    )
