@@ -1,0 +1,118 @@
+"""Validation comparator, quarantine replay, explicit salting path."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from cosmwasm_etl_ray.config import EngineConfig, GeneratorConfig
+from cosmwasm_etl_ray.pipelines.replay import (
+    quick_final_state,
+    read_state,
+    replay_files,
+)
+from cosmwasm_etl_ray.sources.changes import changes_from_documents
+from cosmwasm_etl_ray.sources.generator import generate_change_stream
+from cosmwasm_etl_ray.stages.normalize import FlagAndPartition
+from cosmwasm_etl_ray.stages.skew import detect_hot_keys, salted_final_state
+from cosmwasm_etl_ray.stages.validate import snapshot_state, validate_store
+from cosmwasm_etl_ray.state.manifest import StateStore
+from cosmwasm_etl_ray.state.quarantine import pending_files, replay_quarantine
+
+CFG = EngineConfig(num_partitions=8, epoch_max_events=20_000, batch_size=4096)
+
+
+def _log(tmp_path, **kw):
+    defaults = dict(
+        seed=17, n_keys=800, n_events=30_000, events_per_file=10_000,
+        malformed_frac=0.005, evolve_at_frac=None,
+    )
+    defaults.update(kw)
+    return generate_change_stream(str(tmp_path / "log"), GeneratorConfig(**defaults))
+
+
+def test_validation_passes_on_correct_replay(tmp_path):
+    log = _log(tmp_path)
+    store = StateStore(str(tmp_path / "store"))
+    replay_files(log["files"], store, CFG)
+    bad = validate_store(store, log["files"], CFG)
+    assert bad.empty, bad.head()
+
+
+def test_validation_detects_corruption(tmp_path):
+    log = _log(tmp_path)
+    store = StateStore(str(tmp_path / "store"))
+    replay_files(log["files"], store, CFG)
+    # corrupt one state partition: bump a commit
+    pid, f = sorted(store.partition_files().items())[0]
+    df = pd.read_parquet(f)
+    df.loc[df.index[0], "content"] = "CORRUPTED"
+    df.to_parquet(f, index=False)
+    bad = validate_store(store, log["files"], CFG)
+    assert len(bad) == 1
+    # and the exception set suppresses it (ST2 validation exceptions)
+    key = (bad.iloc[0]["repo"], bad.iloc[0]["path"])
+    assert validate_store(store, log["files"], CFG, exceptions={key}).empty
+
+
+def test_snapshot_state_written(tmp_path):
+    log = _log(tmp_path)
+    store = StateStore(str(tmp_path / "store"))
+    replay_files(log["files"], store, CFG)
+    path = snapshot_state(store)
+    snap = pd.read_parquet(path)
+    assert {"repo", "live_paths", "total_chars", "max_commit"} <= set(snap.columns)
+    assert snap["live_paths"].sum() == read_state(store).count()
+
+
+def test_quarantine_replay_applies_fixed_rows(tmp_path):
+    log = _log(tmp_path, malformed_frac=0.02)
+    store = StateStore(str(tmp_path / "store"))
+    replay_files(log["files"], store, CFG)
+    n_pending = len(pending_files(store))
+    assert n_pending > 0
+    before = read_state(store).count()
+
+    def fix(rows: pd.DataFrame) -> pd.DataFrame:
+        # repair the empty commit deterministically: very high sequence
+        rows = rows.copy()
+        blank = rows["commit"] == ""
+        rows.loc[blank, "commit"] = [
+            f"{9_000_000_000 + i:010d}" for i in range(int(blank.sum()))
+        ]
+        return rows
+
+    manifest = replay_quarantine(store, CFG, fix_fn=fix)
+    assert manifest["counts"]["quarantined"] == 0  # everything repaired
+    assert pending_files(store) == []  # marked resolved
+    after = read_state(store).count()
+    assert after >= before  # repaired upserts landed
+    # idempotent: nothing pending → no-op
+    assert replay_quarantine(store, CFG) is None
+
+
+def test_salted_path_equals_combiner_path(sf_dir):
+    """The explicit detect+salt two-phase reduce must produce the exact
+    same final state as the default combiner path."""
+    cfg = EngineConfig(num_partitions=8, hot_key_threshold=40, salt_factor=4)
+    changes = changes_from_documents(sf_dir)
+    flagged = changes.map_batches(
+        FlagAndPartition(cfg.num_partitions), batch_format="pyarrow"
+    )
+    hot = detect_hot_keys(changes, cfg.hot_key_threshold)
+    assert len(hot) > 0  # the documents stream plants hot keys (d%101==0)
+
+    salted = (
+        salted_final_state(flagged, cfg, hot_keys=hot)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    combiner = (
+        quick_final_state(changes, cfg)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    cols = ["repo", "path", "commit", "lang", "content"]
+    pd.testing.assert_frame_equal(salted[cols], combiner[cols])
