@@ -32,15 +32,11 @@ _M61 = np.uint64((1 << 61) - 1)
 
 
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes of token strings (md5-based, seedless)."""
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-            for t in tokens
-        ),
-        dtype=np.uint64,
-        count=len(tokens),
-    )
+    """Stable 64-bit hashes of token strings (pandas SipHash with its
+    fixed default key — deterministic across processes, vectorized)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object), categorize=False)
 
 
 def word_ngrams(text: str, n: int = 3) -> list[str]:
@@ -73,42 +69,92 @@ class MinHasher:
         vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % _M61
         return vals.min(axis=1)
 
+    def signatures_batch(self, texts) -> np.ndarray:
+        """All signatures of a batch in one shot: concatenate every
+        doc's shingle hashes, one (perm × shingles) multiply-add, then
+        segment-min per doc via minimum.reduceat."""
+        shingle_lists = [word_ngrams(t, self.ngram) for t in texts]
+        counts = np.array([max(1, len(s)) for s in shingle_lists])
+        flat: list[str] = []
+        for s in shingle_lists:
+            flat.extend(s if s else [""])
+        h = _hash_tokens(flat)
+        vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % _M61
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        return np.minimum.reduceat(vals, starts, axis=1)  # (perm, docs)
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = self.signature(text)
-            for b in range(self.bands):
-                band = sig[b * self.rpb : (b + 1) * self.rpb]
-                bh = hashlib.md5(band.tobytes()).hexdigest()[:16]
-                out_doc.append(doc_id)
-                out_band.append(b)
-                out_hash.append(bh)
+        n = len(df)
+        sigs = self.signatures_batch(df["text"].tolist())  # (perm, n)
+        out_doc = np.repeat(df["doc_id"].to_numpy(), self.bands)
+        out_band = np.tile(np.arange(self.bands), n)
+        out_hash = [
+            hashlib.md5(sigs[b * self.rpb : (b + 1) * self.rpb, d].tobytes())
+            .hexdigest()[:16]
+            for d in range(n)
+            for b in range(self.bands)
+        ]
         return pd.DataFrame(
             {"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash}
         )
 
 
-def candidate_pairs_from_buckets(
-    bucketed: "ray.data.Dataset", max_bucket: int = 64
-) -> "ray.data.Dataset":
-    """groupby (band_id, band_hash) → all-pairs within bucket (capped),
-    then distinct pairs via a second tiny groupby."""
+def dedup_pairs_dataset(pairs: "ray.data.Dataset", shards: int = 64) -> "ray.data.Dataset":
+    """Global distinct over (doc_a, doc_b) pair rows: shard by pair hash
+    (a pair always lands in one shard), drop_duplicates within shard —
+    one coarse shuffle instead of a per-pair groupby."""
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        a, b = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pshard"] = ((df["doc_a"] * 1000003 + df["doc_b"]) % shards).astype("int32")
+        return df
 
-    cands = bucketed.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pshard"])
+
+    return (
+        pairs.map_batches(add_shard, batch_format="pandas")
+        .groupby("_pshard")
+        .map_groups(uniq, batch_format="pandas")
     )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
 
-    return cands.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+def candidate_pairs_from_buckets(
+    bucketed: "ray.data.Dataset", max_bucket: int = 64, shards: int = 256
+) -> "ray.data.Dataset":
+    """(band_id, band_hash) buckets → all-pairs within bucket (capped),
+    distinct. Buckets are sharded coarsely (hash(band_hash) % shards)
+    so the shuffle has ``shards`` groups, and the within-shard pandas
+    groupby is vectorized — avoids per-tiny-bucket task overhead."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_shard"] = (
+            df["band_hash"].map(lambda h: int(h[:4], 16) % shards).astype("int32")
+        )
+        return df
+
+    def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.sort(grp["doc_id"].unique())[:max_bucket]
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), 1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    cands = (
+        bucketed.map_batches(add_shard, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(pairs_in_shard, batch_format="pandas")
+    )
+    return dedup_pairs_dataset(cands)
 
 
 class JaccardVerifier:
@@ -146,7 +192,8 @@ def minhash_dedup_pairs(
         batch_size=1024,
     )
     cands = candidate_pairs_from_buckets(bucketed)
-    corpus = {r["doc_id"]: r["text"] for r in docs.iter_rows()}
+    cdf = docs.to_pandas()
+    corpus = dict(zip(cdf["doc_id"], cdf["text"]))
     ref = ray.put(corpus)
 
     class Verify(JaccardVerifier):
@@ -198,35 +245,54 @@ def simhash_dedup_pairs(
     detect hamming ~10-16 with high probability."""
     fps = docs.map_batches(SimHasher(), batch_format="pandas", batch_size=2048)
 
-    out = []
-    for blk in range(8):
-        def pairs(g: pd.DataFrame, _blk=blk) -> pd.DataFrame:
-            g = g.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            sh = g["simhash"].to_numpy()
+    # melt the 8 blocking keys into rows → ONE shuffle on a coarse
+    # shard of (block_id, block_val) instead of 8 separate groupbys
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for blk in range(8):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": df["doc_id"],
+                        "simhash": df["simhash"],
+                        "bkey": blk * 65536 + df[f"block{blk}"],
+                    }
+                )
+            )
+        out = pd.concat(parts, ignore_index=True)
+        out["_shard"] = (out["bkey"] % 256).astype("int32")
+        return out
+
+    melted = fps.map_batches(melt, batch_format="pandas")
+
+    def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, grp in g.groupby("bkey", sort=False):
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sh = grp["simhash"].to_numpy()
             if len(ids) < 2 or len(ids) > 256:
-                return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype("int64")
+                continue
             a, b = np.triu_indices(len(ids), 1)
             hd = hamming64(sh[a], sh[b])
             keep = hd <= max_hamming
-            return pd.DataFrame(
-                {"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": hd[keep]}
-            )
+            out_a.append(ids[a][keep])
+            out_b.append(ids[b][keep])
+            out_h.append(hd[keep])
+        if not out_a:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        ).drop_duplicates(["doc_a", "doc_b"])
 
-        out.append(
-            fps.groupby(f"block{blk}").map_groups(pairs, batch_format="pandas")
-        )
-
-    all_pairs = out[0]
-    for o in out[1:]:
-        all_pairs = all_pairs.union(o)
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return all_pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        first, batch_format="pandas"
+    all_pairs = melted.groupby("_shard").map_groups(
+        pairs_in_shard, batch_format="pandas"
     )
+    return dedup_pairs_dataset(all_pairs)
 
 
 def exact_dedup_keep_min(

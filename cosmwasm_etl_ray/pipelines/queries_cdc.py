@@ -23,9 +23,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 from cosmwasm_etl_ray.config import EngineConfig
+from cosmwasm_etl_ray.functions.agg import grouped_agg
 from cosmwasm_etl_ray.functions.hashing import sha256_hex
 from cosmwasm_etl_ray.pipelines.replay import quick_final_state
 from cosmwasm_etl_ray.sources.changes import CHANGES_CTE, changes_from_documents
@@ -50,9 +50,10 @@ def cdc_final_state(sf_dir: str) -> "ray.data.Dataset":
     return _final_state(sf_dir).map_batches(hash_content, batch_format="pyarrow")
 
 
-def cdc_live_counts(sf_dir: str) -> "ray.data.Dataset":
+def cdc_live_counts(sf_dir: str) -> pd.DataFrame:
     """Per-repo live paths + content bytes — the replayed pool-state
-    sums (/root/reference/pkg/db/parser/repository.go:147-152)."""
+    sums (/root/reference/pkg/db/parser/repository.go:147-152).
+    Map-side partial aggregation, tiny final reduce."""
 
     def measures(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -62,14 +63,10 @@ def cdc_live_counts(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        _final_state(sf_dir)
-        .map_batches(measures, batch_format="pyarrow")
-        .groupby("repo")
-        .aggregate(
-            Count(alias_name="live_paths"),
-            Sum("n_chars", alias_name="total_chars"),
-        )
+    return grouped_agg(
+        _final_state(sf_dir).map_batches(measures, batch_format="pyarrow"),
+        keys=["repo"],
+        spec={"live_paths": ("n_chars", "count"), "total_chars": ("n_chars", "sum")},
     )
 
 
@@ -83,60 +80,72 @@ def _with_window(sf_dir: str) -> "ray.data.Dataset":
     return changes_from_documents(sf_dir).map_batches(w, batch_format="pyarrow")
 
 
-def cdc_change_stats(sf_dir: str) -> "ray.data.Dataset":
-    """Per (repo, commit-window): event counts by op + distinct paths.
-    Distinct counts are exact, computed per group (the reference's
-    count(distinct hash) FILTER pattern,
-    /root/reference/pkg/db/parser/repository.go:285-446)."""
+def cdc_change_stats(sf_dir: str) -> pd.DataFrame:
+    """Per (repo, commit-window): event counts by op + distinct paths —
+    the reference's count(distinct) FILTER pattern
+    (/root/reference/pkg/db/parser/repository.go:285-446). Counts fold
+    map-side; exact distincts via per-batch triple dedup + final dedup."""
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "repo": [g["repo"].iloc[0]],
-                "window": [g["window"].iloc[0]],
-                "n_events": [len(g)],
-                "n_deletes": [int((g["op"] == "delete").sum())],
-                "distinct_paths": [g["path"].nunique()],
-            }
-        )
+    def measures(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(is_delete=(df["op"] == "delete").astype("int64"))
+        return df[["repo", "window", "path", "is_delete"]]
 
-    return (
-        _with_window(sf_dir)
-        .groupby(["repo", "window"])
-        .map_groups(per_group, batch_format="pandas")
+    win = _with_window(sf_dir).map_batches(measures, batch_format="pandas")
+    base = grouped_agg(
+        win,
+        keys=["repo", "window"],
+        spec={"n_events": ("is_delete", "count"), "n_deletes": ("is_delete", "sum")},
     )
+    triples = (
+        win.map_batches(
+            lambda df: df[["repo", "window", "path"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .drop_duplicates()
+    )
+    distinct = (
+        triples.groupby(["repo", "window"]).size().reset_index(name="distinct_paths")
+    )
+    out = base.merge(distinct, on=["repo", "window"])
+    return out[["repo", "window", "n_events", "n_deletes", "distinct_paths"]]
 
 
-def cdc_history(sf_dir: str) -> "ray.data.Dataset":
+def cdc_history(sf_dir: str) -> pd.DataFrame:
     """Running cumulative events per repo over windows — the lp_history
     prefix-sum-with-carry analogue
-    (/root/reference/aggregator/task.go:104-219)."""
-    win = (
-        _with_window(sf_dir)
-        .groupby(["repo", "window"])
-        .aggregate(Count(alias_name="n"))
+    (/root/reference/aggregator/task.go:104-219). Window counts fold
+    map-side; the prefix sum runs over the small per-window rollup."""
+    win = grouped_agg(
+        _with_window(sf_dir),
+        keys=["repo", "window"],
+        spec={"n": ("commit", "count")},
     )
-
-    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("window", kind="stable")
-        g["cum_events"] = g["n"].cumsum().astype("int64")
-        return g.drop(columns=["n"])
-
-    return win.groupby("repo").map_groups(cumsum, batch_format="pandas")
+    win = win.sort_values(["repo", "window"], kind="stable")
+    win["cum_events"] = win.groupby("repo")["n"].cumsum().astype("int64")
+    return win.drop(columns=["n"]).reset_index(drop=True)
 
 
-def cdc_first_seen(sf_dir: str) -> "ray.data.Dataset":
+def cdc_first_seen(sf_dir: str) -> pd.DataFrame:
     """First event per key — DISTINCT ON (key) ORDER BY commit analogue
-    (/root/reference/pkg/db/parser/repository.go:677-743)."""
+    (/root/reference/pkg/db/parser/repository.go:677-743). min-commit
+    per key is associative → per-batch partial fold, small final fold."""
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("commit", kind="stable").head(1)
-        return g[["repo", "path", "commit", "op"]]
+    def partial_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("commit", kind="stable").drop_duplicates(
+            ["repo", "path"], keep="first"
+        )
+        return df[["repo", "path", "commit", "op"]]
 
-    return (
+    partials = (
         changes_from_documents(sf_dir)
-        .groupby(["repo", "path"])
-        .map_groups(first, batch_format="pandas")
+        .map_batches(partial_first, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        partials.sort_values("commit", kind="stable")
+        .drop_duplicates(["repo", "path"], keep="first")
+        .reset_index(drop=True)
     )
 
 

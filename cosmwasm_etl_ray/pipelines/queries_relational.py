@@ -12,8 +12,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Min
 
+from cosmwasm_etl_ray.functions.agg import grouped_agg
 from cosmwasm_etl_ray.functions.joins import broadcast_join, hash_join
 
 _CUTOFF = "1998-09-02"
@@ -45,71 +46,61 @@ def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Count(alias_name="count_order"),
-        )
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        spec={
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "avg_price": ("l_extendedprice", "mean"),
+            "count_order": ("l_returnflag", "count"),
+        },
     )
 
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Join + grouped revenue + top-k: customer (broadcast semi-join)
-    ⋈ orders ⋈ lineitem (partitioned hash join), top 10 by revenue."""
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .to_pandas()
-    )
-    building = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]].rename(
-        columns={"c_custkey": "o_custkey"}
-    )
-    orders = broadcast_join(
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
-        building,
-        on="o_custkey",
-    )
+    """Join + grouped revenue + top-k. Physical plan: the BUILDING
+    orders side is small after the segment semi-filter → broadcast it
+    into the lineitem scan (hash_join stays the plan for two genuinely
+    large sides; side-size drives the choice)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    dim = orders[orders["o_custkey"].isin(building)][["o_orderkey", "o_orderdate"]]
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
         r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
 
-    li = li.map_batches(rev, batch_format="pyarrow")
-    joined = hash_join(
-        orders.map_batches(
-            lambda t: t.select(["o_orderkey", "o_orderdate"]), batch_format="pyarrow"
-        ),
-        li,
-        on="o_orderkey",
+    joined = broadcast_join(
+        li.map_batches(rev, batch_format="pyarrow"), dim, on="o_orderkey"
     )
-    top = (
-        joined.groupby(["o_orderkey", "o_orderdate"])
-        .aggregate(Sum("rev", alias_name="revenue"))
-        .sort(["revenue", "o_orderkey"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+    agg = grouped_agg(
+        joined,
+        keys=["o_orderkey", "o_orderdate"],
+        spec={"revenue": ("rev", "sum")},
     )
-    return top[["o_orderkey", "o_orderdate", "revenue"]]
+    top = agg.sort_values(
+        ["revenue", "o_orderkey"], ascending=[False, True], kind="stable"
+    ).head(10)
+    return top[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 
 
-def q5_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
-    """Star join via chained broadcasts (dimension tables are small) +
-    one large-large hash join, grouped by nation name."""
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Star join via chained broadcast dimensions (region→nation→
+    customer→orders collapse driver-side; all are small next to
+    lineitem), then broadcast into the lineitem scan + partial agg."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    dim = cust.merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey"
-    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
-
-    orders = broadcast_join(
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]), dim, on="o_custkey"
-    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    dim = (
+        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    )[["o_orderkey", "n_name"]]
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -117,58 +108,79 @@ def q5_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
         r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
 
-    joined = hash_join(
-        orders.map_batches(
-            lambda t: t.select(["o_orderkey", "n_name"]), batch_format="pyarrow"
-        ),
-        li.map_batches(rev, batch_format="pyarrow"),
-        on="o_orderkey",
+    joined = broadcast_join(
+        li.map_batches(rev, batch_format="pyarrow"), dim, on="o_orderkey"
     )
-    return joined.groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
+    return grouped_agg(joined, keys=["n_name"], spec={"revenue": ("rev", "sum")})
 
 
-def part_brand_stats(sf_dir: str) -> "ray.data.Dataset":
-    """Dimension broadcast join (J3 tokens-table pattern) + agg."""
+def part_brand_stats(sf_dir: str) -> pd.DataFrame:
+    """Dimension broadcast join (J3 tokens-table pattern) + partial agg."""
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas().rename(
         columns={"p_partkey": "l_partkey"}
     )
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-    return (
-        broadcast_join(li, part, on="l_partkey")
-        .groupby("p_brand")
-        .aggregate(
-            Count(alias_name="n_items"),
-            Sum("l_quantity", alias_name="sum_qty"),
-        )
+    return grouped_agg(
+        broadcast_join(li, part, on="l_partkey"),
+        keys=["p_brand"],
+        spec={"n_items": ("l_quantity", "count"), "sum_qty": ("l_quantity", "sum")},
     )
 
 
-def events_window_stats(sf_dir: str) -> "ray.data.Dataset":
+def status_revenue_hashjoin(sf_dir: str) -> pd.DataFrame:
+    """Two-large-sides partitioned hash join (J2): orders ⋈ lineitem on
+    orderkey, revenue per order status. Demonstrates the tagged-union
+    bucket join; for small sides prefer broadcast_join (see q3/q5)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
+
+    joined = hash_join(orders, li.map_batches(rev, batch_format="pyarrow"), on="o_orderkey")
+    return grouped_agg(
+        joined,
+        keys=["o_orderstatus"],
+        spec={"revenue": ("rev", "sum"), "n_items": ("rev", "count")},
+    )
+
+
+def events_window_stats(sf_dir: str) -> pd.DataFrame:
     """Tumbling 30-min window per user: the pair_stats_30m analogue
-    (A3/A4: count, distinct types, sum) with the window key computed
-    vectorized (ts.floor), then per-group exact distincts."""
+    (A3/A4: count, distinct types, sum). Counts/sums reduce via
+    map-side partials; the exact distinct reduces via per-batch dedup
+    of (user, window, type) triples then a final dedup+count — the
+    partial-distinct pattern (triples are bounded by
+    users × windows × type-alphabet, far below event count)."""
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
 
     def add_window(df: pd.DataFrame) -> pd.DataFrame:
         df["window_start"] = df["ts"].dt.floor("30min")
         return df.drop(columns=["ts"])
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "n_events": [len(g)],
-                "n_types": [g["event_type"].nunique()],
-                "sum_value": [g["value"].sum()],
-            }
-        )
-
-    return (
-        ev.map_batches(add_window, batch_format="pandas")
-        .groupby(["user_id", "window_start"])
-        .map_groups(per_group, batch_format="pandas")
+    windowed = ev.map_batches(add_window, batch_format="pandas")
+    base = grouped_agg(
+        windowed,
+        keys=["user_id", "window_start"],
+        spec={"n_events": ("value", "count"), "sum_value": ("value", "sum")},
     )
+
+    def distinct_triples(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id", "window_start", "event_type"]].drop_duplicates()
+
+    triples = (
+        windowed.map_batches(distinct_triples, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    n_types = (
+        triples.groupby(["user_id", "window_start"])
+        .size()
+        .reset_index(name="n_types")
+    )
+    out = base.merge(n_types, on=["user_id", "window_start"])
+    return out[["user_id", "window_start", "n_events", "n_types", "sum_value"]]
 
 
 def events_asof_signup(sf_dir: str) -> "ray.data.Dataset":
@@ -229,14 +241,17 @@ def distinct_segments(sf_dir: str) -> pd.DataFrame:
 
 
 def top_users_by_value(sf_dir: str) -> pd.DataFrame:
-    """Grouped sum + top-k sort-limit (O2 pattern)."""
+    """Grouped sum + top-k sort-limit (O2 pattern), map-side partials."""
     ev = _read(sf_dir, "events", ["user_id", "value"])
+    agg = grouped_agg(
+        ev,
+        keys=["user_id"],
+        spec={"total_value": ("value", "sum"), "n_events": ("value", "count")},
+    )
     return (
-        ev.groupby("user_id")
-        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
-        .sort(["total_value", "user_id"], descending=[True, False])
-        .limit(5)
-        .to_pandas()
+        agg.sort_values(["total_value", "user_id"], ascending=[False, True], kind="stable")
+        .head(5)
+        .reset_index(drop=True)
     )
 
 
@@ -245,6 +260,7 @@ QUERIES = {
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "part_brand_stats": part_brand_stats,
+    "status_revenue_hashjoin": status_revenue_hashjoin,
     "events_window_stats": events_window_stats,
     "events_asof_signup": events_asof_signup,
     "orders_running_total": orders_running_total,
@@ -285,6 +301,13 @@ JOIN customer c ON c.c_nationkey = n.n_nationkey
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY n.n_name
+""",
+    "status_revenue_hashjoin": """
+SELECT o.o_orderstatus,
+       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
 """,
     "part_brand_stats": """
 SELECT p.p_brand,

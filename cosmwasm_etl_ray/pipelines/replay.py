@@ -34,13 +34,9 @@ from cosmwasm_etl_ray.stages.merge import (
     MergeWithState,
     fold_override,
     fold_partial,
-    fold_partial_flagged,
+    fold_partial_arrow,
 )
-from cosmwasm_etl_ray.stages.normalize import (
-    FlagAndPartition,
-    valid_events,
-    with_partition,
-)
+from cosmwasm_etl_ray.stages.normalize import FlagAndPartition
 
 
 def plan_epochs(files: list[str], cfg: EngineConfig) -> list[list[str]]:
@@ -86,8 +82,8 @@ def apply_epoch(
     )
     if not cfg.override_coalesce:
         flagged = flagged.map_batches(
-            fold_partial_flagged,
-            batch_format="pandas",
+            fold_partial_arrow,
+            batch_format="pyarrow",
             batch_size=cfg.batch_size,
         )
     merge = MergeWithState(
@@ -154,7 +150,9 @@ def read_state(store, epoch: int | None = None) -> "ray.data.Dataset":
     files = list(store.partition_files(epoch).values())
     ds = ray.data.read_parquet(files)
     return ds.map_batches(
-        lambda df: df[df[OP_COL] != "delete"].drop(columns=[OP_COL, "pid"]),
+        lambda df: df[df[OP_COL] != "delete"].drop(
+            columns=[c for c in (OP_COL, "pid", "key64") if c in df.columns]
+        ),
         batch_format="pandas",
     )
 
@@ -164,18 +162,23 @@ def quick_final_state(
 ) -> "ray.data.Dataset":
     """Single-shot replay with no persistent store (for oracle-checked
     queries and tests): same operators, minus the sink."""
-    valid = with_partition(valid_events(changes), cfg.num_partitions)
+    flagged = changes.map_batches(
+        FlagAndPartition(cfg.num_partitions), batch_format="pyarrow"
+    )
     fold = fold_override if cfg.override_coalesce else fold_partial
     if not cfg.override_coalesce:
-        valid = valid.map_batches(
-            fold_partial, batch_format="pandas", batch_size=cfg.batch_size
+        flagged = flagged.map_batches(
+            fold_partial_arrow, batch_format="pyarrow", batch_size=cfg.batch_size
         )
 
     def fold_and_finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["valid"]].drop(columns=["valid"])
         f = fold(g)
-        return f[f[OP_COL] != "delete"].drop(columns=["pid"])
+        return f[f[OP_COL] != "delete"].drop(
+            columns=[c for c in ("pid", "key64") if c in f.columns]
+        )
 
-    return valid.groupby("pid").map_groups(
+    return flagged.groupby("pid").map_groups(
         fold_and_finalize, batch_format="pandas"
     )
 

@@ -73,6 +73,33 @@ def fold_partial_flagged(df: pd.DataFrame) -> pd.DataFrame:
     return pd.concat([folded, df[~mask]], ignore_index=True)
 
 
+def fold_partial_arrow(t: pa.Table) -> pa.Table:
+    """Zero-copy-friendly combiner: same semantics as
+    fold_partial_flagged but implemented as an Arrow ``take`` — only
+    the (key64, commit, valid) columns are touched; the wide content
+    strings never convert to Python objects. Requires the ``key64``
+    column from FlagAndPartition. Hash-collision note: two keys
+    sharing a 64-bit SipHash would fold together; at 2^64 key space
+    this is the standard engine trade (same as any hash join)."""
+    n = t.num_rows
+    if n <= 1:
+        return t
+    valid = t["valid"].to_numpy(zero_copy_only=False).astype(bool)
+    key = t["key64"].to_numpy(zero_copy_only=False)
+    vidx = np.nonzero(valid)[0]
+    if len(vidx) == 0:
+        return t
+    commit = np.asarray(t["commit"].to_pylist(), dtype=object)[vidx]
+    commit_num = commit.astype("U20").astype(np.uint64)
+    order = np.lexsort((np.arange(len(vidx)), commit_num, key[vidx]))
+    sk = key[vidx][order]
+    is_last = np.r_[sk[1:] != sk[:-1], True]
+    keep = np.sort(np.concatenate([vidx[order][is_last], np.nonzero(~valid)[0]]))
+    if len(keep) == n:
+        return t
+    return t.take(pa.array(keep))
+
+
 def fold_override(df: pd.DataFrame) -> pd.DataFrame:
     """Column-coalesce fold (Override semantics) with tombstone barrier.
 

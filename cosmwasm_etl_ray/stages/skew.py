@@ -93,6 +93,6 @@ def salted_final_state(
     def final(g: pd.DataFrame) -> pd.DataFrame:
         f = fold_partial(g)
         f = f[f["op"] != "delete"]
-        return f.drop(columns=["salt", "pid"])
+        return f.drop(columns=[c for c in ("salt", "pid", "key64") if c in f.columns])
 
     return partials.groupby("pid").map_groups(final, batch_format="pandas")
