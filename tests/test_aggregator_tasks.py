@@ -1,0 +1,112 @@
+"""Incremental derived-table tasks: incremental == one-shot, carry-in,
+idempotent re-run, parent-epoch coordination, sliding-window prune."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from cosmwasm_etl_ray.config import EngineConfig, GeneratorConfig
+from cosmwasm_etl_ray.pipelines.aggregator import (
+    RepoHistoryTask,
+    WindowStatsTask,
+    run_all_tasks,
+)
+from cosmwasm_etl_ray.pipelines.replay import plan_epochs, replay_files
+from cosmwasm_etl_ray.sources.generator import generate_change_stream
+from cosmwasm_etl_ray.state.manifest import StateStore
+
+CFG = EngineConfig(num_partitions=8, epoch_max_events=25_000, batch_size=4096)
+
+
+@pytest.fixture(scope="module")
+def replayed(tmp_path_factory):
+    root = tmp_path_factory.mktemp("agg")
+    log = generate_change_stream(
+        str(root / "log"),
+        GeneratorConfig(
+            seed=29, n_keys=1_500, n_events=100_000, events_per_file=12_500,
+            malformed_frac=0.002, evolve_at_frac=None,
+        ),
+    )
+    store = StateStore(str(root / "store"))
+    replay_files(log["files"], store, CFG)
+    return log, store
+
+
+def _oneshot(log) -> pd.DataFrame:
+    raw = pd.concat([pd.read_parquet(f) for f in log["files"]], ignore_index=True)
+    raw = raw[raw["commit"].str.fullmatch(r"[0-9]+")]
+    raw["window"] = pd.to_numeric(raw["commit"]) // 20_000
+    g = raw.groupby(["repo", "window"], as_index=False).agg(
+        n_events=("op", "size"),
+        n_deletes=("op", lambda s: int((s == "delete").sum())),
+        content_bytes=("content", lambda s: int(s.str.len().sum())),
+    )
+    return g.sort_values(["repo", "window"]).reset_index(drop=True)
+
+
+def test_incremental_window_stats_equals_oneshot(replayed):
+    log, store = replayed
+    task = WindowStatsTask(store, CFG, window=20_000)
+    done = task.run()
+    assert done == store.committed_epochs()
+    got = task.view()
+    expect = _oneshot(log)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64", "n_deletes": "int64"}),
+        expect.astype({"n_events": "int64", "n_deletes": "int64"}),
+        check_dtype=False,
+    )
+    # idempotent: second run processes nothing, view unchanged
+    assert task.run() == []
+    pd.testing.assert_frame_equal(task.view(), got, check_dtype=False)
+
+
+def test_repo_history_carry_in_matches_totals(replayed):
+    log, store = replayed
+    task = RepoHistoryTask(store, CFG)
+    task.run()
+    got = task.view()
+    expect = (
+        _oneshot(log)
+        .groupby("repo", as_index=False)["n_events"]
+        .sum()
+        .rename(columns={"n_events": "cum_events"})
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    # per-epoch rows are monotone per repo (prefix-sum property)
+    for e in store.committed_epochs():
+        df = pd.read_parquet(task._epoch_out(e))
+        assert (df.groupby("repo")["cum_events"].diff().dropna() >= 0).all()
+
+
+def test_derived_crash_resume(replayed):
+    log, store = replayed
+    task = WindowStatsTask(store, CFG, window=20_000)
+    task.run()
+    before = task.view()
+    last = task.cursor()
+    os.remove(task._epoch_out(last))  # simulate crash before commit
+    assert task.cursor() == last - 1
+    assert task.run() == [last]
+    pd.testing.assert_frame_equal(task.view(), before, check_dtype=False)
+
+
+def test_task_never_runs_ahead_of_parent(tmp_path):
+    """A derived task with no committed replay epochs does nothing —
+    the parent-wait (waitUntilReachingHeight) analogue."""
+    store = StateStore(str(tmp_path / "empty"))
+    assert run_all_tasks(store, CFG) == {"window_stats": [], "repo_history": []}
+
+
+def test_recent_view_prunes_old_windows(replayed):
+    log, store = replayed
+    task = WindowStatsTask(store, CFG, window=20_000)
+    task.run()
+    full = task.view()
+    recent = task.recent_view(last_windows=1)
+    assert recent["window"].min() == full["window"].max()
+    assert len(recent) < len(full)

@@ -1,0 +1,79 @@
+"""Tail loop: picks up files appearing between polls, idle exit,
+error backoff, derived tasks run per tick."""
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from cosmwasm_etl_ray.config import EngineConfig, GeneratorConfig
+from cosmwasm_etl_ray.pipelines.aggregator import WindowStatsTask
+from cosmwasm_etl_ray.pipelines.replay import read_state
+from cosmwasm_etl_ray.sources.generator import generate_change_stream
+from cosmwasm_etl_ray.sources.tail import tail_changes
+from cosmwasm_etl_ray.state.manifest import StateStore
+
+CFG = EngineConfig(num_partitions=4, epoch_max_events=10_000, batch_size=4096)
+
+
+def test_tail_picks_up_appended_files(tmp_path):
+    src = tmp_path / "staging"
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    info = generate_change_stream(
+        str(src),
+        GeneratorConfig(seed=31, n_keys=400, n_events=40_000, events_per_file=10_000,
+                        malformed_frac=0.0, evolve_at_frac=None),
+    )
+    files = sorted(info["files"])
+    # first two files exist before the tail starts
+    for f in files[:2]:
+        shutil.copy(f, log_dir)
+
+    appended = {"i": 2}
+
+    def sleeper(_):
+        # the "upstream collector": appends one file per poll
+        if appended["i"] < len(files):
+            shutil.copy(files[appended["i"]], log_dir)
+            appended["i"] += 1
+
+    store = StateStore(str(tmp_path / "store"))
+    summary = tail_changes(
+        str(log_dir), store, CFG, max_idle_polls=2, sleep=sleeper
+    )
+    assert summary["applied_epochs"] == 4  # all four files, one epoch each
+    assert summary["stopped"] == "idle"
+    assert store.latest_epoch() == 3
+    assert read_state(store).count() > 0
+    # derived tasks followed the tail
+    assert WindowStatsTask(store, CFG).cursor() == 3
+
+
+def test_tail_error_backoff_then_raise(tmp_path):
+    store = StateStore(str(tmp_path / "store"))
+    sleeps = []
+
+    class Boom(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    import cosmwasm_etl_ray.sources.tail as tailmod
+
+    orig = tailmod.replay_files
+
+    def failing(files, store, cfg):
+        calls["n"] += 1
+        raise Boom("source down")
+
+    tailmod.replay_files = failing
+    try:
+        with pytest.raises(Boom):
+            tail_changes(
+                str(tmp_path), store, CFG, err_tolerance=2, sleep=sleeps.append
+            )
+    finally:
+        tailmod.replay_files = orig
+    assert calls["n"] == 3  # initial + 2 tolerated retries
+    assert sleeps == [1.0, 2.0]  # exponential backoff 0.5*2^n
