@@ -38,6 +38,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(queries_textml.QUERIES)
     except ImportError:
         pass
+    try:
+        from cosmwasm_etl_ray.pipelines import queries_extra
+
+        out.update(queries_extra.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -57,6 +63,12 @@ def oracle_sql() -> dict[str, str]:
         from cosmwasm_etl_ray.pipelines import queries_textml
 
         out.update(queries_textml.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from cosmwasm_etl_ray.pipelines import queries_extra
+
+        out.update(queries_extra.ORACLE_SQL)
     except ImportError:
         pass
     return out

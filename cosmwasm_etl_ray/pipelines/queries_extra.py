@@ -1,0 +1,193 @@
+"""Additional operator coverage: lag/as-of on the CDC stream,
+gap-based sessionization, semi/anti joins, set ops, JSON extraction —
+the remaining SURVEY §2 operator families as oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from cosmwasm_etl_ray.functions.agg import grouped_agg
+from cosmwasm_etl_ray.sources.changes import CHANGES_CTE, changes_from_documents
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def cdc_prev_commit(sf_dir: str) -> "ray.data.Dataset":
+    """Per change event: the key's previous commit (LAG over the
+    per-key ordered stream — the in-stream as-of lookup, J5 analogue).
+    Partitioned by key, sorted within group: the engine's per-key
+    ordering contract."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("commit", kind="stable")
+        g["prev_commit"] = g["commit"].shift(1)
+        return g[["repo", "path", "commit", "op", "prev_commit"]]
+
+    return (
+        changes_from_documents(sf_dir)
+        .groupby(["repo", "path"])
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def events_sessionize(sf_dir: str) -> "ray.data.Dataset":
+    """Gap-based sessionization (30-min inactivity gap) per user — the
+    streaming-window concern expressed as per-key ordered map_groups
+    (ray_guide 'Streaming-shaped workloads'). Session id = cumulative
+    count of gap-breaks; output = one row per session."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        g["session_id"] = gap.cumsum().astype("int64")
+        out = g.groupby("session_id").agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.reset_index()[
+            ["user_id", "session_id", "session_start", "session_end", "n_events"]
+        ]
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti-join: customers with no big order (> 300k). The key set of
+    the filtered side is broadcast once; each batch filters against it
+    (the reference's exception anti-join shape, J7). The key-set filter
+    is pushed into the parquet read (row-group pruning)."""
+    big = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pc.field("o_totalprice") > 300_000.0),
+    ).to_pandas()
+    have = set(big["o_custkey"])
+    ref = ray.put(have)
+
+    class Anti:
+        def __init__(self):
+            self.have = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df[~df["c_custkey"].isin(self.have)]
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(Anti, batch_format="pandas", concurrency=(1, 4))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                             "c_name": pd.Series(dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def nations_in_use(sf_dir: str) -> pd.DataFrame:
+    """Set op: UNION of customer and supplier nation keys, distinct,
+    joined to names (semi-join + union + distinct)."""
+    c = _read(sf_dir, "customer", ["c_nationkey"]).unique("c_nationkey")
+    s = _read(sf_dir, "supplier", ["s_nationkey"]).unique("s_nationkey")
+    keys = sorted(set(c) | set(s))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = nation[nation["n_nationkey"].isin(keys)][["n_nationkey", "n_name"]]
+    return out.sort_values("n_nationkey").reset_index(drop=True)
+
+
+def events_props_k(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: parse the JSON props column and
+    aggregate by the extracted field (the Meta-JSON handling analogue,
+    /root/reference/pkg/db/schemas/parser.models.go:7,39)."""
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] for p in t["props"].to_pylist()]
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k_bucket": pa.array(
+                    [k // 10 for k in ks], type=pa.int64()
+                ),
+            }
+        )
+
+    return grouped_agg(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        keys=["event_type", "k_bucket"],
+        spec={"n": ("k_bucket", "count")},
+    )
+
+
+QUERIES = {
+    "cdc_prev_commit": cdc_prev_commit,
+    "events_sessionize": events_sessionize,
+    "customers_without_orders": customers_without_orders,
+    "nations_in_use": nations_in_use,
+    "events_props_k": events_props_k,
+}
+
+ORACLE_SQL = {
+    "cdc_prev_commit": f"""
+WITH {CHANGES_CTE.strip()}
+SELECT repo, path, "commit", op,
+       lag("commit") OVER (PARTITION BY repo, path ORDER BY "commit") AS prev_commit
+FROM changes
+""",
+    "events_sessionize": """
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_break
+    FROM events
+),
+sess AS (
+    SELECT user_id, event_id, ts,
+           CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+    FROM ordered
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_id
+""",
+    "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+""",
+    "nations_in_use": """
+SELECT n_nationkey, n_name FROM nation
+WHERE n_nationkey IN (
+    SELECT c_nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+)
+""",
+    "events_props_k": """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type, CAST(json_extract(props, '$.k') AS BIGINT) // 10
+""",
+}
