@@ -295,6 +295,30 @@ def simhash_dedup_pairs(
     return dedup_pairs_dataset(all_pairs)
 
 
+def cluster_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
+    """Connected components over verified near-dup pairs → (doc_id,
+    cluster_id=min doc in component). Union-find on the driver: the
+    verified pair set is orders of magnitude smaller than the corpus
+    (LSH pruning), which is the condition the Ray guide sets for
+    driver-side union-find; at larger pair volumes switch to a few
+    rounds of groupby min-label propagation."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    rows = sorted((n, find(n)) for n in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
 def exact_dedup_keep_min(
     docs: "ray.data.Dataset", key_fn_batch, key_name: str
 ) -> "ray.data.Dataset":

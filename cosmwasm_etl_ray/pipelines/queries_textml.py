@@ -140,6 +140,15 @@ def dedup_ngram_jaccard(sf_dir: str) -> "ray.data.Dataset":
     return minhash_dedup_pairs(augmented_docs(sf_dir), threshold=0.3)
 
 
+def dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs → connected components.
+    cluster_id = min doc_id in the component (the keep-representative)."""
+    from cosmwasm_etl_ray.functions.dedup import cluster_pairs
+
+    pairs = minhash_dedup_pairs(augmented_docs(sf_dir), threshold=0.5).to_pandas()
+    return cluster_pairs(pairs)
+
+
 def ann_lsh(sf_dir: str) -> "ray.data.Dataset":
     emb = _emb(sf_dir)
     qdf = emb.filter(lambda r: r["vec_id"] < 5).to_pandas()
@@ -159,6 +168,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "ann_lsh": ann_lsh,
 }
 

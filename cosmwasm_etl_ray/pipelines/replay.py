@@ -97,9 +97,12 @@ def apply_epoch(
     def merge_fn(group: pd.DataFrame) -> pd.DataFrame:
         return merge(group)
 
+    mg_kwargs = {}
+    if cfg.merge_concurrency:
+        mg_kwargs["concurrency"] = cfg.merge_concurrency
     stats = (
         flagged.groupby("pid")
-        .map_groups(merge_fn, batch_format="pandas")
+        .map_groups(merge_fn, batch_format="pandas", **mg_kwargs)
         .to_pandas()
     )
 

@@ -89,3 +89,15 @@ def test_lang_id_and_features_deterministic_schema(sf_dir):
     assert tf.sort_values("doc_id").reset_index(drop=True).equals(
         tf2.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_dedup_clusters_pair_planted_docs(sf_dir):
+    from cosmwasm_etl_ray.pipelines.queries_textml import dedup_clusters
+
+    cl = dedup_clusters(sf_dir).set_index("doc_id")["cluster_id"]
+    # most planted (d, d+1e6) pairs share a cluster with id = d
+    hits = sum(
+        d in cl.index and d + 1_000_000 in cl.index and cl[d] == cl[d + 1_000_000] == d
+        for d in range(500)
+    )
+    assert hits >= 425  # matches minhash recall floor
