@@ -135,7 +135,43 @@ def events_props_k(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def events_error_click_match(sf_dir: str) -> "ray.data.Dataset":
+    """Queue-consume 1:1 matching within a key: the n-th error of a
+    user pairs with the n-th click (each click consumed by at most one
+    error) — the graft of the reference's tax/transfer exact-match
+    reconciliation (/root/reference/parser/dex/terraswap/columbusv2/
+    app.go:200-268, M10/J8: multi-map consume in order)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        errors = g[g["event_type"] == "error"].reset_index(drop=True)
+        clicks = g[g["event_type"] == "click"].reset_index(drop=True)
+        n = min(len(errors), len(clicks))
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "error_event_id": pd.Series(dtype="int64"),
+                    "click_event_id": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "user_id": errors["user_id"].iloc[:n].to_numpy(),
+                "error_event_id": errors["event_id"].iloc[:n].to_numpy(),
+                "click_event_id": clicks["event_id"].iloc[:n].to_numpy(),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
 QUERIES = {
+    "events_error_click_match": events_error_click_match,
     "cdc_prev_commit": cdc_prev_commit,
     "events_sessionize": events_sessionize,
     "customers_without_orders": customers_without_orders,
@@ -144,6 +180,20 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_error_click_match": """
+WITH ranked AS (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type IN ('error', 'click')
+)
+SELECT e.user_id,
+       e.event_id AS error_event_id,
+       c.event_id AS click_event_id
+FROM ranked e
+JOIN ranked c ON c.user_id = e.user_id AND c.rn = e.rn
+WHERE e.event_type = 'error' AND c.event_type = 'click'
+""",
     "cdc_prev_commit": f"""
 WITH {CHANGES_CTE.strip()}
 SELECT repo, path, "commit", op,

@@ -38,6 +38,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 KEY_COLS = ["repo", "path"]
@@ -89,8 +90,18 @@ def fold_partial_arrow(t: pa.Table) -> pa.Table:
     vidx = np.nonzero(valid)[0]
     if len(vidx) == 0:
         return t
-    commit = np.asarray(t["commit"].to_pylist(), dtype=object)[vidx]
-    commit_num = commit.astype("U20").astype(np.uint64)
+    # commit → int64 entirely in Arrow (no Python-object round trip);
+    # invalid rows get a placeholder "0" — they are excluded from the
+    # fold anyway
+    commit_all = pc.cast(
+        pc.if_else(
+            t["valid"].combine_chunks(),
+            t["commit"].combine_chunks(),
+            pa.scalar("0"),
+        ),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    commit_num = commit_all[vidx]
     order = np.lexsort((np.arange(len(vidx)), commit_num, key[vidx]))
     sk = key[vidx][order]
     is_last = np.r_[sk[1:] != sk[:-1], True]

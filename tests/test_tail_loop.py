@@ -77,3 +77,29 @@ def test_tail_error_backoff_then_raise(tmp_path):
         tailmod.replay_files = orig
     assert calls["n"] == 3  # initial + 2 tolerated retries
     assert sleeps == [1.0, 2.0]  # exponential backoff 0.5*2^n
+
+
+def test_tiered_source_fallback_once_per_chunk(tmp_path):
+    import pyarrow as pa
+    from cosmwasm_etl_ray.sources.tiered import TieredSource
+
+    calls = []
+
+    def fetch(chunk_id):
+        calls.append(chunk_id)
+        return pa.table({"repo": [f"r{chunk_id}"], "path": ["p"],
+                         "commit": [f"{chunk_id:010d}"], "lang": ["go"],
+                         "content": ["x"], "op": ["insert"]})
+
+    src = TieredSource(str(tmp_path / "staging"), fetch)
+    ds = src.read_range(0, 3)
+    assert ds.count() == 4
+    assert calls == [0, 1, 2, 3]
+    # second read: fully staged, no fallback
+    ds2 = src.read_range(0, 3)
+    assert ds2.count() == 4
+    assert calls == [0, 1, 2, 3]
+    assert src.fallback_calls == 4
+    # partial extension: only the new chunk is fetched
+    src.read_range(2, 5)
+    assert calls == [0, 1, 2, 3, 4, 5]
