@@ -35,7 +35,7 @@ def ensure_change_log() -> list[str]:
     from cosmwasm_etl_ray.config import GeneratorConfig
     from cosmwasm_etl_ray.sources.generator import generate_change_stream
 
-    tag = f"seed42-n{N_EVENTS}"
+    tag = f"v2-seed42-n{N_EVENTS}"
     out = os.path.join(CACHE_ROOT, tag)
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):

@@ -11,16 +11,18 @@ height ranges (/root/reference/parser/dex/dex.go:141).
 Properties (deterministic under the seed):
 - Zipf-skewed repo popularity → hot (repo, path) keys for the salting
   path;
-- keys appear mid-stream (create_pair analogue);
+- keys appear mid-stream; the first event of a key is its insert
+  (create_pair analogue — tracked across chunks);
 - ``delete_frac`` tombstones;
-- ``malformed_frac`` rows with an empty ``commit`` (quarantine path,
-  /root/reference/pkg/eventlog/util.go:58-114 ambiguity analogue);
+- ``malformed_frac`` rows with an empty ``commit`` (quarantine path);
 - from ``evolve_at_frac`` of the stream onward an additive nullable
   ``mode`` column appears (schema-evolution replay test).
 
-Generation is a plain numpy program (no Ray): the generator is test
-infrastructure, not a pipeline stage — at real scale the binlog is
-produced by the upstream system, not by us.
+Generation is CHUNKED: one ``events_per_file`` chunk in memory at a
+time, each chunk seeded as ``default_rng([seed, chunk_i])`` — memory is
+bounded regardless of n_events (a 10^10-event log is a longer loop, not
+a bigger array), and chunks could be generated in parallel workers as
+long as the sequential ``seen`` insert-marking is partitioned by key.
 """
 
 from __future__ import annotations
@@ -41,83 +43,95 @@ _WORDS = np.array(
 )
 
 
-def generate_change_stream(out_dir: str, cfg: GeneratorConfig) -> dict:
-    """Write the change log; returns a small summary dict."""
-    rng = np.random.default_rng(cfg.seed)
-    os.makedirs(out_dir, exist_ok=True)
+def _chunk(
+    cfg: GeneratorConfig,
+    chunk_i: int,
+    start: int,
+    stop: int,
+    key_repo: np.ndarray,
+    seen: np.ndarray,
+    evolve_at: int | None,
+) -> pa.Table:
+    rng = np.random.default_rng([cfg.seed, chunk_i])
+    m = stop - start
+    key_ids = rng.integers(0, cfg.n_keys, size=m)
 
-    n = cfg.n_events
-    # key universe: key i belongs to repo zipf(i); first event for a key
-    # is its insert. Assign each event a key with popularity skew.
-    key_repo = rng.zipf(cfg.zipf_a, size=cfg.n_keys) % cfg.n_repos
-    key_ids = rng.integers(0, cfg.n_keys, size=n)
-    # force first occurrence order = key creation order (mid-stream creation)
-    first_seen = np.zeros(cfg.n_keys, dtype=bool)
-
-    commit = np.arange(1, n + 1, dtype=np.int64)
-    u = rng.random(n)
-    op = np.where(u < cfg.delete_frac, "delete", "update").astype(object)
-    # first event per key is always an insert
-    seen_order = np.full(cfg.n_keys, -1, dtype=np.int64)
-    first_idx = np.unique(key_ids, return_index=True)[1]
-    op[first_idx] = "insert"
-    del first_seen, seen_order
+    op = np.where(rng.random(m) < cfg.delete_frac, "delete", "update").astype(object)
+    # first global occurrence of a key is its insert
+    uniq, first_idx = np.unique(key_ids, return_index=True)
+    new_mask = ~seen[uniq]
+    op[first_idx[new_mask]] = "insert"
+    seen[uniq] = True
 
     repo = np.char.add("repo_", key_repo[key_ids].astype("U6")).astype(object)
     path = np.char.add("src/k", key_ids.astype("U10")).astype(object)
+    lang = np.array(["go", "py", "rs", "md", "ts"], dtype=object)[key_ids % 5].astype(object)
 
-    # content: pool of pre-joined sentences + per-event version suffix
-    # (vectorized — a per-row join loop would dominate at bench scale)
-    pool_n = min(n, 16_384)
-    pool_words = _WORDS[
-        rng.integers(0, len(_WORDS), size=(pool_n, max(1, cfg.content_len // 5)))
-    ]
+    # content pool per chunk (deterministic), + unique version suffix
+    pool_n = min(m, 8_192)
+    pool_words = _WORDS[rng.integers(0, len(_WORDS), size=(pool_n, max(1, cfg.content_len // 5)))]
     pool = np.array([" ".join(w) for w in pool_words], dtype=object)
     content = np.char.add(
-        np.char.add(pool[rng.integers(0, pool_n, size=n)].astype("U"), " #v"),
-        np.arange(n).astype("U12"),
+        np.char.add(pool[rng.integers(0, pool_n, size=m)].astype("U"), " #v"),
+        np.arange(start, stop).astype("U12"),
     ).astype(object)
     content[op == "delete"] = ""
-    lang = np.array(["go", "py", "rs", "md", "ts"], dtype=object)[
-        key_ids % 5
-    ].astype(object)
 
-    commit_s = np.char.zfill(commit.astype("U20"), COMMIT_WIDTH).astype(object)
-    # malformed rows: empty commit → quarantine
-    bad = rng.random(n) < cfg.malformed_frac
+    commit_s = np.char.zfill(
+        np.arange(start + 1, stop + 1).astype("U20"), COMMIT_WIDTH
+    ).astype(object)
+    bad = rng.random(m) < cfg.malformed_frac
     commit_s[bad] = ""
 
-    mode = None
-    if cfg.evolve_at_frac is not None:
-        evolve_at = int(n * cfg.evolve_at_frac)
-        mode = np.full(n, None, dtype=object)
-        tail = np.arange(evolve_at, n)
-        mode[tail] = np.where(tail % 3 == 0, "binary", "text").astype(object)
+    cols = {
+        "repo": pa.array(repo, type=pa.string()),
+        "path": pa.array(path, type=pa.string()),
+        "commit": pa.array(commit_s, type=pa.string()),
+        "lang": pa.array(lang, type=pa.string()),
+        "content": pa.array(content, type=pa.string()),
+        "op": pa.array(op, type=pa.string()),
+    }
+    # additive evolution: files wholly before the evolution point lack
+    # the column entirely; later files carry it (null before the point)
+    if evolve_at is not None and stop > evolve_at:
+        idx = np.arange(start, stop)
+        mode = np.where(
+            idx >= evolve_at,
+            np.where(idx % 3 == 0, "binary", "text"),
+            None,
+        ).astype(object)
+        mode[idx < evolve_at] = None
+        cols["mode"] = pa.array(mode, type=pa.string())
+    return pa.table(cols), int(bad.sum())
+
+
+def generate_change_stream(out_dir: str, cfg: GeneratorConfig) -> dict:
+    """Write the change log chunk by chunk; returns a summary dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    master = np.random.default_rng(cfg.seed)
+    key_repo = master.zipf(cfg.zipf_a, size=cfg.n_keys) % cfg.n_repos
+    seen = np.zeros(cfg.n_keys, dtype=bool)
+    evolve_at = (
+        int(cfg.n_events * cfg.evolve_at_frac)
+        if cfg.evolve_at_frac is not None
+        else None
+    )
 
     files = []
+    n_malformed = 0
     per = cfg.events_per_file
-    for i, start in enumerate(range(0, n, per)):
-        sl = slice(start, min(start + per, n))
-        cols = {
-            "repo": pa.array(repo[sl], type=pa.string()),
-            "path": pa.array(path[sl], type=pa.string()),
-            "commit": pa.array(commit_s[sl], type=pa.string()),
-            "lang": pa.array(lang[sl], type=pa.string()),
-            "content": pa.array(content[sl], type=pa.string()),
-            "op": pa.array(op[sl], type=pa.string()),
-        }
-        # schema evolution: files wholly before the evolution point lack
-        # the column entirely (additive evolution — read side backfills)
-        if mode is not None and sl.stop > int(n * cfg.evolve_at_frac):
-            cols["mode"] = pa.array(mode[sl], type=pa.string())
+    for i, start in enumerate(range(0, cfg.n_events, per)):
+        stop = min(start + per, cfg.n_events)
+        table, bad = _chunk(cfg, i, start, stop, key_repo, seen, evolve_at)
         fname = os.path.join(out_dir, f"changes-{i:05d}.parquet")
-        pq.write_table(pa.table(cols), fname)
+        pq.write_table(table, fname)
         files.append(fname)
+        n_malformed += bad
 
     return {
-        "n_events": n,
+        "n_events": cfg.n_events,
         "n_files": len(files),
         "files": files,
         "n_keys": cfg.n_keys,
-        "n_malformed": int(bad.sum()),
+        "n_malformed": n_malformed,
     }

@@ -116,9 +116,6 @@ def test_lww_fold_split_invariance(events, n_splits):
 def test_override_fold_equals_serial_oracle(events):
     df = to_df(events)
     df = df.drop_duplicates(["repo", "path", "commit"], keep="last")
-    # Override semantics: empty string = no value
-    for ki, commit, op, lang, content in events:
-        pass
     got = engine_state(df, fold_override)
     expect = serial_override(df)
     assert got == expect
