@@ -105,7 +105,7 @@ class DerivedTask:
         return os.path.join(self.root, f"epoch={epoch}.parquet")
 
     def _commit(self, epoch: int, df: pd.DataFrame) -> None:
-        tmp = self._epoch_out(epoch) + ".tmp"
+        tmp = f"{self._epoch_out(epoch)}.tmp.{os.getpid()}"
         df.to_parquet(tmp, index=False)
         os.replace(tmp, self._epoch_out(epoch))
 
@@ -217,7 +217,7 @@ class RepoHistoryTask(DerivedTask):
         # Carry is written BEFORE the epoch parquet: the parquet is the
         # commit marker (cursor), so a crash in between reprocesses the
         # epoch and deterministically overwrites both.
-        tmp = self._carry_path(epoch) + ".tmp"
+        tmp = f"{self._carry_path(epoch)}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(carry, f)
         os.replace(tmp, self._carry_path(epoch))

@@ -149,6 +149,28 @@ def cdc_first_seen(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_SNAPSHOT_COMMIT = "0002000000"  # time-travel point: end of window 2
+
+
+def cdc_state_at(sf_dir: str) -> "ray.data.Dataset":
+    """Time-travel: final state as of a FIXED commit — replay with a
+    sequence-number upper bound (the liquidity-at-window-end / A6
+    as-of-state pattern; in the store path this is read_state(epoch))."""
+
+    def bounded(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["commit"], pa.scalar(_SNAPSHOT_COMMIT)))
+
+    changes = changes_from_documents(sf_dir).map_batches(
+        bounded, batch_format="pyarrow"
+    )
+    state = quick_final_state(changes, _CFG)
+
+    def select(df):
+        return df[["repo", "path", "commit", "lang"]]
+
+    return state.map_batches(select, batch_format="pandas")
+
+
 _PREFIX = f"WITH {CHANGES_CTE.strip()}"
 
 _FINAL_CTE = """
@@ -210,8 +232,21 @@ FROM (
 """,
 }
 
+ORACLE_SQL["cdc_state_at"] = f"""
+{_PREFIX},
+bounded AS (SELECT * FROM changes WHERE "commit" <= '{_SNAPSHOT_COMMIT}'),
+ranked AS (
+    SELECT repo, path, "commit", lang, op,
+           row_number() OVER (PARTITION BY repo, path ORDER BY "commit" DESC) AS rn
+    FROM bounded
+)
+SELECT repo, path, "commit", lang
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
 QUERIES = {
     "cdc_final_state": cdc_final_state,
+    "cdc_state_at": cdc_state_at,
     "cdc_live_counts": cdc_live_counts,
     "cdc_change_stats": cdc_change_stats,
     "cdc_history": cdc_history,

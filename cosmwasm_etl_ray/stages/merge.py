@@ -231,7 +231,7 @@ class MergeWithState:
                 bad = bad.drop(columns=["valid"]).assign(
                     error="invalid_commit_or_op"
                 )
-                tmp = qout + ".tmp"
+                tmp = f"{qout}.tmp.{os.getpid()}"
                 pq.write_table(_to_arrow(bad), tmp)
                 os.replace(tmp, qout)
 
@@ -244,7 +244,7 @@ class MergeWithState:
         folded = folded.sort_values(KEY_COLS, kind="stable")  # deterministic file
 
         out = os.path.join(self.state_root, f"epoch={self.epoch}", f"part-{pid:05d}.parquet")
-        tmp = out + ".tmp"
+        tmp = f"{out}.tmp.{os.getpid()}"
         pq.write_table(_to_arrow(folded), tmp)
         os.replace(tmp, out)
 

@@ -100,7 +100,7 @@ class StateStore:
             "counts": counts,
             "partitions": partitions,
         }
-        tmp = self._mpath(epoch) + ".tmp"
+        tmp = f"{self._mpath(epoch)}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._mpath(epoch))

@@ -176,3 +176,40 @@ def test_quick_final_state_matches_store_replay(change_log, sf_dir):
         quick[["repo", "path", "commit", "content"]],
         oracle[["repo", "path", "commit", "content"]],
     )
+
+
+def test_empty_epoch_commits_cleanly(tmp_path):
+    """An epoch with zero rows (or all-quarantine) must still commit a
+    manifest and advance the cursor."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+
+    empty = pa.table(
+        {c: pa.array([], type=pa.string())
+         for c in ("repo", "path", "commit", "lang", "content", "op")}
+    )
+    f = str(tmp_path / "empty.parquet")
+    pq_mod.write_table(empty, f)
+    store = StateStore(str(tmp_path / "store"))
+    m = apply_epoch(rd.read_parquet([f]), store, 0, CFG, input_rows=0)
+    assert m["epoch"] == 0 and store.latest_epoch() == 0
+    assert m["counts"]["touched_partitions"] == 0
+
+    # all-quarantine epoch: every row invalid
+    bad = pa.table(
+        {
+            "repo": pa.array(["r"] * 3),
+            "path": pa.array(["p1", "p2", "p3"]),
+            "commit": pa.array(["", "", ""]),
+            "lang": pa.array(["go"] * 3),
+            "content": pa.array(["x"] * 3),
+            "op": pa.array(["update"] * 3),
+        }
+    )
+    f2 = str(tmp_path / "bad.parquet")
+    pq_mod.write_table(bad, f2)
+    m2 = apply_epoch(rd.read_parquet([f2]), store, 1, CFG, input_rows=3)
+    assert m2["counts"]["quarantined"] == 3
+    assert m2["counts"]["applied_events"] == 0
+    assert store.latest_epoch() == 1
