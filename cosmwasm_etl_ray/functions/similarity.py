@@ -126,6 +126,74 @@ def lsh_topk(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def _kmeans_lite(X: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Tiny deterministic k-means (numpy) for the IVF coarse quantizer.
+    Trains on the driver over a sample — at 100 TB the sample is a
+    random_sample() of the dataset, never the full corpus."""
+    rng = np.random.default_rng(seed)
+    centroids = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ centroids.T, axis=1)  # cosine on normalized
+        for c in range(len(centroids)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n:
+                    centroids[c] = m / n
+    return centroids
+
+
+def ivf_topk(
+    db: "ray.data.Dataset",
+    queries_df: pd.DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+) -> "ray.data.Dataset":
+    """IVF ANN: coarse k-means quantizer (broadcast), each batch scores
+    only its vectors whose nearest centroid is among the query's
+    n_probe closest lists — candidate work ≈ n_probe/n_lists of brute
+    force; same exact-cosine final rank."""
+    sample = _normalize(np.array(db.to_pandas()["embedding"].tolist()))
+    centroids = _kmeans_lite(sample, n_lists, seed=seed)
+    Q = _normalize(np.array(queries_df["embedding"].tolist()))
+    qids = queries_df["vec_id"].to_numpy()
+    qprobe = np.argsort(-(Q @ centroids.T), axis=1)[:, :n_probe]  # (q, probe)
+    ref = ray.put((qids, Q, centroids, qprobe))
+
+    class Probe:
+        def __init__(self):
+            self.qids, self.Q, self.centroids, self.qprobe = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            X = _normalize(_embedding_matrix(batch))
+            ids = batch["vec_id"].to_numpy()
+            xlist = np.argmax(X @ self.centroids.T, axis=1)
+            rows = []
+            for qi in range(len(self.qids)):
+                mask = np.isin(xlist, self.qprobe[qi])
+                if not mask.any():
+                    continue
+                sims = self.Q[qi] @ X[mask].T
+                for j, s in zip(ids[mask], sims):
+                    rows.append((self.qids[qi], j, s))
+            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+    partials = db.map_batches(
+        Probe, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def embedding_neardup_pairs(
     db: "ray.data.Dataset", threshold: float = 0.45
 ) -> "ray.data.Dataset":

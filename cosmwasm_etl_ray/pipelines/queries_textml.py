@@ -20,6 +20,7 @@ from cosmwasm_etl_ray.functions.dedup import (
 from cosmwasm_etl_ray.functions.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from cosmwasm_etl_ray.functions.text import (
@@ -156,6 +157,13 @@ def ann_lsh(sf_dir: str) -> "ray.data.Dataset":
     return lsh_topk(db, qdf, k=10)
 
 
+def ann_ivf(sf_dir: str) -> "ray.data.Dataset":
+    emb = _emb(sf_dir)
+    qdf = emb.filter(lambda r: r["vec_id"] < 5).to_pandas()
+    db = emb.filter(lambda r: r["vec_id"] >= 5)
+    return ivf_topk(db, qdf, k=10)
+
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_scores": quality_scores,
@@ -170,6 +178,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
 }
 
 ORACLE_SQL = {

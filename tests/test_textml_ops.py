@@ -101,3 +101,18 @@ def test_dedup_clusters_pair_planted_docs(sf_dir):
         for d in range(500)
     )
     assert hits >= 425  # matches minhash recall floor
+
+
+def test_ivf_ann_recall_vs_brute_force(sf_dir):
+    from cosmwasm_etl_ray.functions.similarity import ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.filter(lambda r: r["vec_id"] < 5).to_pandas()
+    db = emb.filter(lambda r: r["vec_id"] >= 5)
+    exact = brute_force_topk(db, qdf, k=10).to_pandas()
+    approx = ivf_topk(db, qdf, k=10, n_lists=16, n_probe=4).to_pandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / 10 for q in e.index]
+    import numpy as np
+    assert np.mean(recalls) >= 0.5, recalls

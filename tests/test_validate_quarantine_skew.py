@@ -116,3 +116,51 @@ def test_salted_path_equals_combiner_path(sf_dir):
     )
     cols = ["repo", "path", "commit", "lang", "content"]
     pd.testing.assert_frame_equal(salted[cols], combiner[cols])
+
+
+def test_versioned_normalizer_dispatch_by_commit_range():
+    """Era-dependent parse logic (mapper-by-height-range graft)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from cosmwasm_etl_ray.stages.versioned import VersionedNormalizer
+
+    def era1(t):  # old era: lang lowercased
+        return t.set_column(
+            t.schema.get_field_index("lang"), "lang", pc.utf8_lower(t["lang"])
+        )
+
+    def era2(t):  # new era: lang uppercased
+        return t.set_column(
+            t.schema.get_field_index("lang"), "lang", pc.utf8_upper(t["lang"])
+        )
+
+    vn = VersionedNormalizer([("", era1), ("0000000005", era2)])
+    t = pa.table(
+        {
+            "commit": pa.array([f"{i:010d}" for i in range(1, 9)]),
+            "lang": pa.array(["Go"] * 8),
+        }
+    )
+    out = vn(t).to_pandas().sort_values("commit")
+    assert out["lang"].tolist() == ["go"] * 4 + ["GO"] * 4
+    # empty input keeps schema
+    assert vn(t.slice(0, 0)).schema == t.schema
+
+
+def test_final_state_invariant_across_partition_counts(sf_dir):
+    """Determinism across parallelism levels: the final state must be
+    identical for any num_partitions (SURVEY §7.4)."""
+    import pandas as pd
+    from cosmwasm_etl_ray.sources.changes import changes_from_documents
+
+    frames = []
+    for p in (4, 32):
+        cfg = EngineConfig(num_partitions=p)
+        f = (
+            quick_final_state(changes_from_documents(sf_dir), cfg)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        frames.append(f[["repo", "path", "commit", "lang", "content"]])
+    pd.testing.assert_frame_equal(frames[0], frames[1])
