@@ -17,7 +17,7 @@ KEYS = [("r0", "a"), ("r0", "b"), ("r1", "a"), ("r1", "c"), ("r2", "z")]
 
 
 def events_strategy(allow_empty_cols=False):
-    val = st.text(alphabet="xyz", min_size=0 if allow_empty_cols else 1, max_size=3)
+    val = st.text(alphabet="xyzé中\U0001F600", min_size=0 if allow_empty_cols else 1, max_size=3)
     return st.lists(
         st.tuples(
             st.sampled_from(range(len(KEYS))),

@@ -213,3 +213,25 @@ def test_empty_epoch_commits_cleanly(tmp_path):
     assert m2["counts"]["quarantined"] == 3
     assert m2["counts"]["applied_events"] == 0
     assert store.latest_epoch() == 1
+
+
+def test_more_partitions_than_keys(tmp_path):
+    """P larger than the key count must still work (mostly-empty
+    partitions) and produce the oracle state."""
+    import ray.data as rd
+
+    log = generate_change_stream(
+        str(tmp_path / "log"),
+        GeneratorConfig(seed=3, n_keys=20, n_events=2_000, events_per_file=1_000,
+                        malformed_frac=0.0, evolve_at_frac=None),
+    )
+    cfg = EngineConfig(num_partitions=256, epoch_max_events=1_000)
+    store = StateStore(str(tmp_path / "store"))
+    replay_files(log["files"], store, cfg)
+    got = read_state(store).to_pandas()
+    raw = pd.concat([pd.read_parquet(f) for f in log["files"]], ignore_index=True)
+    oracle = serial_oracle_replay(raw)
+    assert len(got) == len(oracle)
+    assert set(zip(got.repo, got.path, got.commit)) == set(
+        zip(oracle.repo, oracle.path, oracle.commit)
+    )
