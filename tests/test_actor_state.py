@@ -1,0 +1,68 @@
+"""In-memory actor state tier: equivalence with the disk path, flush
+checkpoint, recovery-from-checkpoint + tail re-apply."""
+
+import pandas as pd
+
+import ray.data
+
+from cosmwasm_etl_ray.config import EngineConfig, GeneratorConfig
+from cosmwasm_etl_ray.pipelines.replay import read_state, replay_files
+from cosmwasm_etl_ray.sources.generator import generate_change_stream
+from cosmwasm_etl_ray.state.actor_state import ActorStateTier
+from cosmwasm_etl_ray.state.manifest import StateStore
+
+CFG = EngineConfig(num_partitions=8, epoch_max_events=15_000, batch_size=2048)
+
+
+def _log(tmp_path, seed=61):
+    return generate_change_stream(
+        str(tmp_path / "log"),
+        GeneratorConfig(seed=seed, n_keys=500, n_events=30_000, events_per_file=7_500,
+                        malformed_frac=0.005, evolve_at_frac=None),
+    )
+
+
+def _sorted_state(df: pd.DataFrame) -> pd.DataFrame:
+    cols = ["repo", "path", "commit", "content"]
+    return df[cols].sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def test_actor_tier_matches_disk_path(tmp_path):
+    log = _log(tmp_path)
+
+    disk = StateStore(str(tmp_path / "disk"))
+    replay_files(log["files"], disk, CFG)
+    expected = _sorted_state(read_state(disk).to_pandas())
+
+    tier = ActorStateTier(CFG, num_actors=4)
+    tier.apply_changes(ray.data.read_parquet(log["files"]))
+    store = StateStore(str(tmp_path / "actor"))
+    tier.flush(store, epoch=0)
+
+    got = _sorted_state(read_state(store).to_pandas())
+    pd.testing.assert_frame_equal(expected, got)
+    assert tier.live_count() == len(expected)
+
+
+def test_actor_tier_recovery_then_tail(tmp_path):
+    """Flush mid-stream, 'crash' (drop the tier), recover from the
+    checkpoint, apply the tail → equals a full replay."""
+    log = _log(tmp_path, seed=62)
+    head, tail = log["files"][:2], log["files"][2:]
+
+    tier = ActorStateTier(CFG, num_actors=4)
+    tier.apply_changes(ray.data.read_parquet(head))
+    store = StateStore(str(tmp_path / "ckpt"))
+    tier.flush(store, epoch=0)
+    del tier  # crash
+
+    recovered = ActorStateTier.from_store(store, CFG, num_actors=4)
+    recovered.apply_changes(ray.data.read_parquet(tail))
+    recovered.flush(store, epoch=1)
+
+    disk = StateStore(str(tmp_path / "disk"))
+    replay_files(log["files"], disk, CFG)
+    pd.testing.assert_frame_equal(
+        _sorted_state(read_state(disk).to_pandas()),
+        _sorted_state(read_state(store).to_pandas()),
+    )
