@@ -1,0 +1,114 @@
+"""Operational CLI — the ``cmd/*`` analogue of the reference and the
+entry point you would hand to ``ray job submit`` on a real cluster:
+
+    python -m cosmwasm_etl_ray.cli replay   --log-dir D --store S [--epoch-events N] [--partitions P]
+    python -m cosmwasm_etl_ray.cli tail     --log-dir D --store S [--poll-sec X] [--max-idle N]
+    python -m cosmwasm_etl_ray.cli validate --log-dir D --store S
+    python -m cosmwasm_etl_ray.cli metrics  --store S
+    python -m cosmwasm_etl_ray.cli gc       --store S [--keep N]
+
+Owns its Ray session (guarded init — under ``ray job submit`` the job
+is already connected and init is a no-op).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cosmwasm_etl_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, log=True):
+        sp.add_argument("--store", required=True)
+        if log:
+            sp.add_argument("--log-dir", required=True)
+        sp.add_argument("--partitions", type=int, default=64)
+        sp.add_argument("--epoch-events", type=int, default=2_000_000)
+
+    common(sub.add_parser("replay"))
+    t = sub.add_parser("tail")
+    common(t)
+    t.add_argument("--poll-sec", type=float, default=5.0)
+    t.add_argument("--max-idle", type=int, default=3)
+    common(sub.add_parser("validate"))
+    m = sub.add_parser("metrics")
+    m.add_argument("--store", required=True)
+    g = sub.add_parser("gc")
+    g.add_argument("--store", required=True)
+    g.add_argument("--keep", type=int, default=1)
+
+    args = p.parse_args(argv)
+
+    from cosmwasm_etl_ray.config import EngineConfig
+    from cosmwasm_etl_ray.state.manifest import StateStore
+    from cosmwasm_etl_ray.state.metrics import store_metrics
+
+    store = StateStore(args.store)
+
+    if args.cmd == "metrics":
+        print(json.dumps(store_metrics(store), indent=2, default=str))
+        return 0
+
+    if args.cmd == "gc":
+        from cosmwasm_etl_ray.state.gc import gc_state
+
+        print(json.dumps(gc_state(store, keep_manifests=args.keep)))
+        return 0
+
+    cfg = EngineConfig(
+        num_partitions=args.partitions, epoch_max_events=args.epoch_events
+    )
+    _init_ray()
+    import ray
+
+    try:
+        if args.cmd == "replay":
+            from cosmwasm_etl_ray.pipelines.replay import replay_files
+
+            files = sorted(glob.glob(os.path.join(args.log_dir, "*.parquet")))
+            manifests = replay_files(files, store, cfg)
+            print(json.dumps({"applied_epochs": len(manifests),
+                              "cursor": store.latest_epoch()}))
+        elif args.cmd == "tail":
+            from cosmwasm_etl_ray.sources.tail import tail_changes
+
+            summary = tail_changes(
+                args.log_dir, store, cfg,
+                poll_interval=args.poll_sec, max_idle_polls=args.max_idle,
+            )
+            print(json.dumps(summary))
+        elif args.cmd == "validate":
+            from cosmwasm_etl_ray.stages.validate import validate_store
+
+            files = sorted(glob.glob(os.path.join(args.log_dir, "*.parquet")))
+            bad = validate_store(store, files, cfg)
+            print(json.dumps({"mismatches": len(bad)}))
+            return 1 if len(bad) else 0
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,64 @@
+"""CLI entry points (subprocess — each owns its Ray session) + metrics."""
+
+import json
+import subprocess
+import sys
+
+from cosmwasm_etl_ray.config import EngineConfig, GeneratorConfig
+from cosmwasm_etl_ray.pipelines.replay import replay_files
+from cosmwasm_etl_ray.sources.generator import generate_change_stream
+from cosmwasm_etl_ray.state.manifest import StateStore
+from cosmwasm_etl_ray.state.metrics import store_metrics
+
+
+def _run_cli(*args):
+    out = subprocess.run(
+        [sys.executable, "-m", "cosmwasm_etl_ray.cli", *args],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root", "RAY_ADDRESS": "local",
+             "PYTHONPATH": "/root/repo"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    text = out.stdout.strip()
+    try:
+        return json.loads(text)  # metrics prints indented multi-line JSON
+    except json.JSONDecodeError:
+        return json.loads(text.splitlines()[-1])
+
+
+def test_cli_replay_then_metrics_and_gc(tmp_path):
+    log = generate_change_stream(
+        str(tmp_path / "log"),
+        GeneratorConfig(seed=91, n_keys=200, n_events=10_000, events_per_file=2_500,
+                        malformed_frac=0.01, evolve_at_frac=None),
+    )
+    store_dir = str(tmp_path / "store")
+    res = _run_cli("replay", "--log-dir", str(tmp_path / "log"),
+                   "--store", store_dir, "--epoch-events", "5000",
+                   "--partitions", "4")
+    assert res["applied_epochs"] == 2 and res["cursor"] == 1
+
+    m = _run_cli("metrics", "--store", store_dir)
+    assert m["cursor_epoch"] == 1
+    assert m["total_applied_events"] + m["total_quarantined"] == 10_000
+    assert m["partitions"]["count"] == 4
+    assert m["state_live_rows"] <= m["state_rows"]
+
+    g = _run_cli("gc", "--store", store_dir)
+    assert g["deleted"] >= 0 and g["kept"] == 4
+
+
+def test_metrics_rollup_matches_manifests(tmp_path):
+    log = generate_change_stream(
+        str(tmp_path / "log"),
+        GeneratorConfig(seed=92, n_keys=100, n_events=5_000, events_per_file=2_500,
+                        malformed_frac=0.0, evolve_at_frac=None),
+    )
+    store = StateStore(str(tmp_path / "store"))
+    cfg = EngineConfig(num_partitions=4, epoch_max_events=2_500)
+    replay_files(log["files"], store, cfg)
+    m = store_metrics(store)
+    assert m["epochs_committed"] == 2
+    assert m["total_applied_events"] == 5_000
+    assert [e["epoch"] for e in m["per_epoch"]] == [0, 1]
+    assert m["partitions"]["skew_ratio"] >= 1
