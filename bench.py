@@ -164,7 +164,14 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     ensure_change_log()  # build cache once, outside both timed runs
-    lo, hi = sub(8), sub(32)
+
+    def best_of(ncpu: int, n: int = 2) -> dict:
+        # single-node run-to-run variance (scheduler, page cache) is
+        # large; best-of-n is the standard stabilizer
+        runs = [sub(ncpu) for _ in range(n)]
+        return min(runs, key=lambda r: r["value"])
+
+    lo, hi = best_of(8), best_of(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     return {
         "metric": "scaling_efficiency",
@@ -175,6 +182,7 @@ def run_scaling() -> dict:
         "events_per_sec_8cpu": lo["events_per_sec"],
         "events_per_sec_32cpu": hi["events_per_sec"],
         "events": lo["events"],
+        "runs_per_level": 2,
         "sf": SF_DIR,
     }
 

@@ -31,3 +31,29 @@ No module calls ``ray.init()`` — sessions are owned by bench.py / tests.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps `import cosmwasm_etl_ray` cheap — no Ray
+    import until a pipeline symbol is touched)."""
+    api = {
+        "EngineConfig": ("cosmwasm_etl_ray.config", "EngineConfig"),
+        "GeneratorConfig": ("cosmwasm_etl_ray.config", "GeneratorConfig"),
+        "StateStore": ("cosmwasm_etl_ray.state.manifest", "StateStore"),
+        "replay_files": ("cosmwasm_etl_ray.pipelines.replay", "replay_files"),
+        "apply_epoch": ("cosmwasm_etl_ray.pipelines.replay", "apply_epoch"),
+        "read_state": ("cosmwasm_etl_ray.pipelines.replay", "read_state"),
+        "tail_changes": ("cosmwasm_etl_ray.sources.tail", "tail_changes"),
+        "validate_store": ("cosmwasm_etl_ray.stages.validate", "validate_store"),
+        "replay_quarantine": ("cosmwasm_etl_ray.state.quarantine", "replay_quarantine"),
+        "store_metrics": ("cosmwasm_etl_ray.state.metrics", "store_metrics"),
+        "gc_state": ("cosmwasm_etl_ray.state.gc", "gc_state"),
+        "bootstrap_store": ("cosmwasm_etl_ray.state.gc", "bootstrap_store"),
+        "run_all_tasks": ("cosmwasm_etl_ray.pipelines.aggregator", "run_all_tasks"),
+    }
+    if name in api:
+        import importlib
+
+        mod, sym = api[name]
+        return getattr(importlib.import_module(mod), sym)
+    raise AttributeError(name)
