@@ -237,11 +237,73 @@ class RepoHistoryTask(DerivedTask):
         )
 
 
+class LangWindowStatsTask(DerivedTask):
+    """Two-dimensional derived key (lang × window) — the account_stats
+    shape (A4: per (account, pair) per window,
+    /root/reference/pkg/db/parser/repository.go:462-540). Same
+    epoch-partial + associative-fold machinery, different key."""
+
+    name = "lang_window_stats"
+
+    def process_epoch(self, epoch: int, manifest: dict) -> None:
+        files = _epoch_source_files(manifest)
+        if not files:
+            self._commit(epoch, pd.DataFrame(
+                columns=["lang", "window", "n_events", "n_deletes", "content_bytes"]
+            ))
+            return
+        ds = ray.data.read_parquet(
+            files, columns=["lang", "commit", "content", "op"]
+        )
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            ok = df["commit"].str.fullmatch(r"[0-9]+")
+            df = df[ok.fillna(False)]
+            return pd.DataFrame(
+                {
+                    "lang": df["lang"],
+                    "window": pd.to_numeric(df["commit"]) // self.window,
+                    "is_delete": (df["op"] == "delete").astype("int64"),
+                    "content_bytes": df["content"].str.len().astype("int64"),
+                }
+            )
+
+        out = grouped_agg(
+            ds.map_batches(prep, batch_format="pandas"),
+            keys=["lang", "window"],
+            spec={
+                "n_events": ("is_delete", "count"),
+                "n_deletes": ("is_delete", "sum"),
+                "content_bytes": ("content_bytes", "sum"),
+            },
+        )
+        self._commit(epoch, out)
+
+    def view(self) -> pd.DataFrame:
+        cur = self.cursor()
+        parts = [
+            pd.read_parquet(self._epoch_out(e))
+            for e in range((cur + 1) if cur is not None else 0)
+            if os.path.exists(self._epoch_out(e))
+        ]
+        if not parts:
+            return pd.DataFrame()
+        allp = pd.concat(parts, ignore_index=True)
+        return (
+            allp.groupby(["lang", "window"], as_index=False)[
+                ["n_events", "n_deletes", "content_bytes"]
+            ]
+            .sum()
+            .sort_values(["lang", "window"])
+            .reset_index(drop=True)
+        )
+
+
 def run_all_tasks(store, cfg: EngineConfig) -> dict[str, list[int]]:
     """The scheduler tick: run each task over newly committed parent
     epochs, in dependency order (window_stats has no parent beyond the
     replay; repo_history likewise — a deeper DAG would order here)."""
     out = {}
-    for cls in (WindowStatsTask, RepoHistoryTask):
+    for cls in (WindowStatsTask, RepoHistoryTask, LangWindowStatsTask):
         out[cls.name] = cls(store, cfg).run()
     return out

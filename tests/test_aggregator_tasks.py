@@ -99,7 +99,7 @@ def test_task_never_runs_ahead_of_parent(tmp_path):
     """A derived task with no committed replay epochs does nothing —
     the parent-wait (waitUntilReachingHeight) analogue."""
     store = StateStore(str(tmp_path / "empty"))
-    assert run_all_tasks(store, CFG) == {"window_stats": [], "repo_history": []}
+    assert run_all_tasks(store, CFG) == {"window_stats": [], "repo_history": [], "lang_window_stats": []}
 
 
 def test_recent_view_prunes_old_windows(replayed):
@@ -110,3 +110,24 @@ def test_recent_view_prunes_old_windows(replayed):
     recent = task.recent_view(last_windows=1)
     assert recent["window"].min() == full["window"].max()
     assert len(recent) < len(full)
+
+
+def test_lang_window_stats_two_dim_key(replayed):
+    from cosmwasm_etl_ray.pipelines.aggregator import LangWindowStatsTask
+
+    log, store = replayed
+    task = LangWindowStatsTask(store, CFG, window=20_000)
+    task.run()
+    got = task.view()
+    raw = pd.concat([pd.read_parquet(f) for f in log["files"]], ignore_index=True)
+    raw = raw[raw["commit"].str.fullmatch(r"[0-9]+")]
+    raw["window"] = pd.to_numeric(raw["commit"]) // 20_000
+    expect = (
+        raw.groupby(["lang", "window"], as_index=False)
+        .agg(n_events=("op", "size"),
+             n_deletes=("op", lambda s: int((s == "delete").sum())),
+             content_bytes=("content", lambda s: int(s.str.len().sum())))
+        .sort_values(["lang", "window"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)

@@ -235,3 +235,24 @@ def test_more_partitions_than_keys(tmp_path):
     assert set(zip(got.repo, got.path, got.commit)) == set(
         zip(oracle.repo, oracle.path, oracle.commit)
     )
+
+
+def test_random_epoch_boundaries_same_state(change_log, tmp_path):
+    """Any epoching of the same log (different epoch_max_events) must
+    produce the identical final state — the carry-across-epochs
+    end-to-end invariant (complementing the fold-level hypothesis
+    split-invariance test)."""
+    frames = []
+    for i, epoch_events in enumerate([10_000, 25_000, 80_000]):
+        cfg = EngineConfig(num_partitions=8, epoch_max_events=epoch_events, batch_size=4096)
+        store = StateStore(str(tmp_path / f"s{i}"))
+        replay_files(change_log["files"], store, cfg)
+        f = (
+            read_state(store)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        frames.append(f[["repo", "path", "commit", "content"]])
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+    pd.testing.assert_frame_equal(frames[0], frames[2])
