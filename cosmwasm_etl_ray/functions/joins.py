@@ -55,11 +55,25 @@ def hash_join(
     num_buckets: int = 32,
     how: str = "inner",
     suffixes: tuple[str, str] = ("_l", "_r"),
+    right_fold=None,
 ) -> "ray.data.Dataset":
     """Partitioned hash join: tag sides, union, bucket by key hash,
     merge per bucket. Skewed keys should be pre-aggregated or salted by
-    the caller; the bucket count B is independent of cluster size."""
+    the caller; the bucket count B is independent of cluster size.
+
+    ``right_fold(df) -> df``, if given, reduces the right side's rows
+    inside each bucket before the merge. Because every row of a key
+    lands in that key's bucket, a per-key fold here is a GLOBAL fold —
+    the final-reduce half of a map-side partial aggregation (pre-agg
+    the right side per batch upstream, fold the partials per bucket
+    here) without a second shuffle.
+    """
     on = [on] if isinstance(on, str) else on
+    # Each side's column set, taken from the dataset schemas ONCE.
+    # (Inferring by all-null content per bucket used to drop genuinely
+    # nullable columns that happened to be all-null within one bucket.)
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
 
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -75,8 +89,10 @@ def hash_join(
     )
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lhs = g[g["_side"] == "L"].drop(columns=["_side", "_bucket"]).dropna(axis=1, how="all")
-        rhs = g[g["_side"] == "R"].drop(columns=["_side", "_bucket"]).dropna(axis=1, how="all")
+        lhs = g.loc[g["_side"] == "L", [c for c in left_cols if c in g.columns]]
+        rhs = g.loc[g["_side"] == "R", [c for c in right_cols if c in g.columns]]
+        if right_fold is not None and not rhs.empty:
+            rhs = right_fold(rhs)
         if lhs.empty or rhs.empty:
             if how == "inner":
                 return pd.DataFrame()

@@ -7,10 +7,12 @@ with matching column names.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min
 
@@ -24,9 +26,31 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+def _cents(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
+    """Money double → exact int64 cents. All money columns in the input
+    are integral cents stored as float64; summing them as int64 makes
+    parallel aggregation EXACT and order-independent — the engine's
+    stand-in for the reference's DECIMAL(40)/big.Int arithmetic
+    (/root/reference/pkg/util/decimals.go:12-59). Float64 partial sums
+    at ~1e11 magnitudes flip the last rounded digit depending on batch
+    reduction order; integer sums never do."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def _rev_e4(t: pa.Table) -> "pa.ChunkedArray":
+    """Revenue l_extendedprice*(1-l_discount) in exact 1e-4 units:
+    cents × (100 - discount_percent), both integral."""
+    cents = _cents(t["l_extendedprice"])
+    disc_pct = _cents(t["l_discount"])  # discount is 0.00–0.10 → 0–10
+    return pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape: filtered grouped aggregate with derived measure
-    (A3-style multi-measure windowless agg)."""
+    (A3-style multi-measure windowless agg). Money sums run in exact
+    integer units (cents / 1e-4) so the result is bit-identical across
+    batch orders and parallelism levels; averages derive from the exact
+    sums."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -35,83 +59,121 @@ def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp(_CUTOFF))))
-        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "l_quantity": t["l_quantity"],
-                "l_extendedprice": t["l_extendedprice"],
-                "disc_price": disc,
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "cents": _cents(t["l_extendedprice"]),
+                "disc_e4": _rev_e4(t),
             }
         )
 
-    return grouped_agg(
+    agg = grouped_agg(
         ds.map_batches(prep, batch_format="pyarrow"),
         keys=["l_returnflag", "l_linestatus"],
         spec={
-            "sum_qty": ("l_quantity", "sum"),
-            "sum_base_price": ("l_extendedprice", "sum"),
-            "sum_disc_price": ("disc_price", "sum"),
-            "avg_qty": ("l_quantity", "mean"),
-            "avg_price": ("l_extendedprice", "mean"),
-            "count_order": ("l_returnflag", "count"),
+            "sum_qty": ("qty", "sum"),
+            "cents": ("cents", "sum"),
+            "disc_e4": ("disc_e4", "sum"),
+            "count_order": ("qty", "count"),
         },
     )
+    agg["sum_base_price"] = agg["cents"] / 100.0
+    agg["sum_disc_price"] = agg["disc_e4"] / 10000.0
+    agg["avg_qty"] = agg["sum_qty"] / agg["count_order"]
+    agg["avg_price"] = agg["cents"] / 100.0 / agg["count_order"]
+    return agg[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "avg_qty", "avg_price", "count_order"]
+    ]
+
+
+def _li_rev_partials(sf_dir: str) -> "ray.data.Dataset":
+    """lineitem scan → per-batch partial revenue sums per orderkey
+    (exact 1e-4 int units) — the map-side combiner feeding a bucketed
+    final fold inside hash_join."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"o_orderkey": t["l_orderkey"], "rev_e4": _rev_e4(t)})
+        return t2.group_by("o_orderkey").aggregate([("rev_e4", "sum")]).rename_columns(
+            ["o_orderkey", "rev_e4"]
+        )
+
+    return li.map_batches(rev_partial, batch_format="pyarrow")
+
+
+def _fold_rev(rhs: pd.DataFrame) -> pd.DataFrame:
+    """Final fold of per-batch revenue partials — global per key inside
+    each hash bucket."""
+    return rhs.groupby("o_orderkey", as_index=False, sort=False)["rev_e4"].sum()
 
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Join + grouped revenue + top-k. Physical plan: the BUILDING
-    orders side is small after the segment semi-filter → broadcast it
-    into the lineitem scan (hash_join stays the plan for two genuinely
-    large sides; side-size drives the choice)."""
+    """Join + grouped revenue + top-k — fully distributed: only the
+    customer dimension's filtered key set is driver-resident. The
+    orders fact table stays a Dataset (broadcast-filter by the customer
+    key set inside the scan), lineitem revenue pre-aggregates per batch,
+    and the single hash-partition shuffle both joins and final-reduces.
+    Top-k = per-block top-10 candidates, then a tiny driver sort."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    dim = orders[orders["o_custkey"].isin(building)][["o_orderkey", "o_orderdate"]]
+    building = np.sort(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy())
+    keys_ref = ray.put(building)
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    class FilterOrders:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
 
-    def rev(t: pa.Table) -> pa.Table:
-        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = np.isin(t["o_custkey"].to_numpy(), self.keys)
+            return t.filter(pa.array(mask)).select(["o_orderkey", "o_orderdate"])
 
-    joined = broadcast_join(
-        li.map_batches(rev, batch_format="pyarrow"), dim, on="o_orderkey"
+    orders_dim = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(FilterOrders, batch_format="pyarrow", concurrency=(1, 8))
+
+    joined = hash_join(
+        orders_dim, _li_rev_partials(sf_dir), on="o_orderkey", right_fold=_fold_rev
     )
-    agg = grouped_agg(
-        joined,
-        keys=["o_orderkey", "o_orderdate"],
-        spec={"revenue": ("rev", "sum")},
-    )
-    top = agg.sort_values(
-        ["revenue", "o_orderkey"], ascending=[False, True], kind="stable"
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["rev_e4", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(10)
+
+    cand = joined.map_batches(local_top, batch_format="pandas", batch_size=None).to_pandas()
+    top = cand.sort_values(
+        ["rev_e4", "o_orderkey"], ascending=[False, True], kind="stable"
     ).head(10)
+    top["revenue"] = top["rev_e4"] / 10000.0
     return top[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
-    """Star join via chained broadcast dimensions (region→nation→
-    customer→orders collapse driver-side; all are small next to
-    lineitem), then broadcast into the lineitem scan + partial agg."""
+    """Star join: collapse only the true dimensions (customer ⋈ nation)
+    driver-side; the orders FACT table stays distributed — it picks up
+    n_name via a broadcast merge inside its scan, then hash-joins
+    against pre-aggregated lineitem revenue. Final group count is 25,
+    so the last reduce is trivially driver-safe."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    dim = (
-        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
-        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    )[["o_orderkey", "n_name"]]
+    cust_nation = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders_dim = broadcast_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust_nation,
+        on="o_custkey",
+    ).select_columns(["o_orderkey", "n_name"])
 
-    def rev(t: pa.Table) -> pa.Table:
-        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
-
-    joined = broadcast_join(
-        li.map_batches(rev, batch_format="pyarrow"), dim, on="o_orderkey"
+    joined = hash_join(
+        orders_dim, _li_rev_partials(sf_dir), on="o_orderkey", right_fold=_fold_rev
     )
-    return grouped_agg(joined, keys=["n_name"], spec={"revenue": ("rev", "sum")})
+    agg = grouped_agg(joined, keys=["n_name"], spec={"rev_e4": ("rev_e4", "sum")})
+    agg["revenue"] = agg["rev_e4"] / 10000.0
+    return agg[["n_name", "revenue"]]
 
 
 def part_brand_stats(sf_dir: str) -> pd.DataFrame:
@@ -130,25 +192,24 @@ def part_brand_stats(sf_dir: str) -> pd.DataFrame:
 def status_revenue_hashjoin(sf_dir: str) -> pd.DataFrame:
     """Two-large-sides partitioned hash join (J2): orders ⋈ lineitem on
     orderkey, revenue per order status. Demonstrates the tagged-union
-    bucket join; for small sides prefer broadcast_join (see q3/q5)."""
+    bucket join; for small sides prefer broadcast_join (see q3/q5).
+    Revenue sums in exact 1e-4 integer units, so the ~1e11-magnitude
+    totals are bit-identical regardless of reduction order (this used
+    to be reported in millions to dodge float nondeterminism)."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
-        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev_e4": _rev_e4(t)})
 
     joined = hash_join(orders, li.map_batches(rev, batch_format="pyarrow"), on="o_orderkey")
     agg = grouped_agg(
         joined,
         keys=["o_orderstatus"],
-        spec={"revenue": ("rev", "sum"), "n_items": ("rev", "count")},
+        spec={"rev_e4": ("rev_e4", "sum"), "n_items": ("rev_e4", "count")},
     )
-    # group totals reach ~1e11 at sf0.1: double summation-order error
-    # exceeds 4-decimal rounding at that magnitude — report in millions
-    # so the order-insensitive value hash is stable
-    agg["revenue_m"] = agg["revenue"] / 1e6
-    return agg.drop(columns=["revenue"])
+    agg["revenue"] = agg["rev_e4"] / 10000.0
+    return agg[["o_orderstatus", "revenue", "n_items"]]
 
 
 def events_window_stats(sf_dir: str) -> pd.DataFrame:
@@ -275,13 +336,20 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # Money math mirrors the engine exactly: integral cents ×
+    # (100 - integral discount percent) summed as BIGINT, divided once
+    # at the end — both sides are exact, so the value hash is stable.
     "q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-       avg(l_quantity) AS avg_qty,
-       avg(l_extendedprice) AS avg_price,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+           AS sum_disc_price,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) / count(*) AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*)
+           AS avg_price,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
@@ -289,7 +357,9 @@ GROUP BY l_returnflag, l_linestatus
 """,
     "q3_top_orders": """
 SELECT o.o_orderkey, o.o_orderdate,
-       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+           AS revenue
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -300,7 +370,9 @@ LIMIT 10
 """,
     "q5_nation_revenue": """
 SELECT n.n_name,
-       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+           AS revenue
 FROM nation n
 JOIN customer c ON c.c_nationkey = n.n_nationkey
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -310,7 +382,9 @@ GROUP BY n.n_name
     "status_revenue_hashjoin": """
 SELECT o.o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_items,
-       sum(l.l_extendedprice * (1 - l.l_discount)) / 1e6 AS revenue_m
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+           AS revenue
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus
 """,

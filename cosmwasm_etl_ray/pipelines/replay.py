@@ -75,6 +75,19 @@ def apply_epoch(
     if store.is_committed(epoch):
         return store.manifest(epoch)
 
+    # num_partitions is part of the store's identity: pid = hash(key) % P
+    # routes keys to state files, so replaying with a different P would
+    # silently send a key's new events to a different partition than its
+    # existing state row. Manifests record P; refuse a mismatch.
+    latest = store.latest_epoch()
+    if latest is not None:
+        committed_p = store.manifest(latest).get("num_partitions")
+        if committed_p is not None and committed_p != cfg.num_partitions:
+            raise ValueError(
+                f"store was built with num_partitions={committed_p}; "
+                f"config asks for {cfg.num_partitions} — refusing to mix"
+            )
+
     prior = store.partition_files()
 
     flagged = changes.map_batches(
@@ -123,27 +136,53 @@ def apply_epoch(
         "quarantined": quarantined,
         "touched_partitions": len(touched),
     }
-    return store.commit_epoch(epoch, touched, offset_range, counts)
+    return store.commit_epoch(
+        epoch, touched, offset_range, counts, num_partitions=cfg.num_partitions
+    )
+
+
+def pending_files(files: list[str], store) -> tuple[list[str], int]:
+    """Durable resume point: the files not yet covered by a committed
+    manifest, plus the next epoch number. Epoch membership is decided by
+    the committed manifest's ``offset_range`` high file — NOT by
+    re-planning epochs over the current file list, which would silently
+    absorb a file appended after commit into an already-committed
+    epoch's slice and skip it forever (a partially-filled last epoch
+    plus a late file used to do exactly that)."""
+    files = sorted(files)
+    latest = store.latest_epoch()
+    if latest is None:
+        return files, 0
+    hi = store.manifest(latest)["offset_range"][1]
+    if not hi or hi == "bootstrap":
+        # store seeded outside the file tail (bootstrap / direct
+        # apply_epoch): no file cursor, every listed file is pending
+        return files, latest + 1
+    if hi not in files:
+        raise ValueError(
+            f"resume cursor file {hi!r} is missing from the change log; "
+            "the source was truncated or the log dir is wrong"
+        )
+    return files[files.index(hi) + 1 :], latest + 1
 
 
 def replay_files(
     files: list[str], store, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> list[dict]:
-    """Tail the change log: resume from the cursor (max committed
-    epoch), apply every remaining epoch in order. The epoch barrier is
-    the reference's parent-height wait analogue
+    """Tail the change log: resume from the cursor (the last committed
+    manifest's offset_range), apply every remaining epoch in order. The
+    epoch barrier is the reference's parent-height wait analogue
     (/root/reference/aggregator/task.go:785-811): epoch e+1's merge
     reads epoch e's state."""
-    epochs = plan_epochs(files, cfg)
-    start = (store.latest_epoch() + 1) if store.latest_epoch() is not None else 0
+    todo, start = pending_files(files, store)
+    epochs = plan_epochs(todo, cfg)
     out = []
-    for e in range(start, len(epochs)):
-        ds = ray.data.read_parquet(epochs[e])
-        rows = sum(pq.read_metadata(f).num_rows for f in epochs[e])
+    for i, batch in enumerate(epochs):
+        e = start + i
+        ds = ray.data.read_parquet(batch)
+        rows = sum(pq.read_metadata(f).num_rows for f in batch)
         out.append(
-            apply_epoch(
-                ds, store, e, cfg, (epochs[e][0], epochs[e][-1]), input_rows=rows
-            )
+            apply_epoch(ds, store, e, cfg, (batch[0], batch[-1]), input_rows=rows)
         )
     return out
 

@@ -27,8 +27,14 @@ from cosmwasm_etl_ray.pipelines.replay import apply_epoch
 
 def gc_state(store, keep_manifests: int = 1) -> dict:
     """Delete state partition files not referenced by the newest
-    ``keep_manifests`` manifests. Returns {kept, deleted} counts."""
+    ``keep_manifests`` manifests. Returns {kept, deleted} counts.
+
+    Files from epochs NEWER than the latest committed manifest belong to
+    an in-flight (not-yet-committed) epoch — deleting them between
+    MergeWithState's partition writes and commit_epoch would commit a
+    manifest pointing at deleted files, so they are always kept."""
     epochs = store.committed_epochs()
+    latest = epochs[-1] if epochs else -1
     referenced: set[str] = set()
     for e in epochs[-keep_manifests:]:
         referenced.update(store.partition_files(e).values())
@@ -36,7 +42,11 @@ def gc_state(store, keep_manifests: int = 1) -> dict:
     all_files = glob.glob(os.path.join(store.state_dir, "epoch=*", "*.parquet"))
     deleted = 0
     for f in all_files:
-        if f not in referenced:
+        try:
+            file_epoch = int(f.split("epoch=")[1].split(os.sep)[0])
+        except (IndexError, ValueError):
+            continue
+        if f not in referenced and file_epoch <= latest:
             os.remove(f)
             deleted += 1
     # drop now-empty epoch dirs

@@ -84,13 +84,19 @@ class StateStore:
         touched: dict[int, dict],
         offset_range: tuple[str, str],
         counts: dict,
+        num_partitions: int | None = None,
     ) -> dict:
         """Atomic commit: carry forward untouched partitions from the
-        previous manifest, record touched ones, rename into place."""
+        previous manifest, record touched ones, rename into place.
+        ``num_partitions`` is recorded because it is part of the store's
+        identity (pid routing); apply_epoch validates it on resume."""
         prev = self.latest_epoch()
         partitions: dict[str, dict] = {}
         if prev is not None:
-            partitions.update(self.manifest(prev)["partitions"])
+            prev_manifest = self.manifest(prev)
+            partitions.update(prev_manifest["partitions"])
+            if num_partitions is None:
+                num_partitions = prev_manifest.get("num_partitions")
         for pid, info in touched.items():
             partitions[str(pid)] = {**info, "epoch": epoch}
         manifest = {
@@ -98,6 +104,7 @@ class StateStore:
             "offset_range": list(offset_range),
             "committed_at": time.time(),
             "counts": counts,
+            "num_partitions": num_partitions,
             "partitions": partitions,
         }
         tmp = f"{self._mpath(epoch)}.tmp.{os.getpid()}"
