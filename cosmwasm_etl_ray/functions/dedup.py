@@ -10,16 +10,14 @@ for candidates, verify, emit pairs.
 Scale notes (documented partitioning assumptions):
 - the LSH groupby shuffles one row per (doc, band) — bands × docs rows
   of a few bytes, not the documents themselves;
-- candidate verification joins pair ids back to texts; here the corpus
-  is broadcast (small); at 100 TB replace with two hash_joins of the
-  pair list against the documents table on doc_id;
+- candidate verification joins the pair list back to texts with two
+  distributed hash_joins on doc_id (no corpus broadcast, no driver
+  materialization — the LSH-pruned pair list is the only small thing);
 - bucket groups are capped (``max_bucket``) so a degenerate bucket
   (e.g. empty-string docs) cannot produce O(n²) pairs.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -28,7 +26,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from cosmwasm_etl_ray.functions.joins import hash_join
+
 _M61 = np.uint64((1 << 61) - 1)
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
 
 
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
@@ -86,14 +88,19 @@ class MinHasher:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         sigs = self.signatures_batch(df["text"].tolist())  # (perm, n)
+        # band hash = FNV-1a fold of the band's signature rows —
+        # fully vectorized over the doc axis (bands × rows_per_band
+        # numpy ops per batch instead of an md5 call per (doc, band))
+        bh = np.empty((self.bands, n), dtype=np.uint64)
+        for b in range(self.bands):
+            acc = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+            for r in range(b * self.rpb, (b + 1) * self.rpb):
+                acc = (acc ^ sigs[r]) * _FNV_PRIME
+            bh[b] = acc
         out_doc = np.repeat(df["doc_id"].to_numpy(), self.bands)
         out_band = np.tile(np.arange(self.bands), n)
-        out_hash = [
-            hashlib.md5(sigs[b * self.rpb : (b + 1) * self.rpb, d].tobytes())
-            .hexdigest()[:16]
-            for d in range(n)
-            for b in range(self.bands)
-        ]
+        # doc-major layout to match repeat/tile above
+        out_hash = bh.T.reshape(-1).view(np.int64)
         return pd.DataFrame(
             {"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash}
         )
@@ -130,8 +137,8 @@ def candidate_pairs_from_buckets(
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_shard"] = (
-            df["band_hash"].map(lambda h: int(h[:4], 16) % shards).astype("int32")
-        )
+            df["band_hash"].to_numpy().view(np.uint64) % np.uint64(shards)
+        ).astype("int32")
         return df
 
     def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -157,24 +164,53 @@ def candidate_pairs_from_buckets(
     return dedup_pairs_dataset(cands)
 
 
-class JaccardVerifier:
-    """Verify candidate pairs against exact n-gram Jaccard. The corpus
-    (doc_id → text) is broadcast once per actor via ray.put."""
+def verify_pairs_jaccard(
+    cands: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Exact n-gram Jaccard verification of candidate pairs WITHOUT
+    broadcasting the corpus: two distributed hash_joins attach text_a /
+    text_b to each pair on doc_id, then a map_batches computes the
+    Jaccard. Only the LSH-pruned pair list (tiny) crosses the joins
+    twice; documents move once per join, never to the driver."""
 
-    def __init__(self, corpus_ref, ngram: int = 3, threshold: float = 0.5):
-        self.corpus = ray.get(corpus_ref)
-        self.ngram = ngram
-        self.threshold = threshold
+    def rename(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({f"doc_{side}": t["doc_id"], f"text_{side}": t["text"]})
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        jac = []
-        for a, b in zip(df["doc_a"], df["doc_b"]):
-            sa = set(word_ngrams(self.corpus.get(a, ""), self.ngram))
-            sb = set(word_ngrams(self.corpus.get(b, ""), self.ngram))
+        return fn
+
+    with_a = hash_join(
+        cands,
+        docs.map_batches(rename("a"), batch_format="pyarrow"),
+        on="doc_a",
+        num_buckets=num_buckets,
+        left_cols={"doc_a": "int64", "doc_b": "int64"},
+        right_cols={"doc_a": "int64", "text_a": "object"},
+    )
+    with_b = hash_join(
+        with_a,
+        docs.map_batches(rename("b"), batch_format="pyarrow"),
+        on="doc_b",
+        num_buckets=num_buckets,
+        left_cols={"doc_a": "int64", "doc_b": "int64", "text_a": "object"},
+        right_cols={"doc_b": "int64", "text_b": "object"},
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(df), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(df["text_a"], df["text_b"])):
+            sa = set(word_ngrams(ta, ngram))
+            sb = set(word_ngrams(tb, ngram))
             denom = len(sa | sb)
-            jac.append(len(sa & sb) / denom if denom else 0.0)
-        out = df.assign(jaccard=jac)
-        return out[out["jaccard"] >= self.threshold]
+            jac[i] = len(sa & sb) / denom if denom else 0.0
+        out = df[["doc_a", "doc_b"]].assign(jaccard=jac)
+        return out[out["jaccard"] >= threshold]
+
+    return with_b.map_batches(verify, batch_format="pandas")
 
 
 def minhash_dedup_pairs(
@@ -192,15 +228,7 @@ def minhash_dedup_pairs(
         batch_size=1024,
     )
     cands = candidate_pairs_from_buckets(bucketed)
-    cdf = docs.to_pandas()
-    corpus = dict(zip(cdf["doc_id"], cdf["text"]))
-    ref = ray.put(corpus)
-
-    class Verify(JaccardVerifier):
-        def __init__(self):
-            super().__init__(ref, ngram=ngram, threshold=threshold)
-
-    return cands.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    return verify_pairs_jaccard(cands, docs, ngram=ngram, threshold=threshold)
 
 
 class SimHasher:

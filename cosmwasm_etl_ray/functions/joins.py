@@ -56,6 +56,8 @@ def hash_join(
     how: str = "inner",
     suffixes: tuple[str, str] = ("_l", "_r"),
     right_fold=None,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Partitioned hash join: tag sides, union, bucket by key hash,
     merge per bucket. Skewed keys should be pre-aggregated or salted by
@@ -69,15 +71,22 @@ def hash_join(
     here) without a second shuffle.
     """
     on = [on] if isinstance(on, str) else on
-    # Each side's column set, taken from the dataset schemas ONCE.
-    # (Inferring by all-null content per bucket used to drop genuinely
-    # nullable columns that happened to be all-null within one bucket.)
-    left_cols = list(left.schema().names)
-    right_cols = list(right.schema().names)
+    # Each side's column set (and pandas dtypes), taken from the
+    # dataset schemas ONCE. (Inferring by all-null content per bucket
+    # used to drop genuinely nullable columns that happened to be
+    # all-null within one bucket.) Callers with expensive lazy inputs
+    # pass the spec explicitly — schema() on a not-yet-executed
+    # pipeline runs part of it. The dtype map matters: the tagged
+    # UNION pads each side's missing columns with nulls, which pandas
+    # silently widens to float64 — without restoring the declared
+    # dtype, an int64 key would leave the join as float64 and hash
+    # into the WRONG bucket in any downstream join.
+    left_names, left_types = _side_spec(left, left_cols)
+    right_names, right_types = _side_spec(right, right_cols)
 
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
-            cols = [np.asarray(t[c].to_numpy(zero_copy_only=False)).astype("U") for c in on]
+            cols = [_canon_key_str(t[c]) for c in on]
             bucket = (stable_hash64(*cols) % np.uint64(num_buckets)).astype(np.int32)
             t = t.append_column("_bucket", pa.array(bucket, type=pa.int32()))
             return t.append_column("_side", pa.array([side] * len(t), type=pa.string()))
@@ -89,8 +98,14 @@ def hash_join(
     )
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lhs = g.loc[g["_side"] == "L", [c for c in left_cols if c in g.columns]]
-        rhs = g.loc[g["_side"] == "R", [c for c in right_cols if c in g.columns]]
+        lhs = _restore_types(
+            g.loc[g["_side"] == "L", [c for c in left_names if c in g.columns]],
+            left_types,
+        )
+        rhs = _restore_types(
+            g.loc[g["_side"] == "R", [c for c in right_names if c in g.columns]],
+            right_types,
+        )
         if right_fold is not None and not rhs.empty:
             rhs = right_fold(rhs)
         if lhs.empty or rhs.empty:
@@ -100,6 +115,50 @@ def hash_join(
         return lhs.merge(rhs, on=on, how=how, suffixes=suffixes)
 
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def _side_spec(ds, cols) -> tuple[list[str], dict]:
+    """One join side's (column names, pandas dtype map). ``cols`` may be
+    a dict name→dtype (explicit, no schema fetch), a list of names
+    (explicit names, no dtype restore), or None (derive both from the
+    dataset schema)."""
+    if isinstance(cols, dict):
+        return list(cols), dict(cols)
+    if cols is not None:
+        return list(cols), {}
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        empty = base.empty_table().to_pandas()
+        return list(empty.columns), {c: empty.dtypes[c] for c in empty.columns}
+    names = list(sch.names)
+    types = list(getattr(sch, "types", []) or [])
+    return names, dict(zip(names, types))
+
+
+def _restore_types(df: pd.DataFrame, types: dict) -> pd.DataFrame:
+    """Cast union-padding-widened columns back to their declared dtypes
+    (only where they differ; non-castable values keep the wide type)."""
+    for c, t in types.items():
+        if c in df.columns and str(df[c].dtype) != str(t):
+            try:
+                df[c] = df[c].astype(t)
+            except (ValueError, TypeError):
+                pass
+    return df
+
+
+def _canon_key_str(col: "pa.ChunkedArray") -> np.ndarray:
+    """Key column → canonical string array for bucket hashing: integral
+    float columns (the union-padding artifact) hash like their int64
+    values, so both sides of a join bucket identically even when one
+    side's key dtype was widened upstream."""
+    a = np.asarray(col.to_numpy(zero_copy_only=False))
+    if a.dtype.kind == "f":
+        ints = a.astype(np.int64)
+        if np.array_equal(ints.astype(a.dtype), a):
+            a = ints
+    return a.astype("U")
 
 
 def asof_join_groups(

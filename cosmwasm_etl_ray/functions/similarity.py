@@ -155,8 +155,18 @@ def ivf_topk(
     """IVF ANN: coarse k-means quantizer (broadcast), each batch scores
     only its vectors whose nearest centroid is among the query's
     n_probe closest lists — candidate work ≈ n_probe/n_lists of brute
-    force; same exact-cosine final rank."""
-    sample = _normalize(np.array(db.to_pandas()["embedding"].tolist()))
+    force; same exact-cosine final rank.
+
+    The quantizer trains on a bounded ``random_sample`` of the corpus
+    (never the full dataset on the driver): a few thousand vectors are
+    plenty for a coarse k-means at any corpus size."""
+    train_cap = max(4096, 256 * n_lists)
+    n = db.count()
+    frac = min(1.0, train_cap / max(n, 1))
+    sample_df = db.random_sample(frac, seed=seed).to_pandas()
+    if len(sample_df) < n_lists:  # tiny-corpus fallback
+        sample_df = db.limit(max(n_lists, 1)).to_pandas()
+    sample = _normalize(np.array(sample_df["embedding"].tolist()))
     centroids = _kmeans_lite(sample, n_lists, seed=seed)
     Q = _normalize(np.array(queries_df["embedding"].tolist()))
     qids = queries_df["vec_id"].to_numpy()
@@ -195,30 +205,132 @@ def ivf_topk(
 
 
 def embedding_neardup_pairs(
-    db: "ray.data.Dataset", threshold: float = 0.45
+    db: "ray.data.Dataset", threshold: float = 0.45, method: str = "auto"
 ) -> "ray.data.Dataset":
-    """All pairs (a < b) with cosine ≥ threshold. The normalized matrix
-    is broadcast once; each batch emits its rows' qualifying pairs."""
-    all_df = db.to_pandas()  # ids+vectors only; at 100TB use block refs
-    ids_all = all_df["vec_id"].to_numpy()
-    X_all = _normalize(np.array(all_df["embedding"].tolist()))
-    ref = ray.put((ids_all, X_all))
+    """All pairs (a < b) with cosine ≥ threshold.
 
-    class Pairs:
-        def __init__(self):
-            self.ids_all, self.X_all = ray.get(ref)
+    Two physical plans, both free of driver materialization:
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            X = _normalize(_embedding_matrix(batch))
-            ids = batch["vec_id"].to_numpy()
-            sims = X @ self.X_all.T
-            bi, aj = np.nonzero(sims >= threshold)
-            keep = ids[bi] < self.ids_all[aj]
-            return pd.DataFrame(
-                {
-                    "vec_id_a": ids[bi][keep],
-                    "vec_id_b": self.ids_all[aj][keep],
-                }
-            )
+    - ``exact``: blocked all-pairs. The corpus is materialized into the
+      OBJECT STORE as per-chunk (ids, matrix) blocks; a Dataset over
+      chunk-index pairs (i ≤ j) drives tasks that fetch exactly two
+      chunks each and matmul them. O(N²) compute spread over the
+      cluster, O(chunk²) memory per task, nothing on the driver. This
+      is inherently quadratic — correct for low thresholds, where LSH
+      provably cannot prune (at cos≈0.45 the per-plane collision
+      probability is ~0.65 and the tables needed for recall cost more
+      than brute force).
+    - ``lsh``: hyperplane-bucketed candidates + exact within-bucket
+      verify — sub-quadratic, for high thresholds (cos ≥ ~0.7) where
+      bucket collision keeps recall ~1.
+    - ``auto`` picks lsh when threshold ≥ 0.7.
+    """
+    if method == "auto":
+        method = "lsh" if threshold >= 0.7 else "exact"
+    if method == "lsh":
+        return _neardup_pairs_lsh(db, threshold)
 
-    return db.map_batches(Pairs, batch_format="pandas", batch_size=2048, concurrency=(1, 8))
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy()
+        X = _normalize(_embedding_matrix(batch))
+        return pd.DataFrame({"ids": [ids.tobytes()], "X": [X.tobytes()],
+                             "n": [len(ids)], "dim": [X.shape[1]]})
+
+    chunk_refs = db.map_batches(
+        pack, batch_format="pandas", batch_size=4096
+    ).to_arrow_refs()
+
+    def unpack(tbl) -> list[tuple[np.ndarray, np.ndarray]]:
+        out = []
+        for row in tbl.to_pylist():
+            ids = np.frombuffer(row["ids"], dtype=np.int64)
+            X = np.frombuffer(row["X"], dtype=np.float64).reshape(row["n"], row["dim"])
+            out.append((ids, X))
+        return out
+
+    nc = len(chunk_refs)
+    idx = [{"i": i, "j": j} for i in range(nc) for j in range(i, nc)]
+    pairs_idx = ray.data.from_items(idx)
+
+    def compare(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for i, j in zip(batch["i"], batch["j"]):
+            for ids_a, A in unpack(ray.get(chunk_refs[int(i)])):
+                for ids_b, B in unpack(ray.get(chunk_refs[int(j)])):
+                    sims = A @ B.T
+                    ai, bj = np.nonzero(sims >= threshold)
+                    lo = np.minimum(ids_a[ai], ids_b[bj])
+                    hi = np.maximum(ids_a[ai], ids_b[bj])
+                    keep = lo < hi  # drop self-pairs; orient a < b
+                    frames.append(pd.DataFrame({"vec_id_a": lo[keep], "vec_id_b": hi[keep]}))
+        if not frames:
+            return pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"),
+                                 "vec_id_b": pd.Series(dtype="int64")})
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    return pairs_idx.map_batches(compare, batch_format="pandas", batch_size=1)
+
+
+def _neardup_pairs_lsh(
+    db: "ray.data.Dataset",
+    threshold: float,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    seed: int = 29,
+    shards: int = 256,
+    max_bucket: int = 4096,
+) -> "ray.data.Dataset":
+    """Sub-quadratic near-dup: random-hyperplane buckets (n_tables
+    independent tables), all-pairs + exact cosine verify within each
+    bucket, global pair dedup. Recall for a pair at cosine c is
+    1-(1-p^b)^T with p = 1 - arccos(c)/π — at c=0.7, 8 planes × 12
+    tables ≈ 0.98; precision is 1.0 (exact verify)."""
+    rng = np.random.default_rng(seed)
+    # dim probed lazily from the first batch inside the actor
+    planes_seed = rng.integers(0, 2**31)
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        X = _normalize(_embedding_matrix(batch))
+        ids = batch["vec_id"].to_numpy()
+        prng = np.random.default_rng(planes_seed)
+        planes = prng.standard_normal((n_tables, n_planes, X.shape[1]))
+        pow2 = 1 << np.arange(n_planes)
+        parts = []
+        for t in range(n_tables):
+            b = ((X @ planes[t].T) > 0) @ pow2
+            parts.append(pd.DataFrame({
+                "vec_id": ids,
+                "bkey": t * (1 << n_planes) + b,
+                "emb": [v.tobytes() for v in X],
+            }))
+        out = pd.concat(parts, ignore_index=True)
+        out["_shard"] = (out["bkey"] % shards).astype("int32")
+        return out
+
+    melted = db.map_batches(bucketize, batch_format="pandas", batch_size=4096)
+
+    def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("bkey", sort=False):
+            grp = grp.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(grp) < 2 or len(grp) > max_bucket:
+                continue
+            ids = grp["vec_id"].to_numpy()
+            X = np.vstack([np.frombuffer(e, dtype=np.float64) for e in grp["emb"]])
+            sims = X @ X.T
+            a, b = np.triu_indices(len(ids), 1)
+            keep = sims[a, b] >= threshold
+            out.append(pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep]}))
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True).drop_duplicates()
+
+    from cosmwasm_etl_ray.functions.dedup import dedup_pairs_dataset
+
+    pairs = melted.groupby("_shard").map_groups(pairs_in_shard, batch_format="pandas")
+    uniq = dedup_pairs_dataset(pairs)
+    return uniq.map_batches(
+        lambda df: df.rename(columns={"doc_a": "vec_id_a", "doc_b": "vec_id_b"}),
+        batch_format="pandas",
+    )

@@ -5,8 +5,6 @@ the remaining SURVEY §2 operator families as oracle-checked queries.
 
 from __future__ import annotations
 
-import json
-
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -117,13 +115,13 @@ def events_props_k(sf_dir: str) -> pd.DataFrame:
     ev = _read(sf_dir, "events", ["event_type", "props"])
 
     def extract(t: pa.Table) -> pa.Table:
-        ks = [json.loads(p)["k"] for p in t["props"].to_pylist()]
+        # vectorized C-regex extraction — no per-row json.loads
+        ex = pc.extract_regex(t["props"].combine_chunks(), pattern=r'"k":\s*(?P<k>\d+)')
+        ks = pc.cast(pc.struct_field(ex, "k"), pa.int64())
         return pa.table(
             {
                 "event_type": t["event_type"],
-                "k_bucket": pa.array(
-                    [k // 10 for k in ks], type=pa.int64()
-                ),
+                "k_bucket": pc.divide(ks, pa.scalar(10, pa.int64())),
             }
         )
 

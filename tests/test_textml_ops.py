@@ -20,6 +20,10 @@ from cosmwasm_etl_ray.pipelines.queries_textml import (
 import ray.data
 
 
+def as_df(res) -> pd.DataFrame:
+    return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+
 def planted_recall(pairs: pd.DataFrame, n_docs: int) -> float:
     found = {
         (min(a, b), max(a, b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])
@@ -29,7 +33,7 @@ def planted_recall(pairs: pd.DataFrame, n_docs: int) -> float:
 
 
 def test_minhash_lsh_finds_planted_neardups(sf_dir):
-    pairs = dedup_minhash(sf_dir).to_pandas()
+    pairs = as_df(dedup_minhash(sf_dir))
     rec = planted_recall(pairs, 500)
     assert rec >= 0.85, f"minhash recall {rec}"
     # verified pairs carry their jaccard and meet the threshold
@@ -37,7 +41,7 @@ def test_minhash_lsh_finds_planted_neardups(sf_dir):
 
 
 def test_simhash_finds_planted_neardups(sf_dir):
-    pairs = dedup_simhash(sf_dir).to_pandas()
+    pairs = as_df(dedup_simhash(sf_dir))
     rec = planted_recall(pairs, 500)
     assert rec >= 0.8, f"simhash recall {rec}"
     assert (pairs["hamming"] <= 16).all()
@@ -101,6 +105,28 @@ def test_dedup_clusters_pair_planted_docs(sf_dir):
         for d in range(500)
     )
     assert hits >= 425  # matches minhash recall floor
+
+
+def test_neardup_lsh_matches_exact_at_high_threshold(ray_session):
+    """The sub-quadratic LSH near-dup path: precision 1.0 (exact verify
+    within bucket), recall ~1 for genuinely-near pairs (cos ≈ 0.99)."""
+    from cosmwasm_etl_ray.functions.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 32))
+    noisy = base[:20] + 0.15 * rng.standard_normal((20, 32))
+    ids = list(range(60)) + [1000 + i for i in range(20)]
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(np.vstack([base, noisy]))})
+    ds = ray.data.from_pandas(df)
+
+    def pairset(d):
+        return {(a, b) for a, b in zip(d["vec_id_a"], d["vec_id_b"])}
+
+    exact = pairset(embedding_neardup_pairs(ds, 0.8, method="exact").to_pandas())
+    lsh = pairset(embedding_neardup_pairs(ds, 0.8, method="lsh").to_pandas())
+    assert len(exact) >= 20  # the planted pairs qualify
+    assert lsh <= exact  # no false positives — verify is exact
+    assert len(lsh & exact) / len(exact) >= 0.9  # recall
 
 
 def test_ivf_ann_recall_vs_brute_force(sf_dir):
