@@ -7,18 +7,37 @@ set is 5-20× faster and shuffles ~nothing. This is the same
 partial/final structure the merge fold uses, applied to sums.
 
 ``grouped_agg`` supports sum / count / min / max / mean (mean
-decomposes into sum+count partials). The final reduce runs driver-side
-on the partials (bounded by groups × batches — use only when group
-cardinality is small; for high-cardinality keys keep the shuffle).
+decomposes into sum+count partials). Two final-reduce modes:
+
+- ``final="driver"`` (default): the partial set reduces driver-side —
+  bounded by groups × batches; use when group cardinality is small
+  (per-repo rollups, status codes).
+- ``final="shuffle"``: partials shard by key hash and reduce inside a
+  ``groupby(_shard).map_groups`` — the whole reduce stays distributed
+  and vectorized (pandas groupby within each coarse shard, never one
+  task per key). Use for high-cardinality keys (user × window).
+
+``stats_with_distinct`` is the A3 windowed-stats pattern (counts/sums
+PLUS an exact count-distinct) in ONE shuffle: per-batch count partials
+and per-batch deduped distinct rows flow as one tagged stream, shard by
+key hash, and each shard reduces both kinds vectorized.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray.data
 
+from cosmwasm_etl_ray.functions.hashing import stable_hash64
+
 _PARTIAL_OPS = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
+
+
+def _key_shard(df: pd.DataFrame, keys: list[str], shards: int) -> np.ndarray:
+    cols = [np.asarray(df[k].to_numpy()).astype("U") for k in keys]
+    return (stable_hash64(*cols) % np.uint64(shards)).astype(np.int32)
 
 
 def grouped_agg(
@@ -26,9 +45,12 @@ def grouped_agg(
     keys: list[str],
     spec: dict[str, tuple[str, str]],
     batch_size: int = 65536,
-) -> pd.DataFrame:
+    final: str = "driver",
+    shards: int = 64,
+):
     """spec: output_col → (source_col, op) with op ∈ sum|count|min|max|mean.
-    Returns a pandas DataFrame (small by contract)."""
+    final="driver" returns a pandas DataFrame (small by contract);
+    final="shuffle" returns a Dataset (high-cardinality keys)."""
     # decompose means into sum+count partials
     plan: dict[str, tuple[str, str]] = {}
     means: dict[str, str] = {}
@@ -52,25 +74,95 @@ def grouped_agg(
             cols[out] = getattr(g[src], _PARTIAL_OPS[op])()
         return pd.DataFrame(cols).reset_index()
 
-    partials = ds.map_batches(
-        partial, batch_format="pandas", batch_size=batch_size
-    ).to_pandas()
+    def reduce_partials(partials: pd.DataFrame) -> pd.DataFrame:
+        g = partials.groupby(keys, sort=False)
+        fin = {}
+        for out, (src, op) in plan.items():
+            if op in ("sum", "count"):
+                fin[out] = g[out].sum()
+            else:
+                fin[out] = getattr(g[out], op)()
+        res = pd.DataFrame(fin).reset_index()
+        for out, sum_col in means.items():
+            res[out] = res[sum_col] / res["__n"]
+            res = res.drop(columns=[sum_col])
+        for out, (src, op) in spec.items():
+            if op == "count":
+                res[out] = res["__n"]
+        if "__n" in res.columns:
+            res = res.drop(columns=["__n"])
+        return res[keys + list(spec.keys())]  # order columns as spec
 
-    g = partials.groupby(keys, sort=False)
-    final = {}
-    for out, (src, op) in plan.items():
-        if op in ("sum", "count"):
-            final[out] = g[out].sum()
-        else:
-            final[out] = getattr(g[out], op)()
-    res = pd.DataFrame(final).reset_index()
-    for out, sum_col in means.items():
-        res[out] = res[sum_col] / res["__n"]
-        res = res.drop(columns=[sum_col])
-    for out, (src, op) in spec.items():
-        if op == "count":
-            res[out] = res["__n"]
-    if "__n" in res.columns:
-        res = res.drop(columns=["__n"])
-    # order columns as spec
-    return res[keys + list(spec.keys())]
+    partial_ds = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    if final == "driver":
+        return reduce_partials(partial_ds.to_pandas())
+
+    # shuffle mode: shard partials by key hash; each shard holds ALL
+    # partials of its keys, so the within-shard reduce is global —
+    # nothing high-cardinality ever lands on the driver
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ashard"] = _key_shard(df, keys, shards)
+        return df
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return reduce_partials(g.drop(columns=["_ashard"]))
+
+    return (
+        partial_ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("_ashard")
+        .map_groups(reduce_shard, batch_format="pandas")
+    )
+
+
+def stats_with_distinct(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+    distinct_col: str,
+    distinct_name: str,
+    shards: int = 64,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Grouped counts/sums PLUS an exact count-distinct in ONE shuffle
+    (the pair_stats_30m shape: volume sums + count(distinct hash),
+    /root/reference/pkg/db/parser/repository.go:285-446).
+
+    Per batch: a count-partial frame (kind 'c') and a deduped
+    (keys, distinct_col) frame (kind 'd') concat into one tagged
+    stream; shard by key hash; each shard reduces sums and uniques
+    vectorized. spec ops are limited to sum/count (associative)."""
+    measure_cols = list(spec)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        cols = {}
+        for out, (src, op) in spec.items():
+            cols[out] = getattr(g[src], _PARTIAL_OPS[op])()
+        c = pd.DataFrame(cols).reset_index()
+        c["_kind"] = "c"
+        c[distinct_col] = df[distinct_col].iloc[:1].repeat(len(c)).to_numpy() if len(c) else []
+        d = df[keys + [distinct_col]].drop_duplicates()
+        d = d.assign(_kind="d", **{m: 0 for m in measure_cols})
+        out = pd.concat([c, d[c.columns]], ignore_index=True)
+        out["_ashard"] = _key_shard(out, keys, shards)
+        return out
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["_kind"] == "c"].groupby(keys, sort=False)[measure_cols].sum()
+        d = (
+            g.loc[g["_kind"] == "d", keys + [distinct_col]]
+            .drop_duplicates()
+            .groupby(keys, sort=False)
+            .size()
+            .rename(distinct_name)
+        )
+        out = c.join(d).reset_index()
+        out[distinct_name] = out[distinct_name].fillna(0).astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .groupby("_ashard")
+        .map_groups(reduce_shard, batch_format="pandas")
+    )

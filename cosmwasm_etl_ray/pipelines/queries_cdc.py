@@ -25,7 +25,8 @@ import pyarrow.compute as pc
 import ray.data
 
 from cosmwasm_etl_ray.config import EngineConfig
-from cosmwasm_etl_ray.functions.agg import grouped_agg
+from cosmwasm_etl_ray.functions.agg import grouped_agg, stats_with_distinct
+from cosmwasm_etl_ray.functions.hashing import stable_hash64
 from cosmwasm_etl_ray.functions.hashing import sha256_hex
 from cosmwasm_etl_ray.pipelines.replay import quick_final_state
 from cosmwasm_etl_ray.sources.changes import CHANGES_CTE, changes_from_documents
@@ -80,35 +81,26 @@ def _with_window(sf_dir: str) -> "ray.data.Dataset":
     return changes_from_documents(sf_dir).map_batches(w, batch_format="pyarrow")
 
 
-def cdc_change_stats(sf_dir: str) -> pd.DataFrame:
+def cdc_change_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per (repo, commit-window): event counts by op + distinct paths —
     the reference's count(distinct) FILTER pattern
-    (/root/reference/pkg/db/parser/repository.go:285-446). Counts fold
-    map-side; exact distincts via per-batch triple dedup + final dedup."""
+    (/root/reference/pkg/db/parser/repository.go:285-446). ONE shuffle:
+    per-batch count partials and deduped distinct rows flow as a tagged
+    stream, shard by key hash, reduce vectorized per shard — the
+    high-cardinality key space never lands on the driver."""
 
     def measures(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(is_delete=(df["op"] == "delete").astype("int64"))
         return df[["repo", "window", "path", "is_delete"]]
 
     win = _with_window(sf_dir).map_batches(measures, batch_format="pandas")
-    base = grouped_agg(
+    return stats_with_distinct(
         win,
         keys=["repo", "window"],
         spec={"n_events": ("is_delete", "count"), "n_deletes": ("is_delete", "sum")},
+        distinct_col="path",
+        distinct_name="distinct_paths",
     )
-    triples = (
-        win.map_batches(
-            lambda df: df[["repo", "window", "path"]].drop_duplicates(),
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .drop_duplicates()
-    )
-    distinct = (
-        triples.groupby(["repo", "window"]).size().reset_index(name="distinct_paths")
-    )
-    out = base.merge(distinct, on=["repo", "window"])
-    return out[["repo", "window", "n_events", "n_deletes", "distinct_paths"]]
 
 
 def cdc_history(sf_dir: str) -> pd.DataFrame:
@@ -131,21 +123,31 @@ def cdc_first_seen(sf_dir: str) -> pd.DataFrame:
     (/root/reference/pkg/db/parser/repository.go:677-743). min-commit
     per key is associative → per-batch partial fold, small final fold."""
 
+    import numpy as np
+
     def partial_first(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("commit", kind="stable").drop_duplicates(
             ["repo", "path"], keep="first"
         )
-        return df[["repo", "path", "commit", "op"]]
+        df = df[["repo", "path", "commit", "op"]].copy()
+        cols = [df["repo"].to_numpy().astype("U"), df["path"].to_numpy().astype("U")]
+        df["_ashard"] = (stable_hash64(*cols) % np.uint64(64)).astype("int32")
+        return df
 
-    partials = (
+    def final_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("commit", kind="stable")
+            .drop_duplicates(["repo", "path"], keep="first")
+            .drop(columns=["_ashard"])
+        )
+
+    # per-batch argmin partial → key-hash shard → per-shard vectorized
+    # final fold: the full key space never reduces on the driver
+    return (
         changes_from_documents(sf_dir)
         .map_batches(partial_first, batch_format="pandas")
-        .to_pandas()
-    )
-    return (
-        partials.sort_values("commit", kind="stable")
-        .drop_duplicates(["repo", "path"], keep="first")
-        .reset_index(drop=True)
+        .groupby("_ashard")
+        .map_groups(final_first, batch_format="pandas")
     )
 
 

@@ -16,7 +16,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min
 
-from cosmwasm_etl_ray.functions.agg import grouped_agg
+from cosmwasm_etl_ray.functions.agg import grouped_agg, stats_with_distinct
 from cosmwasm_etl_ray.functions.joins import broadcast_join, hash_join
 
 _CUTOFF = "1998-09-02"
@@ -212,13 +212,12 @@ def status_revenue_hashjoin(sf_dir: str) -> pd.DataFrame:
     return agg[["o_orderstatus", "revenue", "n_items"]]
 
 
-def events_window_stats(sf_dir: str) -> pd.DataFrame:
+def events_window_stats(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling 30-min window per user: the pair_stats_30m analogue
-    (A3/A4: count, distinct types, sum). Counts/sums reduce via
-    map-side partials; the exact distinct reduces via per-batch dedup
-    of (user, window, type) triples then a final dedup+count — the
-    partial-distinct pattern (triples are bounded by
-    users × windows × type-alphabet, far below event count)."""
+    (A3/A4: count, distinct types, sum). ONE shuffle: per-batch count
+    partials and deduped (user, window, type) rows flow as a tagged
+    stream, shard by key hash, reduce vectorized per shard — the
+    user × window key space never materializes on the driver."""
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
 
     def add_window(df: pd.DataFrame) -> pd.DataFrame:
@@ -226,27 +225,13 @@ def events_window_stats(sf_dir: str) -> pd.DataFrame:
         return df.drop(columns=["ts"])
 
     windowed = ev.map_batches(add_window, batch_format="pandas")
-    base = grouped_agg(
+    return stats_with_distinct(
         windowed,
         keys=["user_id", "window_start"],
         spec={"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+        distinct_col="event_type",
+        distinct_name="n_types",
     )
-
-    def distinct_triples(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["user_id", "window_start", "event_type"]].drop_duplicates()
-
-    triples = (
-        windowed.map_batches(distinct_triples, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    n_types = (
-        triples.groupby(["user_id", "window_start"])
-        .size()
-        .reset_index(name="n_types")
-    )
-    out = base.merge(n_types, on=["user_id", "window_start"])
-    return out[["user_id", "window_start", "n_events", "n_types", "sum_value"]]
 
 
 def events_asof_signup(sf_dir: str) -> "ray.data.Dataset":

@@ -48,3 +48,53 @@ def test_grouped_agg_two_counts_and_only_counts():
     ds = ray.data.from_pandas(df)
     got = grouped_agg(ds, keys=["k"], spec={"n1": ("v", "count"), "n2": ("k", "count")})
     assert got["n1"].tolist() == got["n2"].tolist() == [2, 2, 1]
+
+
+def test_grouped_agg_shuffle_mode_equals_driver_mode():
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 500, 20_000).astype(str),  # high cardinality
+            "x": rng.normal(size=20_000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    spec = {"sum_x": ("x", "sum"), "n": ("x", "count"), "mean_x": ("x", "mean")}
+    drv = grouped_agg(ds, ["k"], spec).sort_values("k").reset_index(drop=True)
+    shf = (
+        grouped_agg(ds, ["k"], spec, final="shuffle", shards=16)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(drv, shf, check_dtype=False, check_exact=False)
+
+
+def test_stats_with_distinct_matches_pandas():
+    from cosmwasm_etl_ray.functions.agg import stats_with_distinct
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 300, 30_000).astype(str),
+            "t": rng.choice(list("abcdef"), 30_000),
+            "v": rng.integers(0, 50, 30_000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = (
+        stats_with_distinct(
+            ds, ["k"], {"n": ("v", "count"), "sv": ("v", "sum")},
+            distinct_col="t", distinct_name="nt", shards=16, batch_size=2048,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expect = (
+        df.groupby("k", as_index=False)
+        .agg(n=("v", "count"), sv=("v", "sum"), nt=("t", "nunique"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
