@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data
@@ -32,6 +33,7 @@ from cosmwasm_etl_ray.stages.merge import (
     KEY_COLS,
     OP_COL,
     MergeWithState,
+    fold_lww_arrow,
     fold_override,
     fold_partial,
     fold_partial_arrow,
@@ -107,7 +109,7 @@ def apply_epoch(
         quarantine_root=store.quarantine_dir,
     )
 
-    def merge_fn(group: pd.DataFrame) -> pd.DataFrame:
+    def merge_fn(group):
         return merge(group)
 
     mg_kwargs = {}
@@ -115,7 +117,7 @@ def apply_epoch(
         mg_kwargs["concurrency"] = cfg.merge_concurrency
     stats = (
         flagged.groupby("pid")
-        .map_groups(merge_fn, batch_format="pandas", **mg_kwargs)
+        .map_groups(merge_fn, batch_format="pyarrow", **mg_kwargs)
         .to_pandas()
     )
 
@@ -203,25 +205,39 @@ def quick_final_state(
     changes: "ray.data.Dataset", cfg: EngineConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":
     """Single-shot replay with no persistent store (for oracle-checked
-    queries and tests): same operators, minus the sink."""
+    queries and tests): same operators, minus the sink. The final fold
+    runs in Arrow (override mode is the pandas exception, like the
+    merge stage)."""
     flagged = changes.map_batches(
         FlagAndPartition(cfg.num_partitions), batch_format="pyarrow"
     )
-    fold = fold_override if cfg.override_coalesce else fold_partial
-    if not cfg.override_coalesce:
-        flagged = flagged.map_batches(
-            fold_partial_arrow, batch_format="pyarrow", batch_size=cfg.batch_size
+    if cfg.override_coalesce:
+
+        def fold_and_finalize_pd(g: pd.DataFrame) -> pd.DataFrame:
+            g = g[g["valid"]].drop(columns=["valid"])
+            f = fold_override(g)
+            return f[f[OP_COL] != "delete"].drop(
+                columns=[c for c in ("pid", "key64") if c in f.columns]
+            )
+
+        return flagged.groupby("pid").map_groups(
+            fold_and_finalize_pd, batch_format="pandas"
         )
 
-    def fold_and_finalize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["valid"]].drop(columns=["valid"])
-        f = fold(g)
-        return f[f[OP_COL] != "delete"].drop(
-            columns=[c for c in ("pid", "key64") if c in f.columns]
-        )
+    flagged = flagged.map_batches(
+        fold_partial_arrow, batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+
+    def fold_and_finalize(g: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        g = g.filter(g["valid"].combine_chunks()).drop_columns(["valid"])
+        f = fold_lww_arrow(g)
+        f = f.filter(pc.not_equal(f[OP_COL], pa.scalar("delete")))
+        return f.drop_columns([c for c in ("pid", "key64") if c in f.column_names])
 
     return flagged.groupby("pid").map_groups(
-        fold_and_finalize, batch_format="pandas"
+        fold_and_finalize, batch_format="pyarrow"
     )
 
 

@@ -111,6 +111,27 @@ def fold_partial_arrow(t: pa.Table) -> pa.Table:
     return t.take(pa.array(keep))
 
 
+def fold_lww_arrow(t: pa.Table) -> pa.Table:
+    """Arrow-native whole-row LWW fold by EXACT (repo, path) keys —
+    the merge-stage twin of fold_partial: max-commit row per key, ties
+    on equal commit broken by input position (prior state is
+    concatenated before the epoch's rows, so state loses to same-commit
+    re-applies exactly like the pandas fold). Only (repo, path, commit)
+    convert to numpy; the wide content strings are moved by a single
+    zero-copy ``take``. Output rows come out key-sorted — the
+    deterministic file order the sink wants — without a pandas trip."""
+    n = t.num_rows
+    if n <= 1:
+        return t
+    repo = np.asarray(t["repo"].to_numpy(zero_copy_only=False), dtype="U")
+    path = np.asarray(t["path"].to_numpy(zero_copy_only=False), dtype="U")
+    commit = pc.cast(t["commit"], pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((np.arange(n), commit, path, repo))
+    r, p = repo[order], path[order]
+    is_last = np.r_[(r[1:] != r[:-1]) | (p[1:] != p[:-1]), True]
+    return t.take(pa.array(order[is_last]))
+
+
 def fold_override(df: pd.DataFrame) -> pd.DataFrame:
     """Column-coalesce fold (Override semantics) with tombstone barrier.
 
@@ -176,22 +197,30 @@ def _to_arrow(df: pd.DataFrame) -> pa.Table:
 
 class MergeWithState:
     """The per-partition merge stage — runs under
-    ``groupby("pid").map_groups`` as an actor pool.
+    ``groupby("pid").map_groups`` (one task per partition group; the
+    prior state is re-read from its Parquet file once per epoch, which
+    is the deliberate cheap-restart design — the actor-resident
+    alternative that keeps state in process memory across epochs is
+    ``state.actor_state.ActorStateTier``).
 
-    One call = one partition's folded change rows for this epoch.
-    Reads the partition's prior state file (additive schema evolution:
-    missing columns null-backfill via pandas concat alignment), folds,
-    writes ``epoch={e}/part-{pid:05d}.parquet`` atomically
+    One call = one partition's folded change rows for this epoch, AS AN
+    ARROW TABLE: the quarantine split, the prior-state concat (additive
+    schema evolution: ``promote_options="permissive"`` null-backfills
+    missing columns) and the LWW fold all run in Arrow, so the wide
+    ``content`` strings never convert to Python/pandas objects on the
+    hot path (override mode is the documented pandas exception — its
+    column-wise coalesce is not batch-combinable either).
+    Writes ``epoch={e}/part-{pid:05d}.parquet`` atomically
     (tmp + rename → task retries self-overwrite, never append — the
     exactly-once write half; the manifest commit is the other half),
-    and returns a one-row stats frame (the lineage record).
+    and returns a one-row stats table (the lineage record).
 
     This is the ST1 analogue: the reference holds the pair key set in
     process memory and mutates it serially
     (/root/reference/parser/dex/dezswap/app.go:42-68); here each
     partition's key set lives in its state file and is owned by
-    whichever actor processes that pid group — state is partition-local
-    because keys route by pure hash.
+    whichever worker processes that pid group — state is
+    partition-local because keys route by pure hash.
     """
 
     def __init__(
@@ -213,49 +242,58 @@ class MergeWithState:
                 os.path.join(quarantine_root, f"epoch={epoch}"), exist_ok=True
             )
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        pid = int(group["pid"].iloc[0])
+    def __call__(self, group: pa.Table) -> pa.Table:
+        pid = int(group["pid"][0].as_py())
+        n_in = group.num_rows
 
         n_quarantined = 0
-        if "valid" in group.columns:
-            mask = group["valid"].to_numpy()
-            bad = group[~mask]
-            group = group[mask].drop(columns=["valid"])
-            n_quarantined = len(bad)
+        if "valid" in group.column_names:
+            valid = group["valid"].combine_chunks()
+            bad = group.filter(pc.invert(valid))
+            group = group.filter(valid).drop_columns(["valid"])
+            n_quarantined = bad.num_rows
             if n_quarantined and self.quarantine_root:
                 qout = os.path.join(
                     self.quarantine_root,
                     f"epoch={self.epoch}",
                     f"part-{pid:05d}.parquet",
                 )
-                bad = bad.drop(columns=["valid"]).assign(
-                    error="invalid_commit_or_op"
+                bad = bad.drop_columns(["valid"]).append_column(
+                    "error",
+                    pa.array(["invalid_commit_or_op"] * n_quarantined, pa.string()),
                 )
                 tmp = f"{qout}.tmp.{os.getpid()}"
-                pq.write_table(_to_arrow(bad), tmp)
+                pq.write_table(bad, tmp)
                 os.replace(tmp, qout)
 
-        parts = [group]
         prior = self.prior_files.get(pid)
         if prior is not None:
-            parts.insert(0, pq.read_table(prior).to_pandas())
-        allrows = pd.concat(parts, ignore_index=True)  # aligns evolved columns
-        folded = (fold_override if self.override else fold_partial)(allrows)
-        folded = folded.sort_values(KEY_COLS, kind="stable")  # deterministic file
+            allrows = pa.concat_tables(
+                [pq.read_table(prior), group], promote_options="permissive"
+            )
+        else:
+            allrows = group
+
+        if self.override:
+            folded_df = fold_override(allrows.to_pandas())
+            folded_df = folded_df.sort_values(KEY_COLS, kind="stable")
+            folded = _to_arrow(folded_df)
+        else:
+            folded = fold_lww_arrow(allrows)  # comes out key-sorted
 
         out = os.path.join(self.state_root, f"epoch={self.epoch}", f"part-{pid:05d}.parquet")
         tmp = f"{out}.tmp.{os.getpid()}"
-        pq.write_table(_to_arrow(folded), tmp)
+        pq.write_table(folded, tmp)
         os.replace(tmp, out)
 
-        live = int((folded[OP_COL] != "delete").sum())
-        return pd.DataFrame(
+        live = int(pc.sum(pc.not_equal(folded[OP_COL], pa.scalar("delete"))).as_py() or 0)
+        return pa.table(
             {
-                "pid": [pid],
-                "rows": [len(folded)],
-                "live_rows": [live],
-                "merged_partials": [len(group)],
-                "quarantined": [n_quarantined],
-                "file": [out],
+                "pid": pa.array([pid], pa.int64()),
+                "rows": pa.array([folded.num_rows], pa.int64()),
+                "live_rows": pa.array([live], pa.int64()),
+                "merged_partials": pa.array([n_in], pa.int64()),
+                "quarantined": pa.array([n_quarantined], pa.int64()),
+                "file": pa.array([out], pa.string()),
             }
         )

@@ -28,9 +28,13 @@ import ray
 import ray.data
 
 from cosmwasm_etl_ray.config import EngineConfig
-from cosmwasm_etl_ray.stages.merge import MergeWithState, fold_partial
+from cosmwasm_etl_ray.stages.merge import (
+    MergeWithState,
+    _to_arrow,
+    fold_partial,
+    fold_partial_arrow,
+)
 from cosmwasm_etl_ray.stages.normalize import FlagAndPartition
-from cosmwasm_etl_ray.stages.merge import fold_partial_arrow
 
 
 @ray.remote
@@ -103,11 +107,11 @@ class ActorStateTier:
             for pid, frame in shard.items():
                 f = frame.copy()
                 f["pid"] = pid
-                row = merge(f)
+                row = merge(_to_arrow(f))  # merge stage is Arrow-native
                 touched[int(pid)] = {
-                    "file": row["file"].iloc[0],
-                    "rows": int(row["rows"].iloc[0]),
-                    "live_rows": int(row["live_rows"].iloc[0]),
+                    "file": row["file"][0].as_py(),
+                    "rows": int(row["rows"][0].as_py()),
+                    "live_rows": int(row["live_rows"][0].as_py()),
                 }
         counts = {
             "input_events": None,

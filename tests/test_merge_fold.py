@@ -147,3 +147,35 @@ def test_equal_commit_tie_breaks_by_input_order(commit_tie):
         ]
     )
     assert fold_partial(df)["content"].tolist() == ["second"]
+
+
+def test_fold_lww_arrow_equals_pandas_fold():
+    """The Arrow merge fold and the pandas fold pick identical winners
+    (max commit per exact key, ties to later input position)."""
+    import pyarrow as pa
+    from cosmwasm_etl_ray.stages.merge import fold_lww_arrow
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(5000):
+        rows.append(
+            ev(
+                f"r{rng.integers(0, 20)}",
+                f"p{rng.integers(0, 50)}",
+                int(rng.integers(0, 30)),  # many commit ties
+                op=("delete" if rng.random() < 0.1 else "update"),
+                content=f"c{i}",
+            )
+        )
+    df = pd.DataFrame(rows)
+    expect = (
+        fold_partial(df)
+        .sort_values(["repo", "path"], kind="stable")
+        .reset_index(drop=True)
+    )
+    got = (
+        fold_lww_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect[got.columns.tolist()])
