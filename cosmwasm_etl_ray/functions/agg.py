@@ -115,6 +115,34 @@ def grouped_agg(
     )
 
 
+def sharded_map_groups(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    fn,
+    shards: int = 64,
+) -> "ray.data.Dataset":
+    """Coarse-sharded per-key processing. ``groupby(key).map_groups``
+    with 10k+ tiny keys pays one task + one pandas frame per key —
+    pure overhead. Here rows shard by key hash (a key's rows land in
+    exactly one shard) and ``fn`` receives a whole shard once; fn must
+    handle ALL its keys vectorized (sort + groupby-transform), which
+    preserves per-key semantics at ~shards tasks total."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_gshard"] = _key_shard(df, keys, shards)
+        return df
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["_gshard"]))
+
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("_gshard")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def stats_with_distinct(
     ds: "ray.data.Dataset",
     keys: list[str],

@@ -23,18 +23,20 @@ def _read(sf_dir: str, table: str, columns=None):
 def cdc_prev_commit(sf_dir: str) -> "ray.data.Dataset":
     """Per change event: the key's previous commit (LAG over the
     per-key ordered stream — the in-stream as-of lookup, J5 analogue).
-    Partitioned by key, sorted within group: the engine's per-key
-    ordering contract."""
+    Coarse-sharded by key hash, shift per key via vectorized groupby —
+    not one task per (repo, path)."""
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("commit", kind="stable")
-        g["prev_commit"] = g["commit"].shift(1)
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["repo", "path", "commit"], kind="stable")
+        prev = g.groupby(["repo", "path"], sort=False)["commit"].shift(1)
+        # real nulls (not float NaN) so the Arrow block carries them as
+        # string-typed nulls like the SQL twin
+        g["prev_commit"] = prev.astype(object).where(prev.notna(), None)
         return g[["repo", "path", "commit", "op", "prev_commit"]]
 
-    return (
-        changes_from_documents(sf_dir)
-        .groupby(["repo", "path"])
-        .map_groups(per_key, batch_format="pandas")
+    return sharded_map_groups(
+        changes_from_documents(sf_dir), ["repo", "path"], per_shard
     )
 
 
@@ -44,25 +46,29 @@ def events_sessionize(sf_dir: str) -> "ray.data.Dataset":
     (ray_guide 'Streaming-shaped workloads'). Session id = cumulative
     count of gap-breaks; output = one row per session."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        g["session_id"] = gap.cumsum().astype("int64")
-        out = g.groupby("session_id").agg(
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        by_user = g["user_id"]
+        gap = (g["ts"] - g.groupby(by_user, sort=False)["ts"].shift(1)) > pd.Timedelta(
+            minutes=30
+        )
+        g["session_id"] = gap.astype("int64").groupby(by_user, sort=False).cumsum()
+        out = g.groupby(["user_id", "session_id"], sort=False).agg(
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("event_id", "count"),
         )
-        out["user_id"] = g["user_id"].iloc[0]
         out["n_events"] = out["n_events"].astype("int64")
         return out.reset_index()[
             ["user_id", "session_id", "session_start", "session_end", "n_events"]
         ]
 
-    return (
-        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+    return sharded_map_groups(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        ["user_id"],
+        per_shard,
     )
 
 
@@ -139,32 +145,31 @@ def events_error_click_match(sf_dir: str) -> "ray.data.Dataset":
     reconciliation (/root/reference/parser/dex/terraswap/columbusv2/
     app.go:200-268, M10/J8: multi-map consume in order)."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        errors = g[g["event_type"] == "error"].reset_index(drop=True)
-        clicks = g[g["event_type"] == "click"].reset_index(drop=True)
-        n = min(len(errors), len(clicks))
-        if n == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series(dtype="int64"),
-                    "error_event_id": pd.Series(dtype="int64"),
-                    "click_event_id": pd.Series(dtype="int64"),
-                }
-            )
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        errors = g[g["event_type"] == "error"].copy()
+        clicks = g[g["event_type"] == "click"].copy()
+        errors["rn"] = errors.groupby("user_id", sort=False).cumcount()
+        clicks["rn"] = clicks.groupby("user_id", sort=False).cumcount()
+        m = errors.merge(clicks, on=["user_id", "rn"], suffixes=("_e", "_c"))
         return pd.DataFrame(
             {
-                "user_id": errors["user_id"].iloc[:n].to_numpy(),
-                "error_event_id": errors["event_id"].iloc[:n].to_numpy(),
-                "click_event_id": clicks["event_id"].iloc[:n].to_numpy(),
+                "user_id": m["user_id"].astype("int64"),
+                "error_event_id": m["event_id_e"].astype("int64"),
+                "click_event_id": m["event_id_c"].astype("int64"),
             }
         )
 
-    return (
-        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+    # pre-filter to the two matched types before the shuffle
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["error", "click"]))
+        ),
+        batch_format="pyarrow",
     )
+    return sharded_map_groups(ev, ["user_id"], per_shard)
 
 
 QUERIES = {

@@ -134,7 +134,12 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     ).map_batches(FilterOrders, batch_format="pyarrow", concurrency=(1, 8))
 
     joined = hash_join(
-        orders_dim, _li_rev_partials(sf_dir), on="o_orderkey", right_fold=_fold_rev
+        orders_dim,
+        _li_rev_partials(sf_dir),
+        on="o_orderkey",
+        right_fold=_fold_rev,
+        left_cols=["o_orderkey", "o_orderdate"],
+        right_cols={"o_orderkey": "int64", "rev_e4": "int64"},
     )
 
     def local_top(df: pd.DataFrame) -> pd.DataFrame:
@@ -169,7 +174,12 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     ).select_columns(["o_orderkey", "n_name"])
 
     joined = hash_join(
-        orders_dim, _li_rev_partials(sf_dir), on="o_orderkey", right_fold=_fold_rev
+        orders_dim,
+        _li_rev_partials(sf_dir),
+        on="o_orderkey",
+        right_fold=_fold_rev,
+        left_cols=["o_orderkey", "n_name"],
+        right_cols={"o_orderkey": "int64", "rev_e4": "int64"},
     )
     agg = grouped_agg(joined, keys=["n_name"], spec={"rev_e4": ("rev_e4", "sum")})
     agg["revenue"] = agg["rev_e4"] / 10000.0
@@ -202,7 +212,12 @@ def status_revenue_hashjoin(sf_dir: str) -> pd.DataFrame:
     def rev(t: pa.Table) -> pa.Table:
         return pa.table({"o_orderkey": t["l_orderkey"], "rev_e4": _rev_e4(t)})
 
-    joined = hash_join(orders, li.map_batches(rev, batch_format="pyarrow"), on="o_orderkey")
+    joined = hash_join(
+        orders,
+        li.map_batches(rev, batch_format="pyarrow"),
+        on="o_orderkey",
+        right_cols={"o_orderkey": "int64", "rev_e4": "int64"},
+    )
     agg = grouped_agg(
         joined,
         keys=["o_orderstatus"],
@@ -237,29 +252,43 @@ def events_window_stats(sf_dir: str) -> "ray.data.Dataset":
 def events_asof_signup(sf_dir: str) -> "ray.data.Dataset":
     """As-of (backward) join within key: for each purchase, the latest
     strictly-prior signup ts of the same user — the LATERAL as-of price
-    join graft (/root/reference/pkg/db/parser/repository.go:321-325)."""
+    join graft (/root/reference/pkg/db/parser/repository.go:321-325).
+    Coarse-sharded by user hash; shift/ffill run per-user via vectorized
+    groupby transforms."""
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         sign_ts = g["ts"].where(g["event_type"] == "signup")
-        g["last_signup_ts"] = sign_ts.shift(1).ffill()
+        by_user = g["user_id"]
+        g["last_signup_ts"] = (
+            sign_ts.groupby(by_user, sort=False)
+            .shift(1)
+            .groupby(by_user, sort=False)
+            .ffill()
+        )
         out = g[g["event_type"] == "purchase"]
         return out[["event_id", "user_id", "ts", "last_signup_ts"]]
 
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return sharded_map_groups(ev, ["user_id"], per_shard)
 
 
 def orders_running_total(sf_dir: str) -> "ray.data.Dataset":
-    """Per-customer ordered prefix sum (lp_history A2 pattern)."""
+    """Per-customer ordered prefix sum (lp_history A2 pattern).
+    Coarse-sharded by customer hash — one vectorized groupby-cumsum per
+    shard instead of one task per customer (10k tiny groups)."""
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
 
-    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="stable")
-        g["running_total"] = g["o_totalprice"].cumsum()
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="stable")
+        g["running_total"] = g.groupby("o_custkey", sort=False)["o_totalprice"].cumsum()
         return g[["o_custkey", "o_orderkey", "o_orderdate", "running_total"]]
 
-    return orders.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+    return sharded_map_groups(orders, ["o_custkey"], per_shard)
 
 
 def global_stats(sf_dir: str) -> pd.DataFrame:
