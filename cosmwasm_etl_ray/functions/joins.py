@@ -108,10 +108,17 @@ def hash_join(
         )
         if right_fold is not None and not rhs.empty:
             rhs = right_fold(rhs)
-        if lhs.empty or rhs.empty:
+        if lhs.empty:
+            return pd.DataFrame()
+        if rhs.empty:
             if how == "inner":
                 return pd.DataFrame()
-            raise NotImplementedError("outer hash_join on empty side")
+            if how == "left":
+                for c in right_names:
+                    if c not in on:
+                        lhs[c] = np.nan
+                return lhs
+            raise NotImplementedError(f"hash_join how={how!r} on empty side")
         return lhs.merge(rhs, on=on, how=how, suffixes=suffixes)
 
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

@@ -109,16 +109,21 @@ class DerivedTask:
         df.to_parquet(tmp, index=False)
         os.replace(tmp, self._epoch_out(epoch))
 
-    def run(self) -> list[int]:
+    def run(self, parent_cursor: int | None = None) -> list[int]:
         """Process every replay epoch the parent has committed but this
         task hasn't (the parent-height wait: we never run ahead of the
-        replay manifest)."""
+        replay manifest). ``parent_cursor`` adds a second barrier for
+        task-DAG parents (the waitUntilReachingHeight analogue,
+        /root/reference/aggregator/task.go:785-811): epochs beyond the
+        parent task's cursor are left for a later tick."""
         done = []
         parent_epochs = self.store.committed_epochs()
         start = (self.cursor() + 1) if self.cursor() is not None else 0
         for e in parent_epochs:
             if e < start:
                 continue
+            if parent_cursor is not None and e > parent_cursor:
+                break
             manifest = self.store.manifest(e)
             self.process_epoch(e, manifest)
             done.append(e)
@@ -300,10 +305,21 @@ class LangWindowStatsTask(DerivedTask):
 
 
 def run_all_tasks(store, cfg: EngineConfig) -> dict[str, list[int]]:
-    """The scheduler tick: run each task over newly committed parent
-    epochs, in dependency order (window_stats has no parent beyond the
-    replay; repo_history likewise — a deeper DAG would order here)."""
+    """The scheduler tick, in dependency order mirroring the
+    reference's lp_history → price → pair/account stats chain
+    (/root/reference/aggregator/aggregator.go:69-84): window_stats and
+    repo_history hang directly off the replay; the cross-key PriceTask
+    runs next; lang_window_stats (the account-stats shape) is gated on
+    the price cursor — it never processes an epoch the price stage
+    hasn't reached."""
+    from cosmwasm_etl_ray.pipelines.price import PriceTask
+
     out = {}
-    for cls in (WindowStatsTask, RepoHistoryTask, LangWindowStatsTask):
-        out[cls.name] = cls(store, cfg).run()
+    out[WindowStatsTask.name] = WindowStatsTask(store, cfg).run()
+    out[RepoHistoryTask.name] = RepoHistoryTask(store, cfg).run()
+    price = PriceTask(store, cfg)
+    out[PriceTask.name] = price.run()
+    out[LangWindowStatsTask.name] = LangWindowStatsTask(store, cfg).run(
+        parent_cursor=price.cursor()
+    )
     return out

@@ -1,0 +1,465 @@
+"""Price derivation + router — the cross-key stateful derived stage.
+
+Graft of the reference's price/route subsystem, the one stage whose
+value for an event depends on OTHER keys' state as-of that event:
+
+- direct price (/root/reference/pkg/dex/price/price.go:125-175): on
+  every swap, price = asset ratio of the touched pair. Graft:
+  ``rel_size`` — for every change event, the emitting repo's running
+  live-char count divided by the BASE repo's running count as-of that
+  commit (a cross-key as-of read in commit order).
+- route DFS (/root/reference/pkg/dex/router/router.go:22-45,
+  route_info.go:31-181): routes between tokens through pairs, rebuilt
+  only when the pair set grows, sorted by hop count then lexicographic
+  order (O4). Graft: repos link through langs they have live files of
+  (a bipartite repo–lang graph derived from replayed state); shortest
+  routes to the base repo with the same (hops, lexicographic) order.
+- indirect price (price.go:194-408): walk the route multiplying
+  per-hop pool ratios. Graft: per-hop node-size ratios — which
+  telescope, so the reported value is the exact endpoint ratio (the
+  honest float choice); the walk itself (route resolve + per-hop
+  liquidity lookup, J9) is what the machinery exercises.
+
+Physical design (SURVEY §7.4 "hard parts"):
+- per-repo running sums are PARTITION-LOCAL (shard by repo, vectorized
+  cumsum in commit order);
+- the cross-key denominator is ONE repo's curve — broadcast once per
+  epoch and binary-searched per batch (the in-memory as-of search,
+  J5 / aggregator/task.go:558-578), never a shuffle;
+- the incremental task (PriceTask) runs under an epoch barrier: it
+  joins each epoch's events against the PRIOR epoch's replayed state
+  (the J6 state ⋈ events join) for previous content lengths, carries
+  per-repo totals (token-cardinality state, like the reference's price
+  cache ST3) and the base-curve tail between epochs, and rebuilds the
+  route table only when the edge set changes (ST4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from cosmwasm_etl_ray.config import EngineConfig
+from cosmwasm_etl_ray.functions.agg import grouped_agg, sharded_map_groups
+from cosmwasm_etl_ray.functions.joins import hash_join
+
+BASE_REPO = "mono"
+MAX_HOPS = 4
+
+
+# ---------------------------------------------------------------- direct price
+
+
+def _event_lengths(t: pa.Table) -> pa.Table:
+    """Per event: the length the key has AFTER the event (0 for delete)."""
+    ln = pc.if_else(
+        pc.equal(t["op"], pa.scalar("delete")),
+        pa.scalar(0, pa.int64()),
+        pc.cast(pc.utf8_length(t["content"]), pa.int64()),
+    )
+    return pa.table(
+        {"repo": t["repo"], "path": t["path"], "commit": t["commit"], "new_len": ln}
+    )
+
+
+def repo_size_stream(
+    changes: "ray.data.Dataset", shards: int = 32
+) -> "ray.data.Dataset":
+    """(repo, commit, repo_chars): each repo's running live-char total
+    after every one of its events, in commit order. ONE shuffle: shard
+    by repo; within a shard both the per-(repo,path) previous-length
+    lag and the per-repo cumulative sum are vectorized groupby
+    transforms."""
+    ev = changes.map_batches(_event_lengths, batch_format="pyarrow")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["repo", "path", "commit"], kind="stable")
+        prev = (
+            g.groupby(["repo", "path"], sort=False)["new_len"].shift(1).fillna(0)
+        )
+        g["delta"] = g["new_len"] - prev.astype("int64")
+        g = g.sort_values(["repo", "commit"], kind="stable")
+        g["repo_chars"] = (
+            g.groupby("repo", sort=False)["delta"].cumsum().astype("int64")
+        )
+        return g[["repo", "commit", "repo_chars"]]
+
+    return sharded_map_groups(ev, ["repo"], per_shard, shards=shards)
+
+
+def rel_size_stream(
+    changes: "ray.data.Dataset", base: str = BASE_REPO, shards: int = 32
+) -> "ray.data.Dataset":
+    """Direct-price analogue: every event's repo_chars divided by the
+    base repo's chars as-of that commit. The base curve (one repo's
+    series) is broadcast once; each batch binary-searches it."""
+    sizes = repo_size_stream(changes, shards=shards)
+    base_df = (
+        sizes.filter(expr=f"repo == '{base}'")
+        .to_pandas()
+        .sort_values("commit", kind="stable")
+    )
+    curve_ref = ray.put(
+        (base_df["commit"].to_numpy().astype("U"), base_df["repo_chars"].to_numpy())
+    )
+
+    class RelSize:
+        def __init__(self):
+            self.commits, self.chars = ray.get(curve_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            idx = np.searchsorted(self.commits, df["commit"].to_numpy().astype("U"), side="right") - 1
+            ok = idx >= 0
+            df = df[ok].copy()
+            base_chars = self.chars[idx[ok]]
+            df = df[base_chars > 0].copy()
+            df["rel_size"] = df["repo_chars"].to_numpy() / base_chars[base_chars > 0]
+            return df[["repo", "commit", "repo_chars", "rel_size"]]
+
+    return sizes.map_batches(RelSize, batch_format="pandas", concurrency=(1, 8))
+
+
+# --------------------------------------------------------------------- router
+
+
+def repo_lang_graph(state: "ray.data.Dataset") -> tuple[pd.DataFrame, pd.DataFrame]:
+    """From live state: (edges repo↔lang with n_files 'liquidity',
+    node sizes in chars). Both are token-cardinality small (distributed
+    pre-agg, driver-resident result — the reference's route/price cache
+    scale, ST3/ST4)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "lang": t["lang"],
+                "chars": pc.cast(pc.utf8_length(t["content"]), pa.int64()),
+            }
+        )
+
+    rl = grouped_agg(
+        state.map_batches(prep, batch_format="pyarrow"),
+        keys=["repo", "lang"],
+        spec={"n_files": ("chars", "count"), "chars": ("chars", "sum")},
+    )
+    edges = rl[["repo", "lang", "n_files"]].copy()
+    repo_sizes = rl.groupby("repo", as_index=False)["chars"].sum()
+    lang_sizes = rl.groupby("lang", as_index=False)["chars"].sum()
+    sizes = pd.concat(
+        [
+            repo_sizes.rename(columns={"repo": "node"}),
+            lang_sizes.rename(columns={"lang": "node"}).assign(
+                node=lambda d: "lang:" + d["node"]
+            ),
+        ],
+        ignore_index=True,
+    )
+    return edges, sizes
+
+
+def shortest_routes(
+    edges: pd.DataFrame, base: str = BASE_REPO, max_hops: int = MAX_HOPS
+) -> pd.DataFrame:
+    """Deterministic shortest routes from every repo to the base repo
+    over the bipartite repo–lang graph. Order: hop count, then
+    lexicographically smallest route string (the reference's route sort
+    O4, /root/reference/pkg/dex/router/route_info.go:130-147).
+    Driver-side BFS over the token-cardinality edge list, recomputed
+    only when the edge set changes (ST4 rebuild-on-growth)."""
+    adj: dict[str, set[str]] = {}
+    for r in edges.itertuples():
+        u, v = r.repo, f"lang:{r.lang}"
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    if base not in adj:
+        return pd.DataFrame(columns=["repo", "hops", "route"])
+
+    # BFS distances from base
+    dist = {base: 0}
+    frontier = [base]
+    while frontier:
+        nxt = []
+        for n in frontier:
+            for m in adj[n]:
+                if m not in dist:
+                    dist[m] = dist[n] + 1
+                    nxt.append(m)
+        frontier = nxt
+
+    # lexicographically-minimal shortest route per node: process nodes
+    # by distance; route(n) = n + '->' + min over predecessors' routes
+    route = {base: base}
+    for n in sorted(dist, key=lambda x: (dist[x], x)):
+        if n == base:
+            continue
+        preds = [m for m in adj[n] if dist.get(m) == dist[n] - 1]
+        route[n] = f"{n}->" + min(route[m] for m in preds)
+
+    rows = [
+        {"repo": n, "hops": dist[n], "route": route[n]}
+        for n in dist
+        if not n.startswith("lang:") and n != base and dist[n] <= max_hops
+    ]
+    return (
+        pd.DataFrame(rows, columns=["repo", "hops", "route"])
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+
+
+def routed_prices(
+    routes: pd.DataFrame, sizes: pd.DataFrame, base: str = BASE_REPO
+) -> pd.DataFrame:
+    """Indirect price via the route walk (J9 route ⋈ sizes resolve):
+    every hop's node must resolve to a positive size; per-hop ratios
+    telescope, so the reported price is the exact endpoint ratio
+    chars(repo)/chars(base) — float-products along the walk would only
+    add rounding noise to the same value."""
+    size_by_node = dict(zip(sizes["node"], sizes["chars"]))
+    rows = []
+    for r in routes.itertuples():
+        nodes = r.route.split("->")
+        if any(size_by_node.get(n, 0) <= 0 for n in nodes):
+            continue  # a dry pool breaks the route (liquidity cutoff)
+        rows.append(
+            {
+                "repo": r.repo,
+                "hops": int(r.hops),
+                "price": size_by_node[nodes[0]] / size_by_node[nodes[-1]],
+            }
+        )
+    return pd.DataFrame(rows, columns=["repo", "hops", "price"])
+
+
+# --------------------------------------------------- incremental derived task
+
+
+class PriceTask:
+    """Incremental rel_size under the epoch barrier — wired between the
+    replay and the window-stats layer like the reference's
+    lp_history → price → pair_stats chain
+    (/root/reference/aggregator/aggregator.go:69-84).
+
+    Per replay epoch e (never ahead of the replay manifest):
+    1. join the epoch's events against the PRIOR epoch's replayed state
+       on (repo, path) for previous content lengths — the J6
+       state ⋈ events join;
+    2. per-repo running sums continue from the carried totals (ST5
+       carry-over; token-cardinality state, like the price cache ST3);
+    3. the base curve tail carries over so as-of lookups cross epoch
+       boundaries;
+    4. the route table recomputes only when the repo–lang edge set
+       changed (ST4) and is stored per epoch.
+    Output: derived/price/epoch={e}.parquet with this epoch's rel_size
+    rows; idempotent overwrite on re-run.
+    """
+
+    name = "price"
+
+    def __init__(self, store, cfg: EngineConfig, base: str = BASE_REPO):
+        self.store = store
+        self.cfg = cfg
+        self.base = base
+        self.root = os.path.join(store.root, "derived", "price")
+        os.makedirs(self.root, exist_ok=True)
+
+    def cursor(self) -> int | None:
+        es = [
+            int(f.split("=")[1].split(".")[0])
+            for f in os.listdir(self.root)
+            if f.startswith("epoch=") and f.endswith(".parquet")
+        ]
+        return max(es) if es else None
+
+    def _out(self, epoch: int) -> str:
+        return os.path.join(self.root, f"epoch={epoch}.parquet")
+
+    def _carry_path(self, epoch: int) -> str:
+        return os.path.join(self.root, f"carry={epoch}.json")
+
+    def _routes_path(self, epoch: int) -> str:
+        return os.path.join(self.root, f"routes={epoch}.parquet")
+
+    def run(self) -> list[int]:
+        done = []
+        start = (self.cursor() + 1) if self.cursor() is not None else 0
+        for e in self.store.committed_epochs():
+            if e < start:
+                continue
+            self.process_epoch(e, self.store.manifest(e))
+            done.append(e)
+        return done
+
+    def process_epoch(self, epoch: int, manifest: dict) -> None:
+        from cosmwasm_etl_ray.pipelines.aggregator import _epoch_source_files
+
+        carry: dict = {"repo_chars": {}, "base_curve": [], "edges_key": None}
+        if epoch > 0 and os.path.exists(self._carry_path(epoch - 1)):
+            with open(self._carry_path(epoch - 1)) as f:
+                carry = json.load(f)
+
+        files = _epoch_source_files(manifest)
+        if not files:
+            self._finish(epoch, pd.DataFrame(
+                columns=["repo", "commit", "repo_chars", "rel_size"]), carry)
+            return
+
+        events = ray.data.read_parquet(
+            files, columns=["repo", "path", "commit", "content", "op"]
+        ).map_batches(_valid_events, batch_format="pyarrow").map_batches(
+            _event_lengths, batch_format="pyarrow"
+        )
+
+        # J6: state ⋈ events for previous lengths (prior epoch's state)
+        prior_files = (
+            list(self.store.partition_files(epoch - 1).values()) if epoch > 0 else []
+        )
+        if prior_files:
+            state = ray.data.read_parquet(
+                prior_files, columns=["repo", "path", "content", "op"]
+            ).map_batches(_state_lengths, batch_format="pyarrow")
+            joined = hash_join(
+                events,
+                state,
+                on=["repo", "path"],
+                how="left",
+                left_cols={"repo": "object", "path": "object",
+                           "commit": "object", "new_len": "int64"},
+                right_cols={"repo": "object", "path": "object",
+                            "state_len": "int64"},
+            )
+        else:
+            joined = events.map_batches(
+                lambda df: df.assign(state_len=0), batch_format="pandas"
+            )
+
+        carry_chars = {k: int(v) for k, v in carry["repo_chars"].items()}
+
+        def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["repo", "path", "commit"], kind="stable")
+            in_epoch_prev = g.groupby(["repo", "path"], sort=False)["new_len"].shift(1)
+            prev = in_epoch_prev.fillna(g["state_len"].fillna(0)).astype("int64")
+            g["delta"] = g["new_len"] - prev
+            g = g.sort_values(["repo", "commit"], kind="stable")
+            cum = g.groupby("repo", sort=False)["delta"].cumsum()
+            seed = g["repo"].map(carry_chars).fillna(0).astype("int64")
+            g["repo_chars"] = (cum + seed).astype("int64")
+            return g[["repo", "commit", "repo_chars"]]
+
+        sizes = sharded_map_groups(joined, ["repo"], per_shard, shards=32).to_pandas()
+        if sizes.empty:  # empty map_batches output loses columns
+            sizes = pd.DataFrame(
+                {"repo": pd.Series(dtype="object"),
+                 "commit": pd.Series(dtype="object"),
+                 "repo_chars": pd.Series(dtype="int64")}
+            )
+
+        # base curve: carried tail + this epoch's base rows
+        prev_curve = pd.DataFrame(
+            carry["base_curve"], columns=["commit", "repo_chars"]
+        )
+        base_rows = sizes[sizes["repo"] == self.base][["commit", "repo_chars"]]
+        curve = (
+            pd.concat([prev_curve, base_rows], ignore_index=True)
+            .sort_values("commit", kind="stable")
+            .reset_index(drop=True)
+        )
+        commits = curve["commit"].to_numpy().astype("U")
+        chars = curve["repo_chars"].to_numpy().astype("int64")
+
+        idx = np.searchsorted(commits, sizes["commit"].to_numpy().astype("U"), side="right") - 1
+        ok = idx >= 0
+        out = sizes[ok].copy()
+        bchars = chars[idx[ok]]
+        out = out[bchars > 0].copy()
+        out["rel_size"] = out["repo_chars"].to_numpy() / bchars[bchars > 0]
+
+        # carry: final per-repo chars + compacted base curve tail
+        final_chars = dict(carry_chars)
+        for repo, grp in sizes.groupby("repo", sort=False):
+            final_chars[repo] = int(grp["repo_chars"].iloc[-1])
+        new_carry = {
+            "repo_chars": final_chars,
+            # only the last base point is needed for future as-ofs at
+            # later commits (epochs are commit-ordered)
+            "base_curve": [
+                [str(c), int(n)]
+                for c, n in curve.tail(1).itertuples(index=False)
+            ],
+            "edges_key": carry.get("edges_key"),
+        }
+        self._finish(epoch, out[["repo", "commit", "repo_chars", "rel_size"]], new_carry, epoch_for_routes=epoch)
+
+    def _finish(self, epoch: int, out: pd.DataFrame, carry: dict,
+                epoch_for_routes: int | None = None) -> None:
+        # ST4: rebuild routes only when the edge set changed
+        if epoch_for_routes is not None:
+            from cosmwasm_etl_ray.pipelines.replay import read_state
+
+            state = read_state(self.store, epoch)
+            edges, sizes = repo_lang_graph(state)
+            key = "|".join(sorted(edges["repo"] + ":" + edges["lang"]))
+            if key != carry.get("edges_key"):
+                routes = shortest_routes(edges, base=self.base)
+                tmp = f"{self._routes_path(epoch)}.tmp.{os.getpid()}"
+                routes.to_parquet(tmp, index=False)
+                os.replace(tmp, self._routes_path(epoch))
+                carry = {**carry, "edges_key": key}
+
+        tmp = f"{self._carry_path(epoch)}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(carry, f)
+        os.replace(tmp, self._carry_path(epoch))
+        tmp = f"{self._out(epoch)}.tmp.{os.getpid()}"
+        out.to_parquet(tmp, index=False)
+        os.replace(tmp, self._out(epoch))
+
+    def view(self) -> pd.DataFrame:
+        cur = self.cursor()
+        parts = [
+            pd.read_parquet(self._out(e))
+            for e in range((cur + 1) if cur is not None else 0)
+            if os.path.exists(self._out(e))
+        ]
+        if not parts:
+            return pd.DataFrame(columns=["repo", "commit", "repo_chars", "rel_size"])
+        return (
+            pd.concat(parts, ignore_index=True)
+            .sort_values(["commit"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    def latest_routes(self) -> pd.DataFrame:
+        rs = [
+            int(f.split("=")[1].split(".")[0])
+            for f in os.listdir(self.root)
+            if f.startswith("routes=") and f.endswith(".parquet")
+        ]
+        if not rs:
+            return pd.DataFrame(columns=["repo", "hops", "route"])
+        return pd.read_parquet(self._routes_path(max(rs)))
+
+
+def _valid_events(t: pa.Table) -> pa.Table:
+    ok = pc.and_(
+        pc.match_substring_regex(t["commit"], r"^[0-9]+$"),
+        pc.is_in(t["op"], value_set=pa.array(["insert", "update", "delete"])),
+    )
+    return t.filter(pc.fill_null(ok, False))
+
+
+def _state_lengths(t: pa.Table) -> pa.Table:
+    ln = pc.if_else(
+        pc.equal(t["op"], pa.scalar("delete")),
+        pa.scalar(0, pa.int64()),
+        pc.cast(pc.utf8_length(t["content"]), pa.int64()),
+    )
+    return pa.table({"repo": t["repo"], "path": t["path"], "state_len": ln})

@@ -173,6 +173,41 @@ def cdc_state_at(sf_dir: str) -> "ray.data.Dataset":
     return state.map_batches(select, batch_format="pandas")
 
 
+def cdc_rel_size(sf_dir: str) -> "ray.data.Dataset":
+    """Direct price (A7): per event, the repo's running live-char total
+    and its ratio to the base repo's total as-of that commit — the
+    cross-key as-of read in commit order
+    (/root/reference/pkg/dex/price/price.go:125-175)."""
+    from cosmwasm_etl_ray.pipelines.price import rel_size_stream
+
+    return rel_size_stream(changes_from_documents(sf_dir))
+
+
+def cdc_routes(sf_dir: str) -> pd.DataFrame:
+    """Router (ST4/O4): shortest routes from every repo to the base
+    repo over the bipartite repo–lang live-state graph; hop count then
+    lexicographic route order
+    (/root/reference/pkg/dex/router/route_info.go:130-147)."""
+    from cosmwasm_etl_ray.pipelines.price import repo_lang_graph, shortest_routes
+
+    edges, _ = repo_lang_graph(_final_state(sf_dir))
+    return shortest_routes(edges)
+
+
+def cdc_price_routed(sf_dir: str) -> pd.DataFrame:
+    """Indirect price (A8/J9): resolve each repo's route, require every
+    hop's pool live (liquidity cutoff), report the telescoped endpoint
+    ratio chars(repo)/chars(base)."""
+    from cosmwasm_etl_ray.pipelines.price import (
+        repo_lang_graph,
+        routed_prices,
+        shortest_routes,
+    )
+
+    edges, sizes = repo_lang_graph(_final_state(sf_dir))
+    return routed_prices(shortest_routes(edges), sizes)
+
+
 _PREFIX = f"WITH {CHANGES_CTE.strip()}"
 
 _FINAL_CTE = """
@@ -234,6 +269,70 @@ FROM (
 """,
 }
 
+_ROUTE_CTES = f"""
+edges0 AS (SELECT DISTINCT repo AS u, 'lang:' || lang AS v FROM final_state),
+edges AS (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+walk(node, route, hops) AS (
+    SELECT 'mono', ['mono'], 0
+    UNION ALL
+    SELECT e.v, list_prepend(e.v, w.route), w.hops + 1
+    FROM walk w JOIN edges e ON e.u = w.node
+    WHERE w.hops < 4 AND NOT list_contains(w.route, e.v)
+),
+best AS (
+    SELECT node AS repo, hops, array_to_string(route, '->') AS route,
+           row_number() OVER (
+               PARTITION BY node
+               ORDER BY hops, array_to_string(route, '->')
+           ) AS rn
+    FROM walk WHERE node NOT LIKE 'lang:%' AND node <> 'mono'
+)
+"""
+
+ORACLE_SQL["cdc_rel_size"] = f"""
+{_PREFIX},
+ev AS (
+    SELECT repo, path, "commit",
+           CASE WHEN op = 'delete' THEN 0 ELSE length(content) END AS new_len
+    FROM changes
+),
+d AS (
+    SELECT repo, "commit",
+           new_len - coalesce(lag(new_len) OVER (PARTITION BY repo, path ORDER BY "commit"), 0) AS delta
+    FROM ev
+),
+r AS (
+    SELECT repo, "commit",
+           CAST(sum(delta) OVER (PARTITION BY repo ORDER BY "commit") AS BIGINT) AS repo_chars
+    FROM d
+),
+base AS (SELECT "commit" AS bcommit, repo_chars AS base_chars FROM r WHERE repo = 'mono')
+SELECT r.repo, r."commit", r.repo_chars, r.repo_chars / b.base_chars AS rel_size
+FROM r ASOF JOIN base b ON r."commit" >= b.bcommit
+WHERE b.base_chars > 0
+"""
+
+ORACLE_SQL["cdc_routes"] = f"""
+WITH RECURSIVE {CHANGES_CTE.strip()},
+{_FINAL_CTE.strip()},
+{_ROUTE_CTES.strip()}
+SELECT repo, CAST(hops AS BIGINT) AS hops, route FROM best WHERE rn = 1
+"""
+
+ORACLE_SQL["cdc_price_routed"] = f"""
+WITH RECURSIVE {CHANGES_CTE.strip()},
+{_FINAL_CTE.strip()},
+{_ROUTE_CTES.strip()},
+sizes AS (
+    SELECT repo, CAST(sum(length(content)) AS BIGINT) AS chars
+    FROM final_state GROUP BY repo
+)
+SELECT b.repo, CAST(b.hops AS BIGINT) AS hops,
+       s.chars / (SELECT chars FROM sizes WHERE repo = 'mono') AS price
+FROM best b JOIN sizes s ON s.repo = b.repo
+WHERE b.rn = 1
+"""
+
 ORACLE_SQL["cdc_state_at"] = f"""
 {_PREFIX},
 bounded AS (SELECT * FROM changes WHERE "commit" <= '{_SNAPSHOT_COMMIT}'),
@@ -253,4 +352,7 @@ QUERIES = {
     "cdc_change_stats": cdc_change_stats,
     "cdc_history": cdc_history,
     "cdc_first_seen": cdc_first_seen,
+    "cdc_rel_size": cdc_rel_size,
+    "cdc_routes": cdc_routes,
+    "cdc_price_routed": cdc_price_routed,
 }

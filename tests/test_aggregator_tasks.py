@@ -99,7 +99,9 @@ def test_task_never_runs_ahead_of_parent(tmp_path):
     """A derived task with no committed replay epochs does nothing —
     the parent-wait (waitUntilReachingHeight) analogue."""
     store = StateStore(str(tmp_path / "empty"))
-    assert run_all_tasks(store, CFG) == {"window_stats": [], "repo_history": [], "lang_window_stats": []}
+    assert run_all_tasks(store, CFG) == {
+        "window_stats": [], "repo_history": [], "price": [], "lang_window_stats": []
+    }
 
 
 def test_recent_view_prunes_old_windows(replayed):
