@@ -82,26 +82,30 @@ class LangId:
         )
 
 
-def rolling_fingerprint(texts: pd.Series, window: int = 16) -> np.ndarray:
-    """Karp-Rabin rolling-hash document fingerprint: min of window
-    hashes (a winnowing-style representative), deterministic."""
-    B, M = np.uint64(1000003), np.uint64(0xFFFFFFFFFFFFFFFF)
+FP_BASE = 1000003
+FP_MOD = (1 << 31) - 1  # 31-bit prime: window sums stay far below int64 overflow
+FP_WINDOW = 16
 
-    def fp(s: str) -> np.uint64:
+
+def rolling_fingerprint(texts: pd.Series, window: int = FP_WINDOW) -> np.ndarray:
+    """Karp-Rabin rolling-hash document fingerprint: min of the
+    codepoint-polynomial hashes of every `window`-length slice (a
+    winnowing-style representative). Arithmetic is mod a 31-bit prime
+    so the value is reproducible EXACTLY in plain BIGINT SQL — the
+    DuckDB oracle twin evaluates the identical polynomial."""
+    pow_arr = np.array(
+        [pow(FP_BASE, window - 1 - k, FP_MOD) for k in range(window)], dtype=np.int64
+    )
+
+    def fp(s: str) -> int:
         if not s:
-            return np.uint64(0)
-        codes = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if len(codes) <= window:
-            h = np.uint64(0)
-            for c in codes:
-                h = (h * B + c) & M
-            return h
-        pows = np.ones(window, dtype=np.uint64)
-        for i in range(1, window):
-            pows[i] = (pows[i - 1] * B) & M
-        # hash of each window via cumulative trick (vectorized convolution)
+            return 0
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        L = len(codes)
+        if L <= window:
+            return int((codes * pow_arr[window - L :]).sum() % FP_MOD)
         w = np.lib.stride_tricks.sliding_window_view(codes, window)
-        hashes = (w * pows[::-1]).sum(axis=1, dtype=np.uint64) & M
-        return hashes.min()
+        hashes = (w * pow_arr).sum(axis=1) % FP_MOD
+        return int(hashes.min())
 
-    return texts.map(fp).to_numpy(dtype=np.uint64)
+    return texts.map(fp).to_numpy(dtype=np.int64)

@@ -160,9 +160,29 @@ def dedup_simhash(sf_dir: str) -> "ray.data.Dataset":
     return simhash_dedup_pairs(augmented_docs(sf_dir), max_hamming=16)
 
 
-def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
-    """Same LSH candidates, exact word-3-gram Jaccard ≥ 0.3 verification."""
-    return _minhash_pairs_03(sf_dir)
+def dedup_ngram_jaccard(sf_dir: str) -> "ray.data.Dataset":
+    """Exact word-3-gram Jaccard over an ENUMERATED candidate stream —
+    the known-candidate verify twin of dedup_minhash (whose LSH
+    *discovers* candidates probabilistically, hence rows-only): the
+    perturbed-corpus structure makes the true candidates (d, d+10^6)
+    enumerable, so the whole pipeline — candidate stream, distributed
+    two-join text attach, exact Jaccard — is SQL-checkable."""
+    from cosmwasm_etl_ray.functions.dedup import verify_pairs_jaccard
+
+    docs = augmented_docs(sf_dir)
+
+    def cands(t: pa.Table) -> pa.Table:
+        base = t.filter(pc.less(t["doc_id"], pa.scalar(1_000_000)))
+        return pa.table(
+            {
+                "doc_a": base["doc_id"],
+                "doc_b": pc.add(base["doc_id"], pa.scalar(1_000_000)),
+            }
+        )
+
+    return verify_pairs_jaccard(
+        docs.map_batches(cands, batch_format="pyarrow"), docs, ngram=3, threshold=0.3
+    )
 
 
 def dedup_clusters(sf_dir: str) -> pd.DataFrame:
@@ -181,7 +201,35 @@ def ann_lsh(sf_dir: str) -> "ray.data.Dataset":
 
 def ann_ivf(sf_dir: str) -> "ray.data.Dataset":
     qdf, db = _split_queries_db(sf_dir)
-    return ivf_topk(db, qdf, k=10)
+    return ivf_topk(db, qdf, k=10, n_probe=8)
+
+
+def _ann_recall(sf_dir: str, approx: pd.DataFrame, bar: int) -> pd.DataFrame:
+    """Per-query recall CONTRACT vs the exact top-k: the approximate
+    result must overlap the exact top-10 by ≥ bar. The oracle twin
+    states the contract (all true), so a recall regression in the
+    deterministic sketch flips a row and fails the hash — the ANN
+    analogue of checking an inexact operator against an exact oracle."""
+    qdf, db = _split_queries_db(sf_dir)
+    exact = brute_force_topk(db, qdf, k=10).to_pandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    return pd.DataFrame(
+        {
+            "query_id": sorted(int(q) for q in e.index),
+            "recall_ok": [
+                len(e[q] & a.get(q, set())) >= bar for q in sorted(e.index)
+            ],
+        }
+    )
+
+
+def ann_lsh_recall(sf_dir: str) -> pd.DataFrame:
+    return _ann_recall(sf_dir, ann_lsh(sf_dir).to_pandas(), bar=5)
+
+
+def ann_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    return _ann_recall(sf_dir, ann_ivf(sf_dir).to_pandas(), bar=3)
 
 
 QUERIES = {
@@ -199,7 +247,35 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "ann_lsh_recall": ann_lsh_recall,
+    "ann_ivf_recall": ann_ivf_recall,
 }
+
+from cosmwasm_etl_ray.functions.text import FP_BASE, FP_MOD, FP_WINDOW, LangId
+
+_POWS = "[" + ", ".join(
+    str(pow(FP_BASE, FP_WINDOW - 1 - k, FP_MOD)) for k in range(FP_WINDOW)
+) + "]"
+
+
+def _lang_case_sql() -> str:
+    scores = {
+        lang: " + ".join(
+            f"CASE WHEN position('{g}' IN text) > 0 THEN 1 ELSE 0 END"
+            for g in prof
+        )
+        for lang, prof in LangId.PROFILES.items()
+    }
+    inner = ", ".join(f"({expr}) AS s_{lang}" for lang, expr in scores.items())
+    # first-max-wins in profile order, mirroring the engine's strict->
+    return f"""
+SELECT doc_id,
+       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM (SELECT doc_id, {inner} FROM documents)
+"""
 
 ORACLE_SQL = {
     "text_stats": """
@@ -242,5 +318,66 @@ SELECT query_id, neighbor_id, rank FROM (
     FROM embeddings q JOIN embeddings d ON d.vec_id >= 5
     WHERE q.vec_id < 5
 ) WHERE rank <= 10
+""",
+    "lang_id": _lang_case_sql(),
+    # Karp-Rabin min-window-hash: identical polynomial mod the same
+    # 31-bit prime, evaluated over codepoints in plain BIGINT SQL
+    "text_features": f"""
+SELECT doc_id,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+            WHEN length(text) <= {FP_WINDOW} THEN
+                list_sum(list_transform(range(1, length(text) + 1),
+                    i -> CAST(unicode(text[i]) AS BIGINT) * ({_POWS})[{FP_WINDOW} - length(text) + i]
+                )) % {FP_MOD}
+            ELSE
+                list_min(list_transform(range(1, length(text) - {FP_WINDOW - 2}),
+                    i -> list_sum(list_transform(range(0, {FP_WINDOW}),
+                        k -> CAST(unicode(text[i + k]) AS BIGINT) * ({_POWS})[k + 1]
+                    )) % {FP_MOD}
+                ))
+       END AS BIGINT) AS rolling_fp
+FROM documents
+""",
+    # enumerated planted candidates (d, d+1e6), exact 3-gram Jaccard —
+    # the SQL twin rebuilds the perturbed corpus with the same
+    # every-13th-word drop and the same n-gram/set math
+    "dedup_ngram_jaccard": """
+WITH g AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+p AS (
+    SELECT doc_id, list_filter(ws, (w, i) -> (i - 1) % 13 <> 5) AS ws FROM g
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) END AS gs
+    FROM g
+),
+pgrams AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) END AS gs
+    FROM p
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a,
+           CAST(a.doc_id + 1000000 AS BIGINT) AS doc_b,
+           CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+               / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
+    FROM grams a JOIN pgrams b ON b.doc_id = a.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3
+""",
+    # recall contracts: every query must overlap the exact top-10 by
+    # the stated bar — a regression in the deterministic sketches flips
+    # a row and fails the hash
+    "ann_lsh_recall": """
+SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5
+""",
+    "ann_ivf_recall": """
+SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5
 """,
 }
