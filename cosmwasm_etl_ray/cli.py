@@ -6,6 +6,13 @@ entry point you would hand to ``ray job submit`` on a real cluster:
     python -m cosmwasm_etl_ray.cli validate --log-dir D --store S
     python -m cosmwasm_etl_ray.cli metrics  --store S
     python -m cosmwasm_etl_ray.cli gc       --store S [--keep N]
+    python -m cosmwasm_etl_ray.cli diagnose --log-dir D [--start I] [--end J]
+    python -m cosmwasm_etl_ray.cli repair   --store S --snapshot F.parquet
+
+``diagnose`` dry-runs a file range through the full parse+fold WITHOUT
+writing anything (/root/reference/cmd/parser/diagnose/main.go:96-120);
+``repair`` diffs the store against a trusted snapshot and applies
+classified repair events (/root/reference/parser/checkpoint/builder.go).
 
 Owns its Ray session (guarded init — under ``ray job submit`` the job
 is already connected and init is a no-op).
@@ -57,12 +64,59 @@ def main(argv=None) -> int:
     g = sub.add_parser("gc")
     g.add_argument("--store", required=True)
     g.add_argument("--keep", type=int, default=1)
+    d = sub.add_parser("diagnose")
+    d.add_argument("--log-dir", required=True)
+    d.add_argument("--start", type=int, default=0)
+    d.add_argument("--end", type=int, default=None)
+    d.add_argument("--partitions", type=int, default=64)
+    r = sub.add_parser("repair")
+    r.add_argument("--store", required=True)
+    r.add_argument("--snapshot", required=True)
+    r.add_argument("--partitions", type=int, default=64)
 
     args = p.parse_args(argv)
 
     from cosmwasm_etl_ray.config import EngineConfig
     from cosmwasm_etl_ray.state.manifest import StateStore
     from cosmwasm_etl_ray.state.metrics import store_metrics
+
+    if args.cmd == "diagnose":
+        # dry run: full parse + fold over a file range, NOTHING written
+        import pyarrow.compute as pc
+
+        _init_ray()
+        import ray
+        import ray.data
+
+        from cosmwasm_etl_ray.pipelines.replay import quick_final_state
+        from cosmwasm_etl_ray.stages.normalize import FlagAndPartition
+
+        try:
+            files = sorted(glob.glob(os.path.join(args.log_dir, "*.parquet")))
+            files = files[args.start : args.end]
+            cfg = EngineConfig(num_partitions=args.partitions)
+            ds = ray.data.read_parquet(files)
+            flagged = ds.map_batches(
+                FlagAndPartition(cfg.num_partitions), batch_format="pyarrow"
+            )
+            import pandas as pd
+
+            def vcount(t):
+                ok = int(pc.sum(t["valid"]).as_py() or 0)
+                return pd.DataFrame({"valid": [ok], "total": [t.num_rows]})
+
+            vc = flagged.map_batches(vcount, batch_format="pyarrow").to_pandas()
+            live = quick_final_state(ds, cfg).count()
+            print(json.dumps({
+                "files": len(files),
+                "events": int(vc["total"].sum()),
+                "valid": int(vc["valid"].sum()),
+                "would_quarantine": int(vc["total"].sum() - vc["valid"].sum()),
+                "live_keys": int(live),
+            }))
+        finally:
+            ray.shutdown()
+        return 0
 
     store = StateStore(args.store)
 
@@ -74,6 +128,24 @@ def main(argv=None) -> int:
         from cosmwasm_etl_ray.state.gc import gc_state
 
         print(json.dumps(gc_state(store, keep_manifests=args.keep)))
+        return 0
+
+    if args.cmd == "repair":
+        _init_ray()
+        import ray
+
+        import pandas as pd
+
+        from cosmwasm_etl_ray.state.repair import diff_and_repair
+
+        try:
+            snap = pd.read_parquet(args.snapshot)
+            res = diff_and_repair(
+                store, snap, EngineConfig(num_partitions=args.partitions)
+            )
+            print(json.dumps(res))
+        finally:
+            ray.shutdown()
         return 0
 
     cfg = EngineConfig(

@@ -50,6 +50,12 @@ class EngineConfig:
     # When False (default), updates are whole-row LWW.
     override_coalesce: bool = False
 
+    # Declarative rule registry (stages/rules.RuleSet) — the user
+    # extension surface (/root/reference/pkg/eventlog/rule.go:15-22):
+    # None means the built-in CDC protocol via the compiled fast path
+    # (behaviorally identical to stages.rules.default_cdc_rules()).
+    rules: object | None = None
+
 
 DEFAULT_CONFIG = EngineConfig()
 

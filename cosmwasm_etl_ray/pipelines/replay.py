@@ -93,7 +93,8 @@ def apply_epoch(
     prior = store.partition_files()
 
     flagged = changes.map_batches(
-        FlagAndPartition(cfg.num_partitions), batch_format="pyarrow"
+        FlagAndPartition(cfg.num_partitions, ruleset=cfg.rules),
+        batch_format="pyarrow",
     )
     if not cfg.override_coalesce:
         flagged = flagged.map_batches(
@@ -155,17 +156,21 @@ def pending_files(files: list[str], store) -> tuple[list[str], int]:
     latest = store.latest_epoch()
     if latest is None:
         return files, 0
-    hi = store.manifest(latest)["offset_range"][1]
-    if not hi or hi == "bootstrap":
-        # store seeded outside the file tail (bootstrap / direct
-        # apply_epoch): no file cursor, every listed file is pending
-        return files, latest + 1
-    if hi not in files:
+    fileset = set(files)
+    # walk manifests newest-first to the most recent FILE cursor —
+    # bootstrap/repair/direct epochs carry no file range and are skipped
+    for e in reversed(store.committed_epochs()):
+        hi = store.manifest(e)["offset_range"][1]
+        if not hi or hi in ("bootstrap", "repair"):
+            continue
+        if hi in fileset:
+            return files[files.index(hi) + 1 :], latest + 1
         raise ValueError(
             f"resume cursor file {hi!r} is missing from the change log; "
             "the source was truncated or the log dir is wrong"
         )
-    return files[files.index(hi) + 1 :], latest + 1
+    # no file-based cursor at all: every listed file is pending
+    return files, latest + 1
 
 
 def replay_files(
@@ -209,7 +214,8 @@ def quick_final_state(
     runs in Arrow (override mode is the pandas exception, like the
     merge stage)."""
     flagged = changes.map_batches(
-        FlagAndPartition(cfg.num_partitions), batch_format="pyarrow"
+        FlagAndPartition(cfg.num_partitions, ruleset=cfg.rules),
+        batch_format="pyarrow",
     )
     if cfg.override_coalesce:
 

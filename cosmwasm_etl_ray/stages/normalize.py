@@ -92,11 +92,24 @@ class FlagAndPartition:
     Invalid (quarantine) rows keep flowing through the SAME shuffle as
     valid ones and are split out inside the merge stage — one read of
     the input instead of three (valid pass, quarantine count pass,
-    quarantine write pass)."""
+    quarantine write pass).
 
-    def __init__(self, num_partitions: int):
+    With ``ruleset`` (a stages.rules.RuleSet), classification runs
+    through the declarative registry instead: ``valid`` = matched any
+    rule, rule mappers rewrite their rows, and the transient
+    ``rule_type`` column is dropped before the shuffle. The default
+    (no ruleset) is the compiled fast path, behaviorally identical to
+    ``rules.default_cdc_rules()`` (asserted in tests)."""
+
+    def __init__(self, num_partitions: int, ruleset=None):
         self.assign = PartitionAssigner(num_partitions)
+        self.ruleset = ruleset
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = batch.append_column("valid", _valid_mask(batch))
+        if self.ruleset is not None:
+            batch = self.ruleset.classify(batch)
+            batch = self.ruleset.apply_mappers(batch)
+            batch = batch.drop_columns(["rule_type"])
+        else:
+            batch = batch.append_column("valid", _valid_mask(batch))
         return self.assign(batch)

@@ -62,3 +62,33 @@ def test_metrics_rollup_matches_manifests(tmp_path):
     assert m["total_applied_events"] == 5_000
     assert [e["epoch"] for e in m["per_epoch"]] == [0, 1]
     assert m["partitions"]["skew_ratio"] >= 1
+
+
+def test_cli_diagnose_dry_run_and_repair(tmp_path):
+    log = generate_change_stream(
+        str(tmp_path / "log"),
+        GeneratorConfig(seed=93, n_keys=150, n_events=8_000, events_per_file=2_000,
+                        malformed_frac=0.01, evolve_at_frac=None),
+    )
+    # diagnose is a pure dry run: full parse + fold, nothing written
+    d = _run_cli("diagnose", "--log-dir", str(tmp_path / "log"),
+                 "--start", "0", "--end", "2", "--partitions", "4")
+    assert d["files"] == 2 and d["events"] == 4_000
+    assert d["valid"] + d["would_quarantine"] == 4_000
+    assert 0 < d["live_keys"] <= 150
+    assert not (tmp_path / "store").exists()
+
+    # replay, snapshot, corrupt nothing: repair reports a clean store
+    store_dir = str(tmp_path / "store")
+    _run_cli("replay", "--log-dir", str(tmp_path / "log"),
+             "--store", store_dir, "--epoch-events", "4000",
+             "--partitions", "4")
+    import ray
+
+    from cosmwasm_etl_ray.pipelines.replay import read_state
+
+    snap_path = str(tmp_path / "snap.parquet")
+    read_state(StateStore(store_dir)).to_pandas().to_parquet(snap_path, index=False)
+    r = _run_cli("repair", "--store", store_dir, "--snapshot", snap_path,
+                 "--partitions", "4")
+    assert r == {"n_insert": 0, "n_update": 0, "n_delete": 0, "epoch": None}
