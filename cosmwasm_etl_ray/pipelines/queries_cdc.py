@@ -208,6 +208,52 @@ def cdc_price_routed(sf_dir: str) -> pd.DataFrame:
     return routed_prices(shortest_routes(edges), sizes)
 
 
+def cdc_state_join_events(sf_dir: str) -> "ray.data.Dataset":
+    """State ⋈ events (J6): later change events joined against the
+    replayed state AS OF the snapshot commit — per event, whether its
+    key existed in the snapshot and at which commit (the reference's
+    lp_history ⋈ parsed_tx equi-join on (pair_id, height),
+    /root/reference/pkg/db/parser/repository.go:184). Both sides are
+    Datasets; one bucketed hash join, left-preserving."""
+    from cosmwasm_etl_ray.functions.joins import hash_join
+
+    changes = changes_from_documents(sf_dir)
+
+    def bounded(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["commit"], pa.scalar(_SNAPSHOT_COMMIT)))
+
+    def later(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["commit"], pa.scalar(_SNAPSHOT_COMMIT)))
+        return t.select(["repo", "path", "commit", "op"])
+
+    state = quick_final_state(
+        changes.map_batches(bounded, batch_format="pyarrow"), _CFG
+    ).map_batches(
+        lambda t: pa.table(
+            {"repo": t["repo"], "path": t["path"], "prior_commit": t["commit"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = hash_join(
+        changes.map_batches(later, batch_format="pyarrow"),
+        state,
+        on=["repo", "path"],
+        how="left",
+        left_cols={"repo": "object", "path": "object",
+                   "commit": "object", "op": "object"},
+        right_cols={"repo": "object", "path": "object", "prior_commit": "object"},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["had_prior"] = df["prior_commit"].notna()
+        df["prior_commit"] = df["prior_commit"].fillna("")
+        return df[["repo", "path", "commit", "op", "had_prior", "prior_commit"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 _PREFIX = f"WITH {CHANGES_CTE.strip()}"
 
 _FINAL_CTE = """
@@ -355,4 +401,30 @@ QUERIES = {
     "cdc_rel_size": cdc_rel_size,
     "cdc_routes": cdc_routes,
     "cdc_price_routed": cdc_price_routed,
+    "cdc_state_join_events": cdc_state_join_events,
 }
+
+ORACLE_SQL["cdc_state_join_events"] = f"""
+{_PREFIX},
+ranked AS (
+    SELECT repo, path, "commit",
+           row_number() OVER (PARTITION BY repo, path ORDER BY "commit" DESC) AS rn
+    FROM changes WHERE "commit" <= '{_SNAPSHOT_COMMIT}'
+),
+snap AS (
+    SELECT repo, path, "commit" AS prior_commit
+    FROM ranked r
+    WHERE rn = 1
+      AND NOT EXISTS (
+          SELECT 1 FROM changes c
+          WHERE c.repo = r.repo AND c.path = r.path
+            AND c."commit" = r."commit" AND c.op = 'delete'
+      )
+)
+SELECT c.repo, c.path, c."commit", c.op,
+       s.prior_commit IS NOT NULL AS had_prior,
+       coalesce(s.prior_commit, '') AS prior_commit
+FROM changes c
+LEFT JOIN snap s ON s.repo = c.repo AND s.path = c.path
+WHERE c."commit" > '{_SNAPSHOT_COMMIT}'
+"""

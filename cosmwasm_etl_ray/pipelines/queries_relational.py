@@ -275,6 +275,82 @@ def events_asof_signup(sf_dir: str) -> "ray.data.Dataset":
     return sharded_map_groups(ev, ["user_id"], per_shard)
 
 
+def events_asof_order(sf_dir: str) -> "ray.data.Dataset":
+    """TWO-DATASET as-of join (J4 proper): for each purchase event, the
+    same user's latest order ON OR BEFORE the event — the reference's
+    LEFT JOIN LATERAL price lookup joins events against a SEPARATE
+    price table (/root/reference/pkg/db/parser/repository.go:321-325).
+    Plan: tagged union of both tables, shard by user hash, vectorized
+    pandas merge_asof per shard (both sides of a key in one shard)."""
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).filter(
+        expr="event_type == 'purchase'"
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "event_id": df["event_id"], "ts": df["ts"],
+             "_side": "E"}
+        )
+
+    def tag_o(df: pd.DataFrame) -> pd.DataFrame:
+        # one order per (cust, date): max orderkey — the deterministic
+        # tiebreak both the engine and the SQL twin apply
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="stable")
+        df = df.drop_duplicates(["o_custkey", "o_orderdate"], keep="last")
+        return pd.DataFrame(
+            {"user_id": df["o_custkey"], "o_orderkey": df["o_orderkey"],
+             "o_orderdate": df["o_orderdate"], "o_totalprice": df["o_totalprice"],
+             "_side": "O"}
+        )
+
+    unioned = ev.map_batches(tag_e, batch_format="pandas").union(
+        orders.map_batches(tag_o, batch_format="pandas")
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["_side"] == "E", ["event_id", "user_id", "ts"]].sort_values(
+            "ts", kind="stable"
+        )
+        left["event_id"] = left["event_id"].astype("int64")  # undo union padding
+        right = g.loc[
+            g["_side"] == "O", ["user_id", "o_orderdate", "o_orderkey", "o_totalprice"]
+        ]
+        # tag_o's dedup is per-batch (a combiner); the GLOBAL
+        # (cust, date) → max-orderkey pick happens here, where all of a
+        # user's orders are colocated
+        right = right.sort_values(
+            ["user_id", "o_orderdate", "o_orderkey"], kind="stable"
+        ).drop_duplicates(["user_id", "o_orderdate"], keep="last")
+        right = right.sort_values("o_orderdate", kind="stable")
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "ts": pd.Series(dtype="datetime64[us]"),
+                 "last_order_key": pd.Series(dtype="int64"),
+                 "last_order_total": pd.Series(dtype="float64")}
+            )
+        if right.empty:
+            out = left.copy()
+            out["o_orderkey"] = np.nan
+            out["o_totalprice"] = np.nan
+        else:
+            out = pd.merge_asof(
+                left, right, left_on="ts", right_on="o_orderdate",
+                by="user_id", direction="backward",
+            )
+        out["last_order_key"] = out["o_orderkey"].fillna(-1).astype("int64")
+        out["last_order_total"] = out["o_totalprice"].fillna(-1.0)
+        return out[["event_id", "user_id", "ts", "last_order_key", "last_order_total"]]
+
+    return sharded_map_groups(unioned, ["user_id"], per_shard)
+
+
 def orders_running_total(sf_dir: str) -> "ray.data.Dataset":
     """Per-customer ordered prefix sum (lp_history A2 pattern).
     Coarse-sharded by customer hash — one vectorized groupby-cumsum per
@@ -343,6 +419,7 @@ QUERIES = {
     "status_revenue_hashjoin": status_revenue_hashjoin,
     "events_window_stats": events_window_stats,
     "events_asof_signup": events_asof_signup,
+    "events_asof_order": events_asof_order,
     "orders_running_total": orders_running_total,
     "global_stats": global_stats,
     "distinct_segments": distinct_segments,
@@ -426,6 +503,20 @@ SELECT event_id, user_id, ts, last_signup_ts FROM (
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_ts
     FROM events
 ) WHERE event_type = 'purchase'
+""",
+    "events_asof_order": """
+WITH o AS (
+    SELECT o_custkey, o_orderdate,
+           max(o_orderkey) AS o_orderkey,
+           max_by(o_totalprice, o_orderkey) AS o_totalprice
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts,
+       coalesce(o.o_orderkey, -1) AS last_order_key,
+       coalesce(o.o_totalprice, -1.0) AS last_order_total
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+WHERE e.event_type = 'purchase'
 """,
     "orders_running_total": """
 SELECT o_custkey, o_orderkey, o_orderdate,
