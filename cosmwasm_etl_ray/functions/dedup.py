@@ -127,7 +127,10 @@ def dedup_pairs_dataset(pairs: "ray.data.Dataset", shards: int = 64) -> "ray.dat
 
 
 def candidate_pairs_from_buckets(
-    bucketed: "ray.data.Dataset", max_bucket: int = 64, shards: int = 256
+    bucketed: "ray.data.Dataset",
+    max_bucket: int = 64,
+    shards: int = 256,
+    dedup: bool = True,
 ) -> "ray.data.Dataset":
     """(band_id, band_hash) buckets → all-pairs within bucket (capped),
     distinct. Buckets are sharded coarsely (hash(band_hash) % shards)
@@ -161,6 +164,8 @@ def candidate_pairs_from_buckets(
         .groupby("_shard")
         .map_groups(pairs_in_shard, batch_format="pandas")
     )
+    if not dedup:
+        return cands
     return dedup_pairs_dataset(cands)
 
 
@@ -170,6 +175,7 @@ def verify_pairs_jaccard(
     ngram: int = 3,
     threshold: float = 0.5,
     num_buckets: int = 16,
+    dedup_cands: bool = False,
 ) -> "ray.data.Dataset":
     """Exact n-gram Jaccard verification of candidate pairs WITHOUT
     broadcasting the corpus: two distributed hash_joins attach text_a /
@@ -183,11 +189,18 @@ def verify_pairs_jaccard(
 
         return fn
 
+    # duplicates of a pair share doc_a, so they colocate in the first
+    # join's bucket: a left_fold dedup there is GLOBAL — it replaces
+    # the dedicated pair-dedup shuffle the pipeline used to pay
+    left_fold = (
+        (lambda l: l.drop_duplicates(["doc_a", "doc_b"])) if dedup_cands else None
+    )
     with_a = hash_join(
         cands,
         docs.map_batches(rename("a"), batch_format="pyarrow"),
         on="doc_a",
         num_buckets=num_buckets,
+        left_fold=left_fold,
         left_cols={"doc_a": "int64", "doc_b": "int64"},
         right_cols={"doc_a": "int64", "text_a": "object"},
     )
@@ -227,8 +240,10 @@ def minhash_dedup_pairs(
         batch_format="pandas",
         batch_size=1024,
     )
-    cands = candidate_pairs_from_buckets(bucketed)
-    return verify_pairs_jaccard(cands, docs, ngram=ngram, threshold=threshold)
+    cands = candidate_pairs_from_buckets(bucketed, dedup=False)
+    return verify_pairs_jaccard(
+        cands, docs, ngram=ngram, threshold=threshold, dedup_cands=True
+    )
 
 
 class SimHasher:

@@ -56,6 +56,7 @@ def hash_join(
     how: str = "inner",
     suffixes: tuple[str, str] = ("_l", "_r"),
     right_fold=None,
+    left_fold=None,
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
 ) -> "ray.data.Dataset":
@@ -63,12 +64,13 @@ def hash_join(
     merge per bucket. Skewed keys should be pre-aggregated or salted by
     the caller; the bucket count B is independent of cluster size.
 
-    ``right_fold(df) -> df``, if given, reduces the right side's rows
-    inside each bucket before the merge. Because every row of a key
-    lands in that key's bucket, a per-key fold here is a GLOBAL fold —
-    the final-reduce half of a map-side partial aggregation (pre-agg
-    the right side per batch upstream, fold the partials per bucket
-    here) without a second shuffle.
+    ``right_fold(df) -> df`` / ``left_fold(df) -> df``, if given,
+    reduce that side's rows inside each bucket before the merge.
+    Because every row of a key lands in that key's bucket, a per-key
+    fold here is a GLOBAL fold — the final-reduce half of a map-side
+    partial aggregation (pre-agg per batch upstream, fold the partials
+    per bucket here), or a global dedup of the probe side, without a
+    second shuffle.
     """
     on = [on] if isinstance(on, str) else on
     # Each side's column set (and pandas dtypes), taken from the
@@ -108,6 +110,8 @@ def hash_join(
         )
         if right_fold is not None and not rhs.empty:
             rhs = right_fold(rhs)
+        if left_fold is not None and not lhs.empty:
+            lhs = left_fold(lhs)
         if lhs.empty:
             return pd.DataFrame()
         if rhs.empty:

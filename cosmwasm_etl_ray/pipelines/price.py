@@ -100,8 +100,13 @@ def rel_size_stream(
 ) -> "ray.data.Dataset":
     """Direct-price analogue: every event's repo_chars divided by the
     base repo's chars as-of that commit. The base curve (one repo's
-    series) is broadcast once; each batch binary-searches it."""
-    sizes = repo_size_stream(changes, shards=shards)
+    series) is broadcast once; each batch binary-searches it.
+
+    ``sizes`` is consumed twice (base-curve extraction + the final
+    map), so it is materialized into the object store once — without
+    this the whole upstream shuffle would re-execute for the second
+    consumer."""
+    sizes = repo_size_stream(changes, shards=shards).materialize()
     base_df = (
         sizes.filter(expr=f"repo == '{base}'")
         .to_pandas()
