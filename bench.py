@@ -82,7 +82,9 @@ def run_once() -> dict:
     # don't starve the read/combine map stages (measured: 0.86 scaling
     # efficiency vs 0.31 with sort shuffle)
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ctx.default_hash_shuffle_parallelism = max(2, NUM_CPUS // 2)
+    ctx.default_hash_shuffle_parallelism = int(
+        os.environ.get("RAY_GRAFT_SHUFFLE_PAR", max(2, NUM_CPUS // 2))
+    )
 
     from cosmwasm_etl_ray.config import EngineConfig
     from cosmwasm_etl_ray.pipelines.replay import read_state, replay_files
@@ -98,10 +100,14 @@ def run_once() -> dict:
     store_root = f"/tmp/cdc_bench_store_{NUM_CPUS}_{os.getpid()}"
     # epoch size scales with job size (2 epochs) — the per-epoch fixed
     # cost (pipeline ramp, manifest commit) must stay small vs compute
+    # combiner batch 262144: the LWW combiner collapses duplicate keys
+    # per batch BEFORE the shuffle, and the collapse factor grows with
+    # the window (measured 9.0s vs 10.3s at 65536; 524288+ loses map
+    # parallelism and regresses)
     cfg = EngineConfig(
         num_partitions=64,
         epoch_max_events=max(1_000_000, N_EVENTS // 2),
-        batch_size=65_536,
+        batch_size=262_144,
     )
 
     # untimed warmup: spins up Ray workers + actor pools so the timed
