@@ -28,15 +28,22 @@ def token_stats_batch(t: pa.Table) -> pa.Table:
 
 class QualityScorer:
     """Actor-pool stage: stopword ratio + avg token length. The
-    stopword set and splitter live in the actor (built once)."""
+    stopword set and splitter live in the actor (built once); counting
+    runs as vectorized explode + isin, never a Python loop per row."""
 
     def __init__(self):
-        self.stops = set(STOPWORDS)
+        self.stops = list(STOPWORDS)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
         toks = df["text"].str.split(" ")
         n_tokens = toks.str.len().astype("int64")
-        stop_n = toks.map(lambda ws: sum(w in self.stops for w in ws))
+        exploded = toks.explode()
+        stop_n = (
+            exploded.isin(self.stops).groupby(level=0).sum()
+            .reindex(df.index, fill_value=0)
+            .astype("int64")
+        )
         n_chars = df["text"].str.len().astype("int64")
         out = pd.DataFrame(
             {
@@ -62,23 +69,22 @@ class LangId:
     }
 
     def __init__(self):
-        self.profiles = {k: set(v) for k, v in self.PROFILES.items()}
-
-    def _score(self, text: str) -> str:
-        grams = {text[i : i + 3] for i in range(max(0, len(text) - 2))}
-        best, best_s = "en", -1
-        for lang, prof in self.profiles.items():
-            s = len(grams & prof)
-            if s > best_s:
-                best, best_s = lang, s
-        return best
+        self.profiles = {k: list(v) for k, v in self.PROFILES.items()}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized: presence of each profile trigram via C substring
+        search, summed per language; first-max-wins in profile order
+        (the tiebreak the SQL oracle twin mirrors). Set-of-grams ∩
+        profile ≡ count of profile grams PRESENT in the text."""
+        scores = np.zeros((len(df), len(self.profiles)), dtype=np.int64)
+        text = df["text"]
+        for j, (lang, prof) in enumerate(self.profiles.items()):
+            for g in prof:
+                scores[:, j] += text.str.contains(g, regex=False).to_numpy()
+        best = np.argmax(scores, axis=1)  # argmax → first max (dict order)
+        langs = np.array(list(self.profiles), dtype=object)
         return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "lang_pred": df["text"].map(self._score),
-            }
+            {"doc_id": df["doc_id"], "lang_pred": langs[best]}
         )
 
 

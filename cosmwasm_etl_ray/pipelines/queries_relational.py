@@ -26,23 +26,15 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def _cents(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
-    """Money double → exact int64 cents. All money columns in the input
-    are integral cents stored as float64; summing them as int64 makes
-    parallel aggregation EXACT and order-independent — the engine's
-    stand-in for the reference's DECIMAL(40)/big.Int arithmetic
-    (/root/reference/pkg/util/decimals.go:12-59). Float64 partial sums
-    at ~1e11 magnitudes flip the last rounded digit depending on batch
-    reduction order; integer sums never do."""
-    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+from cosmwasm_etl_ray.functions.money import cents as _cents
 
 
 def _rev_e4(t: pa.Table) -> "pa.ChunkedArray":
-    """Revenue l_extendedprice*(1-l_discount) in exact 1e-4 units:
-    cents × (100 - discount_percent), both integral."""
-    cents = _cents(t["l_extendedprice"])
-    disc_pct = _cents(t["l_discount"])  # discount is 0.00–0.10 → 0–10
-    return pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+    """Revenue l_extendedprice*(1-l_discount) in exact 1e-4 units (see
+    functions/money.py — the engine's DECIMAL layer)."""
+    from cosmwasm_etl_ray.functions.money import rev_e4
+
+    return rev_e4(t["l_extendedprice"], t["l_discount"])
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
