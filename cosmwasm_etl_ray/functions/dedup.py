@@ -251,20 +251,35 @@ class SimHasher:
     vocabularies — near-identical word SETS everywhere); emits the
     fingerprint plus eight 8-bit blocking keys (pairs within hamming ≤ 7
     share at least one block by pigeonhole; hamming ~10-16 detected
-    with high probability)."""
+    with high probability).
+
+    Vectorized over the whole batch: every doc's distinct-bigram hashes
+    concatenate into one array, the 64-bit → bit-matrix expansion runs
+    once, and per-doc bit votes come from a segmented ``add.reduceat``
+    — no Python loop over documents."""
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        fps = np.zeros(len(df), dtype=np.uint64)
-        for i, text in enumerate(df["text"]):
-            h = _hash_tokens(list(set(word_ngrams(text, 2))))
-            if len(h) == 0:
-                continue
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-            vote = (2 * bits - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for j in np.nonzero(vote > 0)[0]:
-                fp |= np.uint64(1) << np.uint64(j)
-            fps[i] = fp
+        n = len(df)
+        gram_lists = [sorted(set(word_ngrams(t, 2))) for t in df["text"]]
+        counts = np.array([len(g) for g in gram_lists], dtype=np.int64)
+        flat: list[str] = []
+        for g in gram_lists:
+            flat.extend(g)
+        fps = np.zeros(n, dtype=np.uint64)
+        if flat:
+            h = _hash_tokens(flat)
+            bits = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            ).astype(np.int64)  # (tokens, 64)
+            nonempty = counts > 0
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nonempty]
+            sums = np.add.reduceat(bits, starts, axis=0)  # (docs≠∅, 64)
+            # vote > 0  ⇔  popcount > n_tokens/2  ⇔  2*sum > n_tokens
+            votes = (2 * sums) > counts[nonempty][:, None]
+            pow2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+            fps[nonempty] = np.where(votes, pow2, np.uint64(0)).sum(
+                axis=1, dtype=np.uint64
+            )
         out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": fps.astype("int64")})
         for blk in range(8):
             out[f"block{blk}"] = ((fps >> np.uint64(8 * blk)) & np.uint64(0xFF)).astype("int64")

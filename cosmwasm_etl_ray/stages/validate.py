@@ -31,25 +31,27 @@ def _content_hash(s: pd.Series) -> pd.Series:
 
 def independent_state(files: list[str], cfg: EngineConfig) -> "ray.data.Dataset":
     """One-shot batch recompute of final state from the raw log —
-    deliberately NOT using the incremental fold: per key, take the row
-    with max commit via a plain pandas idxmax inside map_groups."""
+    deliberately NOT using the incremental fold: per key, the row with
+    max commit via pandas idxmax (ties resolve to first occurrence, a
+    different tiebreak code path than the fold). Coarse-sharded by key
+    hash — one vectorized idxmax per shard, not a task per key."""
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+
     ds = ray.data.read_parquet(files)
     flagged = ds.map_batches(
         FlagAndPartition(cfg.num_partitions), batch_format="pyarrow"
     )
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g["valid"]]
         if g.empty:
             return pd.DataFrame()
-        last = g.loc[[g["commit"].idxmax()]]
-        if last["op"].iloc[0] == "delete":
-            return pd.DataFrame()
+        idx = g.groupby(["repo", "path"], sort=False)["commit"].idxmax()
+        last = g.loc[idx]
+        last = last[last["op"] != "delete"]
         return last.drop(columns=["valid", "pid", "op"])
 
-    return flagged.groupby(["repo", "path"]).map_groups(
-        per_key, batch_format="pandas"
-    )
+    return sharded_map_groups(flagged, ["repo", "path"], per_shard)
 
 
 def validate_store(
@@ -58,34 +60,61 @@ def validate_store(
     cfg: EngineConfig,
     exceptions: set[tuple[str, str]] | None = None,
 ) -> pd.DataFrame:
-    """Full-outer diff of incremental state vs independent recompute.
-
-    Returns a DataFrame of mismatches (empty = valid): one row per key
-    present on only one side or with differing (commit, content sha).
-    """
+    """Full-outer diff of incremental state vs independent recompute,
+    DISTRIBUTED: both sides hash their content per batch, flow as a
+    tagged union sharded by key, and each shard emits only its
+    mismatch rows (exception keys anti-joined in the shard via the
+    broadcast set, ST2). Only the mismatch set — empty on a valid
+    store — ever reaches the driver."""
     exceptions = exceptions or set()
-    eng = read_state(store).to_pandas()
-    ind = independent_state(files, cfg).to_pandas()
 
-    for df in (eng, ind):
-        df["content_sha"] = _content_hash(df["content"])
+    def prep(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["repo", "path", "commit"]].copy()
+            out["content_sha"] = _content_hash(df["content"])
+            out["_side"] = side
+            return out
 
-    m = eng[["repo", "path", "commit", "content_sha"]].merge(
-        ind[["repo", "path", "commit", "content_sha"]],
-        on=["repo", "path"],
-        how="outer",
-        suffixes=("_state", "_src"),
-        indicator=True,
+        return fn
+
+    unioned = read_state(store).map_batches(
+        prep("state"), batch_format="pandas"
+    ).union(
+        independent_state(files, cfg).map_batches(prep("src"), batch_format="pandas")
     )
-    bad = m[
-        (m["_merge"] != "both")
-        | (m["commit_state"] != m["commit_src"])
-        | (m["content_sha_state"] != m["content_sha_src"])
-    ].copy()
-    if exceptions:
-        keep = ~bad.apply(lambda r: (r["repo"], r["path"]) in exceptions, axis=1)
-        bad = bad[keep]
-    return bad.rename(columns={"_merge": "presence"})
+
+    def diff_shard(g: pd.DataFrame) -> pd.DataFrame:
+        eng = g[g["_side"] == "state"].drop(columns=["_side"])
+        ind = g[g["_side"] == "src"].drop(columns=["_side"])
+        m = eng.merge(
+            ind,
+            on=["repo", "path"],
+            how="outer",
+            suffixes=("_state", "_src"),
+            indicator=True,
+        )
+        bad = m[
+            (m["_merge"] != "both")
+            | (m["commit_state"] != m["commit_src"])
+            | (m["content_sha_state"] != m["content_sha_src"])
+        ].copy()
+        if exceptions and len(bad):
+            keep = ~bad.apply(
+                lambda r: (r["repo"], r["path"]) in exceptions, axis=1
+            )
+            bad = bad[keep]
+        bad["presence"] = bad["_merge"].astype(str)
+        return bad.drop(columns=["_merge"])
+
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+
+    out = sharded_map_groups(unioned, ["repo", "path"], diff_shard).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            columns=["repo", "path", "commit_state", "content_sha_state",
+                     "commit_src", "content_sha_src", "presence"]
+        )
+    return out.reset_index(drop=True)
 
 
 def snapshot_state(store, epoch: int | None = None) -> str:
