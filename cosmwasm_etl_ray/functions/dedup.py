@@ -358,8 +358,9 @@ def cluster_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
     cluster_id=min doc in component). Union-find on the driver: the
     verified pair set is orders of magnitude smaller than the corpus
     (LSH pruning), which is the condition the Ray guide sets for
-    driver-side union-find; at larger pair volumes switch to a few
-    rounds of groupby min-label propagation."""
+    driver-side union-find; at larger pair volumes use
+    ``cluster_pairs_labelprop`` (distributed min-label propagation,
+    identical output, tested equal)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -375,6 +376,68 @@ def cluster_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
 
     rows = sorted((n, find(n)) for n in parent)
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
+def cluster_pairs_labelprop(
+    pairs: "ray.data.Dataset", max_iters: int = 20, shards: int = 32
+) -> pd.DataFrame:
+    """Connected components by distributed MIN-LABEL PROPAGATION — the
+    scale path cluster_pairs' driver union-find falls back to when the
+    verified pair set itself is too large to collect. Per round: every
+    node's label flows to its neighbors (one hash_join), each node
+    takes the min of its own and incoming labels (one sharded reduce);
+    labels only decrease, so an unchanged label SUM is a fixpoint.
+    Rounds needed = graph diameter (near-dup clusters are shallow).
+    Produces exactly cluster_pairs' output: (doc_id, cluster_id = min
+    doc in component)."""
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+    from cosmwasm_etl_ray.functions.joins import hash_join
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                df[["doc_a", "doc_b"]].rename(columns={"doc_a": "u", "doc_b": "v"}),
+                df[["doc_a", "doc_b"]].rename(columns={"doc_b": "u", "doc_a": "v"})[
+                    ["u", "v"]
+                ],
+            ],
+            ignore_index=True,
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": df["u"], "label": df["u"]}).drop_duplicates()
+
+    labels = edges.map_batches(init_labels, batch_format="pandas")
+
+    def min_per_node(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v", as_index=False)["label"].min()
+
+    labels = sharded_map_groups(labels, ["v"], min_per_node, shards=shards).materialize()
+    prev_sum = None
+    for _ in range(max_iters):
+        # neighbor messages: edge (u, v) ⋈ label(v) → (u, label)
+        msgs = hash_join(
+            edges,
+            labels,
+            on="v",
+            left_cols={"u": "int64", "v": "int64"},
+            right_cols={"v": "int64", "label": "int64"},
+        ).map_batches(
+            lambda df: pd.DataFrame({"v": df["u"], "label": df["label"]}),
+            batch_format="pandas",
+        )
+        labels = sharded_map_groups(
+            labels.union(msgs), ["v"], min_per_node, shards=shards
+        ).materialize()
+        s = int(labels.sum("label"))
+        if s == prev_sum:  # labels only decrease: equal sum ⇒ fixpoint
+            break
+        prev_sum = s
+
+    out = labels.to_pandas().rename(columns={"v": "doc_id", "label": "cluster_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def exact_dedup_keep_min(

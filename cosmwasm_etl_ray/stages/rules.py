@@ -162,6 +162,22 @@ class RuleSet:
         return pa.concat_tables(parts, promote_options="permissive")
 
 
+def ruleset_batch_fn(rs: RuleSet):
+    """RuleSet → a plain batch fn (classify → mappers → drop the
+    transient column). Composes with ``stages.versioned``: give each
+    commit-range era its own RuleSet —
+    ``VersionedNormalizer([("", ruleset_batch_fn(v1_rules)),
+    ("0005000000", ruleset_batch_fn(v2_rules))])`` is the reference's
+    UpdateParsers-per-height / version-gated decode pattern
+    (/root/reference/parser/dex/dezswap/app.go:143-207)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = rs.apply_mappers(rs.classify(t))
+        return t.drop_columns(["rule_type"])
+
+    return fn
+
+
 def default_cdc_rules() -> RuleSet:
     """The engine's built-in protocol, expressed declaratively: one
     rule per op type, each requiring a decimal commit and non-null

@@ -119,3 +119,38 @@ def test_custom_rule_plus_mapper_extends_the_protocol(tmp_path):
                        recursive=True)
     q = pd.concat([pd.read_parquet(f) for f in qfiles], ignore_index=True)
     assert (q["op"] == "modify").all() and len(q) > 0
+
+
+def test_versioned_rulesets_compose():
+    """Era-gated rule registries: commits before the cutover parse with
+    v1 (modify → update), after with v2 (modify → delete) — the
+    version-dispatch + registry composition."""
+    from cosmwasm_etl_ray.stages.rules import ruleset_batch_fn
+    from cosmwasm_etl_ray.stages.versioned import VersionedNormalizer
+
+    base = {"commit": ("re", r"^[0-9]+$"), "repo": None, "path": None}
+
+    def to_op(op):
+        def m(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("op")
+            return t.set_column(i, "op", pa.array([op] * t.num_rows, pa.string()))
+        return m
+
+    v1 = default_cdc_rules().with_rule(
+        Rule("modify", {**base, "op": "modify"}, mapper=to_op("update")))
+    v2 = default_cdc_rules().with_rule(
+        Rule("modify", {**base, "op": "modify"}, mapper=to_op("delete")))
+    vn = VersionedNormalizer([
+        ("", ruleset_batch_fn(v1)),
+        ("0000000005", ruleset_batch_fn(v2)),
+    ])
+    batch = pa.table(
+        {
+            "repo": ["r"] * 4, "path": ["p"] * 4,
+            "commit": ["0000000001", "0000000003", "0000000006", "0000000009"],
+            "op": ["modify"] * 4, "content": ["a"] * 4,
+        }
+    )
+    out = vn(batch).to_pandas().sort_values("commit")
+    assert out["op"].tolist() == ["update", "update", "delete", "delete"]
+    assert out["valid"].all()

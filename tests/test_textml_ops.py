@@ -142,3 +142,54 @@ def test_ivf_ann_recall_vs_brute_force(sf_dir):
     recalls = [len(e[q] & a.get(q, set())) / 10 for q in e.index]
     import numpy as np
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_persistent_ivf_index_matches_inmemory(tmp_path, sf_dir):
+    """Build-once IVF index (list-partitioned Parquet + sidecar) returns
+    exactly what the in-memory ivf_topk computes with the same
+    quantizer; the query read prunes to the probed partitions."""
+    from cosmwasm_etl_ray.functions.ann_index import build_ivf_index, query_ivf_index
+    from cosmwasm_etl_ray.functions.similarity import ivf_topk
+    from cosmwasm_etl_ray.pipelines.queries_textml import _split_queries_db
+
+    qdf, db = _split_queries_db(sf_dir)
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(db, idx, n_lists=16, seed=11)
+    assert meta["n_lists"] == 16 and meta["n_vectors"] == 495
+
+    got = (
+        query_ivf_index(idx, qdf, k=10, n_probe=8)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        ivf_topk(db, qdf, k=10, n_lists=16, n_probe=8, seed=11)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
+
+    # the index layout is one directory per list (hive partitioning)
+    import os
+
+    parts = [d for d in os.listdir(idx) if d.startswith("list_id=")]
+    assert len(parts) == 16
+
+
+def test_labelprop_clusters_equal_union_find(ray_session):
+    """Distributed min-label propagation == driver union-find on a
+    graph with diameter > 1 (chain) plus separate components."""
+    from cosmwasm_etl_ray.functions.dedup import cluster_pairs, cluster_pairs_labelprop
+
+    pairs = pd.DataFrame(
+        {
+            "doc_a": [0, 1, 2,  20, 21,  30],
+            "doc_b": [1, 2, 3,  21, 22,  31],
+        }
+    )
+    uf = cluster_pairs(pairs).sort_values("doc_id").reset_index(drop=True)
+    lp = cluster_pairs_labelprop(ray.data.from_pandas(pairs), shards=4)
+    pd.testing.assert_frame_equal(lp, uf, check_dtype=False)
+    assert set(lp["cluster_id"]) == {0, 20, 30}
