@@ -119,3 +119,52 @@ def test_override_fold_equals_serial_oracle(events):
     got = engine_state(df, fold_override)
     expect = serial_override(df)
     assert got == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(events_strategy())
+def test_arrow_fold_equals_pandas_fold_any_sequence(events):
+    """The Arrow merge fold picks the same winners as fold_partial for
+    ARBITRARY sequences (including commit ties: later input position
+    wins in both)."""
+    import pyarrow as pa
+
+    from cosmwasm_etl_ray.stages.merge import fold_lww_arrow
+
+    df = to_df(events)
+    if df.empty:
+        return
+    expect = (
+        fold_partial(df)
+        .sort_values(["repo", "path"], kind="stable")
+        .reset_index(drop=True)
+    )
+    got = (
+        fold_lww_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect[got.columns.tolist()])
+
+
+@settings(max_examples=100, deadline=None)
+@given(events_strategy(), st.integers(min_value=1, max_value=5))
+def test_arrow_fold_split_invariance(events, n_splits):
+    """Arrow-fold(concat(Arrow-fold(chunk_i))) == Arrow-fold(whole)."""
+    import pyarrow as pa
+
+    from cosmwasm_etl_ray.stages.merge import fold_lww_arrow
+
+    df = to_df(events)
+    if df.empty:
+        return
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    whole = fold_lww_arrow(t).to_pandas()
+    chunks = [
+        pa.Table.from_pandas(c.reset_index(drop=True), preserve_index=False)
+        for c in np.array_split(df, n_splits)
+        if len(c)
+    ]
+    partials = pa.concat_tables([fold_lww_arrow(c) for c in chunks])
+    refold = fold_lww_arrow(partials).to_pandas()
+    pd.testing.assert_frame_equal(refold, whole)
