@@ -6,8 +6,11 @@ entry point you would hand to ``ray job submit`` on a real cluster:
     python -m cosmwasm_etl_ray.cli validate --log-dir D --store S
     python -m cosmwasm_etl_ray.cli metrics  --store S
     python -m cosmwasm_etl_ray.cli gc       --store S [--keep N]
-    python -m cosmwasm_etl_ray.cli diagnose --log-dir D [--start I] [--end J]
-    python -m cosmwasm_etl_ray.cli repair   --store S --snapshot F.parquet
+    python -m cosmwasm_etl_ray.cli diagnose   --log-dir D [--start I] [--end J]
+    python -m cosmwasm_etl_ray.cli repair     --store S --snapshot F.parquet
+    python -m cosmwasm_etl_ray.cli quarantine --store S [--replay]
+    python -m cosmwasm_etl_ray.cli bootstrap  --store S --snapshot F.parquet
+    python -m cosmwasm_etl_ray.cli export     --store S --out DIR
 
 ``diagnose`` dry-runs a file range through the full parse+fold WITHOUT
 writing anything (/root/reference/cmd/parser/diagnose/main.go:96-120);
@@ -73,6 +76,17 @@ def main(argv=None) -> int:
     r.add_argument("--store", required=True)
     r.add_argument("--snapshot", required=True)
     r.add_argument("--partitions", type=int, default=64)
+    q = sub.add_parser("quarantine")
+    q.add_argument("--store", required=True)
+    q.add_argument("--replay", action="store_true")
+    q.add_argument("--partitions", type=int, default=64)
+    b = sub.add_parser("bootstrap")
+    b.add_argument("--store", required=True)
+    b.add_argument("--snapshot", required=True)
+    b.add_argument("--partitions", type=int, default=64)
+    x = sub.add_parser("export")
+    x.add_argument("--store", required=True)
+    x.add_argument("--out", required=True)
 
     args = p.parse_args(argv)
 
@@ -144,6 +158,63 @@ def main(argv=None) -> int:
                 store, snap, EngineConfig(num_partitions=args.partitions)
             )
             print(json.dumps(res))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "quarantine":
+        from cosmwasm_etl_ray.state.quarantine import pending_files as qpending
+
+        pending = qpending(store)
+        if not args.replay:
+            print(json.dumps({"pending_files": len(pending)}))
+            return 0
+        _init_ray()
+        import ray
+
+        from cosmwasm_etl_ray.state.quarantine import replay_quarantine
+
+        try:
+            m = replay_quarantine(
+                store, EngineConfig(num_partitions=args.partitions)
+            )
+            print(json.dumps(
+                {"replayed": m is not None,
+                 "epoch": m["epoch"] if m else None,
+                 "counts": m["counts"] if m else None}
+            ))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "bootstrap":
+        _init_ray()
+        import ray
+
+        import pandas as pd
+
+        from cosmwasm_etl_ray.state.gc import bootstrap_store
+
+        try:
+            snap = pd.read_parquet(args.snapshot)
+            m = bootstrap_store(
+                snap, store, EngineConfig(num_partitions=args.partitions)
+            )
+            print(json.dumps({"epoch": m["epoch"], "counts": m["counts"]}))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "export":
+        _init_ray()
+        import ray
+
+        from cosmwasm_etl_ray.pipelines.replay import read_state
+
+        try:
+            read_state(store).write_parquet(args.out)
+            n = len(glob.glob(os.path.join(args.out, "*.parquet")))
+            print(json.dumps({"out": args.out, "files": n}))
         finally:
             ray.shutdown()
         return 0

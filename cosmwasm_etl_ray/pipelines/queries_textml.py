@@ -194,6 +194,47 @@ def dedup_clusters(sf_dir: str) -> pd.DataFrame:
     return cluster_pairs(p[p["jaccard"] >= 0.5])
 
 
+def media_meta(sf_dir: str) -> "ray.data.Dataset":
+    """Multimodal plumbing through the oracle gate: synthesize binary
+    media from documents, decode via the actor-pool FakeDecoder (byte
+    histogram + payload sha256 — the codec itself is the documented
+    stub), frame-sample videos, and join decode metadata with sampled
+    frame counts. Every output column is SQL-derivable from the
+    deterministic synthesis, so the whole binary-column pipeline —
+    large_binary schema, small batches, actor setup-once, flat_map
+    frame layout — is hash-checked, not just pytest-checked."""
+    from cosmwasm_etl_ray.functions.agg import grouped_agg
+    from cosmwasm_etl_ray.functions.joins import hash_join
+    from cosmwasm_etl_ray.stages.multimodal import (
+        FakeDecoder,
+        FrameSampler,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_docs(sf_dir))
+    feats = media.map_batches(
+        FakeDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    ).map_batches(
+        lambda t: t.select(["media_id", "kind", "payload_sha256", "n_bytes"]),
+        batch_format="pyarrow",
+    )
+    frames = media.map_batches(FrameSampler(), batch_format="pyarrow", batch_size=512)
+    n_sampled = grouped_agg(
+        frames,
+        keys=["media_id"],
+        spec={"n_sampled_frames": ("frame_index", "count")},
+        final="shuffle",
+    )
+    return hash_join(
+        feats,
+        n_sampled,
+        on="media_id",
+        left_cols={"media_id": "int64", "kind": "object",
+                   "payload_sha256": "object", "n_bytes": "int64"},
+        right_cols={"media_id": "int64", "n_sampled_frames": "int64"},
+    )
+
+
 def ann_lsh(sf_dir: str) -> "ray.data.Dataset":
     qdf, db = _split_queries_db(sf_dir)
     return lsh_topk(db, qdf, k=10)
@@ -260,6 +301,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_lsh_recall": ann_lsh_recall,
     "ann_ivf_recall": ann_ivf_recall,
+    "media_meta": media_meta,
 }
 
 from cosmwasm_etl_ray.functions.text import FP_BASE, FP_MOD, FP_WINDOW, LangId
@@ -390,5 +432,16 @@ SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5
 """,
     "ann_ivf_recall": """
 SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5
+""",
+    # the media synthesis is deterministic from documents: payload =
+    # utf-8(text) ×3, kind = doc_id%3, n_frames = doc_id%24+1 sampled
+    # every 8th frame — all SQL-derivable
+    "media_meta": """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][doc_id % 3 + 1] AS kind,
+       sha256(repeat(text, 3)) AS payload_sha256,
+       CAST(3 * octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST((doc_id % 24 + 1 + 7) // 8 AS BIGINT) AS n_sampled_frames
+FROM documents
 """,
 }

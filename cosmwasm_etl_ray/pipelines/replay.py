@@ -158,10 +158,11 @@ def pending_files(files: list[str], store) -> tuple[list[str], int]:
         return files, 0
     fileset = set(files)
     # walk manifests newest-first to the most recent FILE cursor —
-    # bootstrap/repair/direct epochs carry no file range and are skipped
+    # bootstrap/repair/quarantine/direct epochs carry no file range
+    # and are skipped
     for e in reversed(store.committed_epochs()):
         hi = store.manifest(e)["offset_range"][1]
-        if not hi or hi in ("bootstrap", "repair"):
+        if not hi or hi in ("bootstrap", "repair", "quarantine"):
             continue
         if hi in fileset:
             return files[files.index(hi) + 1 :], latest + 1

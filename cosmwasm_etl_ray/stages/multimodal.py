@@ -84,19 +84,22 @@ class FakeDecoder:
         self.edges = np.linspace(0, 256, bins + 1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats, shas = [], []
+        feats, shas, nbytes = [], [], []
         for buf in t["payload"]:
-            b = np.frombuffer(buf.as_py(), dtype=np.uint8)
+            raw = buf.as_py()
+            b = np.frombuffer(raw, dtype=np.uint8)
             hist = np.histogram(b, bins=self.edges)[0].astype(np.float32)
             norm = np.linalg.norm(hist)
             feats.append((hist / norm if norm else hist).tolist())
-            shas.append(hashlib.sha256(buf.as_py()).hexdigest())
+            shas.append(hashlib.sha256(raw).hexdigest())
+            nbytes.append(len(raw))
         return pa.table(
             {
                 "media_id": t["media_id"],
                 "kind": t["kind"],
                 "feature": pa.array(feats, type=pa.list_(pa.float32())),
                 "payload_sha256": pa.array(shas, type=pa.string()),
+                "n_bytes": pa.array(nbytes, type=pa.int64()),
             }
         )
 

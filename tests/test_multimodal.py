@@ -35,7 +35,7 @@ def test_decode_stub_gates_real_codec():
 
 def test_fake_decoder_deterministic_features(sf_dir):
     feats = media_features(_docs(sf_dir)).to_pandas().sort_values("media_id")
-    assert set(feats.columns) == {"media_id", "kind", "feature", "payload_sha256"}
+    assert set(feats.columns) == {"media_id", "kind", "feature", "payload_sha256", "n_bytes"}
     assert feats["feature"].map(len).eq(64).all()
     # sha256 equals hash of the synthesized payload (invariant holds
     # through the actor-pool stage)
