@@ -103,3 +103,39 @@ def test_tiered_source_fallback_once_per_chunk(tmp_path):
     # partial extension: only the new chunk is fetched
     src.read_range(2, 5)
     assert calls == [0, 1, 2, 3, 4, 5]
+
+
+def test_paginated_backfill_resumable_and_retrying(tmp_path):
+    """S6: pages staged before the offset marker advances; a crash
+    mid-backfill resumes at the stored offset without refetching
+    completed pages; transient errors retry with backoff."""
+    import pyarrow as pa
+
+    from cosmwasm_etl_ray.sources.tiered import PaginatedBackfill
+
+    fetched = []
+    fail_once = {10: True}  # one transient failure at offset 10
+
+    def fetch_page(offset):
+        if fail_once.pop(offset, False):
+            raise ConnectionError("503")
+        fetched.append(offset)
+        table = pa.table({"offset": [offset] * 3, "v": list(range(3))})
+        nxt = offset + 10 if offset < 40 else None
+        return table, nxt
+
+    sleeps = []
+    bf = PaginatedBackfill(str(tmp_path / "bf"), fetch_page, sleep=sleeps.append)
+    # "crash" after two pages
+    files = bf.run(max_pages=2)
+    assert len(files) == 2 and bf.collected_offset() == 20
+    assert sleeps == [0.5]  # the offset-10 retry backoff
+
+    # resume: only the remaining pages are fetched
+    bf2 = PaginatedBackfill(str(tmp_path / "bf"), fetch_page, sleep=sleeps.append)
+    files = bf2.run()
+    assert bf2.collected_offset() is None  # complete
+    assert [f.split("page-")[1][:10] for f in files] == [
+        "0000000000", "0000000010", "0000000020", "0000000030", "0000000040"
+    ]
+    assert fetched == [0, 10, 20, 30, 40]  # every page fetched exactly once
