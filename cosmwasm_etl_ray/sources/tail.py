@@ -37,15 +37,28 @@ def tail_changes(
     max_idle_polls: int = 3,
     until_files: int | None = None,
     run_derived: bool = True,
+    run_validation: bool = True,
     err_tolerance: int = 3,
     sleep=time.sleep,
 ) -> dict:
     """Tail until `until_files` files are processed or `max_idle_polls`
-    consecutive polls see no new work. Returns a summary dict."""
+    consecutive polls see no new work. Returns a summary dict.
+
+    Every ``cfg.validation_interval_epochs`` committed epochs, a state
+    snapshot is written and the replayed state is validated against the
+    independent recompute — the reference's periodic snapshot +
+    validation worker (/root/reference/parser/dex/dex.go:390-455,
+    pool/validation interval defaults
+    /root/reference/configs/parser.config.go:9-12). Mismatch counts
+    are reported in the summary (advisory, like the reference's
+    validation log — repair is the operator's explicit action)."""
     idle = 0
     errors = 0
     ticks = 0
     applied_epochs = 0
+    validations = 0
+    validation_mismatches = 0
+    validated_through = -1
     while True:
         try:
             files = list_log_files(log_dir)
@@ -54,6 +67,25 @@ def tail_changes(
             manifests = replay_files(files, store, cfg)
             if run_derived and manifests:
                 run_all_tasks(store, cfg)
+            latest = store.latest_epoch()
+            if (
+                run_validation
+                and manifests
+                and cfg.validation_interval_epochs
+                and latest is not None
+                and (latest + 1) // cfg.validation_interval_epochs
+                > (validated_through + 1) // cfg.validation_interval_epochs
+            ):
+                from cosmwasm_etl_ray.stages.validate import (
+                    snapshot_state,
+                    validate_store,
+                )
+
+                snapshot_state(store)
+                bad = validate_store(store, files, cfg)
+                validations += 1
+                validation_mismatches += len(bad)
+                validated_through = latest
             errors = 0
         except Exception:
             errors += 1
@@ -73,6 +105,8 @@ def tail_changes(
             return {
                 "ticks": ticks,
                 "applied_epochs": applied_epochs,
+                "validations": validations,
+                "validation_mismatches": validation_mismatches,
                 "stopped": "until" if caught_up else "idle",
             }
         sleep(poll_interval)

@@ -139,3 +139,28 @@ def test_paginated_backfill_resumable_and_retrying(tmp_path):
         "0000000000", "0000000010", "0000000020", "0000000030", "0000000040"
     ]
     assert fetched == [0, 10, 20, 30, 40]  # every page fetched exactly once
+
+
+def test_tail_runs_periodic_validation(tmp_path):
+    """The validation cadence fires every validation_interval_epochs
+    committed epochs: snapshot written, zero mismatches on a healthy
+    store."""
+    import glob
+    import os
+
+    from cosmwasm_etl_ray.config import EngineConfig
+
+    log = generate_change_stream(
+        str(tmp_path / "log"),
+        GeneratorConfig(seed=33, n_keys=200, n_events=20_000, events_per_file=5_000,
+                        malformed_frac=0.0, evolve_at_frac=None),
+    )
+    cfg = EngineConfig(num_partitions=4, epoch_max_events=5_000,
+                       validation_interval_epochs=2)
+    store = StateStore(str(tmp_path / "store"))
+    summary = tail_changes(str(tmp_path / "log"), store, cfg,
+                           max_idle_polls=1, sleep=lambda _: None)
+    assert summary["applied_epochs"] == 4
+    assert summary["validations"] >= 1
+    assert summary["validation_mismatches"] == 0
+    assert glob.glob(os.path.join(store.root, "snapshots", "*.parquet"))
