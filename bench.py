@@ -123,6 +123,19 @@ def run_once() -> dict:
     applied = sum(m["counts"]["applied_events"] for m in manifests)
     live = read_state(store).count()
 
+    # the derived-task DAG over the freshly replayed store (window
+    # stats, repo history, the cross-key PriceTask, lang stats) — the
+    # aggregator tick the reference runs on its own schedule. Opt-in
+    # (GRAFT_BENCH_DERIVED=1): the PriceTask's per-event output makes
+    # this ~60 s at 8M events, measured separately in BASELINE.md.
+    derived_sec = None
+    if os.environ.get("GRAFT_BENCH_DERIVED"):
+        from cosmwasm_etl_ray.pipelines.aggregator import run_all_tasks
+
+        t0 = time.time()
+        run_all_tasks(store, cfg)
+        derived_sec = round(time.time() - t0, 3)
+
     # per-query timings over the sf dir (the oracle-checked pipelines)
     qtimes = {}
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
@@ -148,6 +161,7 @@ def run_once() -> dict:
         "applied_events": applied,
         "live_keys": live,
         "events_per_sec": round(N_EVENTS / replay_sec),
+        "derived_tasks_sec": derived_sec,
     }
     ray.shutdown()
     return result

