@@ -59,6 +59,17 @@ def ensure_change_log() -> list[str]:
     )
 
 
+def _cpu_ticks() -> list[int]:
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:9]))
+
+
+def _steal_pct(a: list[int], b: list[int]) -> float:
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    return round(100.0 * d[7] / tot, 1)
+
+
 def run_once() -> dict:
     import ray
 
@@ -117,9 +128,14 @@ def run_once() -> dict:
 
     shutil.rmtree(store_root, ignore_errors=True)
     store = StateStore(store_root)
+    ticks0 = _cpu_ticks()
     t0 = time.time()
     manifests = replay_files(files, store, cfg)
     replay_sec = time.time() - t0
+    # hypervisor CPU steal DURING the timed replay: this box shows
+    # 0-6% in clean windows and 18%+ under neighbor contention at
+    # 32-way load — a recorded wall time is only meaningful next to it
+    steal_pct = _steal_pct(ticks0, _cpu_ticks())
     applied = sum(m["counts"]["applied_events"] for m in manifests)
     live = read_state(store).count()
 
@@ -161,6 +177,7 @@ def run_once() -> dict:
         "applied_events": applied,
         "live_keys": live,
         "events_per_sec": round(N_EVENTS / replay_sec),
+        "cpu_steal_pct": steal_pct,
         "derived_tasks_sec": derived_sec,
     }
     ray.shutdown()
@@ -185,9 +202,12 @@ def run_scaling() -> dict:
 
     ensure_change_log()  # build cache once, outside both timed runs
 
-    def best_of(ncpu: int, n: int = 2) -> dict:
-        # single-node run-to-run variance (scheduler, page cache) is
-        # large; best-of-n is the standard stabilizer
+    def best_of(ncpu: int, n: int = 3) -> dict:
+        # single-node run-to-run variance is large AND asymmetric:
+        # hypervisor steal measured 5.8% at 8-way load vs 18%+ at
+        # 32-way under neighbor contention, which deflates the ratio
+        # one-sidedly. best-of-n maximizes the chance of catching a
+        # clean window at each level.
         runs = [sub(ncpu) for _ in range(n)]
         return min(runs, key=lambda r: r["value"])
 
@@ -201,8 +221,10 @@ def run_scaling() -> dict:
         "sec_32cpu": hi["value"],
         "events_per_sec_8cpu": lo["events_per_sec"],
         "events_per_sec_32cpu": hi["events_per_sec"],
+        "steal_pct_8cpu": lo.get("cpu_steal_pct"),
+        "steal_pct_32cpu": hi.get("cpu_steal_pct"),
         "events": lo["events"],
-        "runs_per_level": 2,
+        "runs_per_level": 3,
         "sf": SF_DIR,
     }
 
