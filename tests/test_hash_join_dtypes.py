@@ -1,0 +1,58 @@
+"""hash_join invariants: union null-padding must not leak widened
+dtypes into outputs or mis-bucket keys in chained joins."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from cosmwasm_etl_ray.functions.joins import hash_join
+
+
+def test_chained_joins_keep_int_keys(ray_session):
+    """A join output's int64 key column must hash into the same bucket
+    as a fresh int64 column in a SECOND join (union padding used to
+    widen it to float64, whose stringified hash landed elsewhere)."""
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"a": np.arange(50, dtype=np.int64),
+                      "b": np.arange(50, dtype=np.int64) + 1_000_000})
+    )
+    names_a = ray.data.from_pandas(
+        pd.DataFrame({"a": np.arange(50, dtype=np.int64),
+                      "name_a": [f"n{i}" for i in range(50)]})
+    )
+    names_b = ray.data.from_pandas(
+        pd.DataFrame({"b": np.arange(50, dtype=np.int64) + 1_000_000,
+                      "name_b": [f"m{i}" for i in range(50)]})
+    )
+    j1 = hash_join(
+        pairs, names_a, on="a", num_buckets=8,
+        left_cols={"a": "int64", "b": "int64"},
+        right_cols={"a": "int64", "name_a": "object"},
+    )
+    j2 = hash_join(
+        j1, names_b, on="b", num_buckets=8,
+        left_cols={"a": "int64", "b": "int64", "name_a": "object"},
+        right_cols={"b": "int64", "name_b": "object"},
+    )
+    out = j2.to_pandas().sort_values("a").reset_index(drop=True)
+    assert len(out) == 50  # every pair survived BOTH joins
+    assert out["a"].dtype == np.int64 and out["b"].dtype == np.int64
+    assert (out["name_b"] == [f"m{i}" for i in range(50)]).all()
+
+
+def test_left_join_empty_right_bucket_pads_columns(ray_session):
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(10, dtype=np.int64), "v": list("abcdefghij")})
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": pd.Series(dtype="int64"), "w": pd.Series(dtype="object")})
+    )
+    out = hash_join(
+        left, right, on="k", num_buckets=4, how="left",
+        left_cols={"k": "int64", "v": "object"},
+        right_cols={"k": "int64", "w": "object"},
+    ).to_pandas()
+    assert len(out) == 10
+    assert out["w"].isna().all()  # right side absent → padded, rows kept
