@@ -111,7 +111,8 @@ def main(argv=None) -> int:
             cfg = EngineConfig(num_partitions=args.partitions)
             ds = ray.data.read_parquet(files)
             flagged = ds.map_batches(
-                FlagAndPartition(cfg.num_partitions), batch_format="pyarrow"
+                FlagAndPartition(cfg.num_partitions, ruleset=cfg.rules),
+                batch_format="pyarrow",
             )
             import pandas as pd
 

@@ -421,6 +421,7 @@ def cluster_pairs_labelprop(
 
     labels = sharded_map_groups(labels, ["v"], min_per_node, shards=shards).materialize()
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         # neighbor messages: edge (u, v) ⋈ label(v) → (u, label)
         msgs = hash_join(
@@ -438,8 +439,18 @@ def cluster_pairs_labelprop(
         ).materialize()
         s = int(labels.sum("label"))
         if s == prev_sum:  # labels only decrease: equal sum ⇒ fixpoint
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # exiting by max_iters means a component with diameter >
+        # max_iters carries NON-minimal labels — silently diverging
+        # from cluster_pairs' union-find, which callers are told this
+        # matches exactly. Fail loudly; the caller raises max_iters.
+        raise RuntimeError(
+            f"cluster_pairs_labelprop did not reach a fixpoint in "
+            f"{max_iters} rounds (component diameter exceeds max_iters)"
+        )
 
     out = labels.to_pandas().rename(columns={"v": "doc_id", "label": "cluster_id"})
     return out.sort_values("doc_id").reset_index(drop=True)

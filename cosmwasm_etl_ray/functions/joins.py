@@ -118,9 +118,15 @@ def hash_join(
             if how == "inner":
                 return pd.DataFrame()
             if how == "left":
+                # pad right columns with pandas-merge suffix semantics:
+                # a name on both sides becomes x_l/x_r here too, so
+                # empty and non-empty buckets emit ONE schema and left
+                # data is never silently overwritten by the padding
+                overlap = (set(right_names) & set(lhs.columns)) - set(on)
+                lhs = lhs.rename(columns={c: c + suffixes[0] for c in overlap})
                 for c in right_names:
                     if c not in on:
-                        lhs[c] = np.nan
+                        lhs[c + suffixes[1] if c in overlap else c] = np.nan
                 return lhs
             raise NotImplementedError(f"hash_join how={how!r} on empty side")
         return lhs.merge(rhs, on=on, how=how, suffixes=suffixes)
@@ -145,6 +151,21 @@ def _side_spec(ds, cols) -> tuple[list[str], dict]:
     names = list(sch.names)
     types = list(getattr(sch, "types", []) or [])
     return names, dict(zip(names, types))
+
+
+def _null_series(index, dtype) -> pd.Series:
+    """Typed null padding for union-schema alignment: numeric → float64
+    NaN (int64 can't hold nulls), datetime → NaT with the declared
+    unit, everything else → object None (Arrow null, concat-promoted)."""
+    try:
+        kind = pd.api.types.pandas_dtype(dtype).kind if dtype is not None else "O"
+    except TypeError:
+        kind = "O"
+    if kind in "iuf":
+        return pd.Series(np.nan, index=index, dtype="float64")
+    if kind in "Mm":
+        return pd.Series(pd.NaT, index=index, dtype=dtype)
+    return pd.Series([None] * len(index), index=index, dtype="object")
 
 
 def _restore_types(df: pd.DataFrame, types: dict) -> pd.DataFrame:

@@ -53,7 +53,10 @@ WINDOW = 1_000_000  # commit-window size (30-min tumbling window analogue)
 def _epoch_measures(files: list[str], cfg: EngineConfig, window: int = WINDOW) -> pd.DataFrame:
     """Per (repo, window) additive partials for one epoch's files."""
     ds = ray.data.read_parquet(files, columns=["repo", "path", "commit", "content", "op"])
-    flagged = ds.map_batches(FlagAndPartition(cfg.num_partitions), batch_format="pyarrow")
+    flagged = ds.map_batches(
+        FlagAndPartition(cfg.num_partitions, ruleset=cfg.rules),
+        batch_format="pyarrow",
+    )
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["valid"]]

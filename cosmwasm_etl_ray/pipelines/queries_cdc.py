@@ -372,11 +372,25 @@ WITH RECURSIVE {CHANGES_CTE.strip()},
 sizes AS (
     SELECT repo, CAST(sum(length(content)) AS BIGINT) AS chars
     FROM final_state GROUP BY repo
+),
+node_sizes AS (
+    SELECT repo AS node, CAST(sum(length(content)) AS BIGINT) AS chars
+    FROM final_state GROUP BY repo
+    UNION ALL
+    SELECT 'lang:' || lang AS node, CAST(sum(length(content)) AS BIGINT) AS chars
+    FROM final_state GROUP BY lang
 )
+-- liquidity cutoff mirrored from the engine: EVERY hop node on the
+-- route must have chars > 0, or the route is dry and emits no price
 SELECT b.repo, CAST(b.hops AS BIGINT) AS hops,
        s.chars / (SELECT chars FROM sizes WHERE repo = 'mono') AS price
 FROM best b JOIN sizes s ON s.repo = b.repo
 WHERE b.rn = 1
+  AND NOT EXISTS (
+      SELECT 1 FROM unnest(string_split(b.route, '->')) AS t(node)
+      LEFT JOIN node_sizes ns ON ns.node = t.node
+      WHERE coalesce(ns.chars, 0) <= 0
+  )
 """
 
 ORACLE_SQL["cdc_state_at"] = f"""

@@ -283,9 +283,21 @@ def events_asof_order(sf_dir: str) -> "ray.data.Dataset":
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     )
 
+    # both tag fns emit the IDENTICAL column set and dtypes: a union of
+    # two streams with different schemas makes group-block column sets
+    # layout-dependent (Ray's "RefBundle with a different schema"
+    # warning) and per_shard's column selection nondeterministically
+    # KeyErrors. int64 columns that the other side must pad become
+    # float64 on BOTH sides (NaN-representable); per_shard casts back.
     def tag_e(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"user_id": df["user_id"], "event_id": df["event_id"], "ts": df["ts"],
+            {"user_id": df["user_id"].astype("int64"),
+             "event_id": df["event_id"].astype("float64"),
+             "ts": df["ts"],
+             "o_orderkey": pd.Series(np.nan, index=df.index, dtype="float64"),
+             "o_orderdate": pd.Series(
+                 pd.NaT, index=df.index, dtype="datetime64[us]"),
+             "o_totalprice": pd.Series(np.nan, index=df.index, dtype="float64"),
              "_side": "E"}
         )
 
@@ -295,8 +307,12 @@ def events_asof_order(sf_dir: str) -> "ray.data.Dataset":
         df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="stable")
         df = df.drop_duplicates(["o_custkey", "o_orderdate"], keep="last")
         return pd.DataFrame(
-            {"user_id": df["o_custkey"], "o_orderkey": df["o_orderkey"],
-             "o_orderdate": df["o_orderdate"], "o_totalprice": df["o_totalprice"],
+            {"user_id": df["o_custkey"].astype("int64"),
+             "event_id": pd.Series(np.nan, index=df.index, dtype="float64"),
+             "ts": pd.Series(pd.NaT, index=df.index, dtype="datetime64[us]"),
+             "o_orderkey": df["o_orderkey"].astype("float64"),
+             "o_orderdate": df["o_orderdate"],
+             "o_totalprice": df["o_totalprice"].astype("float64"),
              "_side": "O"}
         )
 

@@ -39,7 +39,12 @@ def independent_state(files: list[str], cfg: EngineConfig) -> "ray.data.Dataset"
 
     ds = ray.data.read_parquet(files)
     flagged = ds.map_batches(
-        FlagAndPartition(cfg.num_partitions), batch_format="pyarrow"
+        # same ruleset as the incremental path — a custom RuleSet
+        # (EngineConfig.rules) must classify/rewrite identically here,
+        # or every rule-rewritten key reports as a mismatch on a
+        # healthy store
+        FlagAndPartition(cfg.num_partitions, ruleset=cfg.rules),
+        batch_format="pyarrow",
     )
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:

@@ -89,7 +89,8 @@ class ActorStateTier:
             return pd.DataFrame({"applied": [len(df)]})
 
         flagged = changes.map_batches(
-            FlagAndPartition(self.cfg.num_partitions), batch_format="pyarrow"
+            FlagAndPartition(self.cfg.num_partitions, ruleset=self.cfg.rules),
+            batch_format="pyarrow",
         ).map_batches(
             fold_partial_arrow, batch_format="pyarrow", batch_size=self.cfg.batch_size
         )

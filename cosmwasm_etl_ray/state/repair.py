@@ -42,11 +42,26 @@ def diff_state_vs_snapshot(
     only."""
     state = read_state(store)
 
+    # snapshot and state schemas legitimately differ (a snapshot may
+    # lack engine columns). Pad BOTH streams to the union column set
+    # with typed nulls so every union block shares one schema — a
+    # mixed-schema union makes group-block columns layout-dependent
+    # (the events_asof_order failure mode).
+    from cosmwasm_etl_ray.functions.joins import _null_series, _side_spec
+
+    snap_names, snap_types = _side_spec(snapshot, None)
+    state_names, state_types = _side_spec(state, None)
+    all_cols = list(dict.fromkeys(list(snap_names) + list(state_names)))
+    all_types = {**state_types, **snap_types}
+
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = _null_series(df.index, all_types.get(c))
             df["_side"] = side
-            return df
+            return df[all_cols + ["_side"]]
 
         return fn
 
