@@ -151,13 +151,85 @@ def _minhash_pairs_03(sf_dir: str) -> pd.DataFrame:
     return _PAIR_CACHE[sf_dir]
 
 
-def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+def minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Raw MinHash-LSH verified pair list (the product API; the gate
+    query dedup_minhash grades it against exact ground truth)."""
     p = _minhash_pairs_03(sf_dir)
     return p[p["jaccard"] >= 0.5].reset_index(drop=True)
 
 
-def dedup_simhash(sf_dir: str) -> "ray.data.Dataset":
+def simhash_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Raw SimHash near-dup pair list (product API)."""
     return simhash_dedup_pairs(augmented_docs(sf_dir), max_hamming=16)
+
+
+# Recall-contract gate queries for the sketch family: LSH *discovery*
+# is probabilistic (not SQL-expressible pair-for-pair), but the PLANTED
+# pair set (d, d+10^6) with its exact 3-gram Jaccard IS — so each
+# sketch is graded per jaccard band: "of the n_pairs true pairs in
+# band b, the sketch recovered ≥ bar(b)". The SQL twin restates the
+# band structure (jband, n_pairs — hash-checked exactly) plus the
+# contract (recall_ok all true). Bars sit well under the measured
+# deterministic recall at sf0.01 AND sf0.1 (fixed seeds, fixed corpus:
+# minhash .87/.95/1.0 and sf0.1 .78/.97/.99 for bands 5/6/7; simhash
+# ≥.80/.91/.94; clusters track minhash).
+_RECALL_BARS = {5: 0.6, 6: 0.8, 7: 0.85}
+_DEFAULT_BAR = 0.9
+
+_TRUTH_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def _planted_truth(sf_dir: str) -> pd.DataFrame:
+    """Exact jaccard for every planted pair (≥ 0.3), computed once per
+    process — the same distributed run dedup_ngram_jaccard gates."""
+    if sf_dir not in _TRUTH_CACHE:
+        _TRUTH_CACHE[sf_dir] = dedup_ngram_jaccard(sf_dir).to_pandas()
+    return _TRUTH_CACHE[sf_dir]
+
+
+def _banded_recall(sf_dir: str, hit_fn) -> pd.DataFrame:
+    truth = _planted_truth(sf_dir)
+    t = truth[truth["jaccard"] >= 0.5].copy()
+    t["jband"] = np.floor(t["jaccard"] * 10).astype("int64")
+    t["hit"] = hit_fn(t)
+    g = (
+        t.groupby("jband")
+        .agg(n_pairs=("hit", "size"), frac=("hit", "mean"))
+        .reset_index()
+    )
+    g["recall_ok"] = [
+        f >= _RECALL_BARS.get(int(b), _DEFAULT_BAR)
+        for b, f in zip(g["jband"], g["frac"])
+    ]
+    return (
+        g[["jband", "n_pairs", "recall_ok"]]
+        .astype({"jband": "int64", "n_pairs": "int64"})
+        .sort_values("jband")
+        .reset_index(drop=True)
+    )
+
+
+def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH recall contract per true-jaccard band (see above)."""
+    p = minhash_pairs(sf_dir)
+    found = set(zip(p["doc_a"], p["doc_b"]))
+    return _banded_recall(
+        sf_dir,
+        lambda t: [(a, b) in found for a, b in zip(t["doc_a"], t["doc_b"])],
+    )
+
+
+def dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash recall contract per true-jaccard band (see above)."""
+    p = simhash_pairs(sf_dir).to_pandas()
+    found = set(zip(p["doc_a"], p["doc_b"]))
+    return _banded_recall(
+        sf_dir,
+        lambda t: [
+            (a, b) in found or (b, a) in found
+            for a, b in zip(t["doc_a"], t["doc_b"])
+        ],
+    )
 
 
 def dedup_ngram_jaccard(sf_dir: str) -> "ray.data.Dataset":
@@ -185,13 +257,30 @@ def dedup_ngram_jaccard(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def dedup_clusters(sf_dir: str) -> pd.DataFrame:
-    """Near-dup clusters: MinHash-LSH pairs → connected components.
-    cluster_id = min doc_id in the component (the keep-representative)."""
+def neardup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Raw near-dup clusters (product API): MinHash-LSH pairs →
+    connected components, cluster_id = min doc_id in the component
+    (the keep-representative)."""
     from cosmwasm_etl_ray.functions.dedup import cluster_pairs
 
     p = _minhash_pairs_03(sf_dir)
     return cluster_pairs(p[p["jaccard"] >= 0.5])
+
+
+def dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """End-to-end cluster contract per true-jaccard band: a planted
+    pair counts as recovered when BOTH docs land in the same cluster —
+    grading LSH discovery AND the connected-components step together
+    (transitive closure may recover pairs LSH missed directly)."""
+    cl = neardup_clusters(sf_dir)
+    lab = dict(zip(cl["doc_id"], cl["cluster_id"]))
+    return _banded_recall(
+        sf_dir,
+        lambda t: [
+            lab.get(a, -1) == lab.get(b, -2)
+            for a, b in zip(t["doc_a"], t["doc_b"])
+        ],
+    )
 
 
 def media_meta(sf_dir: str) -> "ray.data.Dataset":
@@ -235,12 +324,14 @@ def media_meta(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def ann_lsh(sf_dir: str) -> "ray.data.Dataset":
+def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
+    """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
     return lsh_topk(db, qdf, k=10)
 
 
-def ann_ivf(sf_dir: str) -> "ray.data.Dataset":
+def ivf_neighbors(sf_dir: str) -> "ray.data.Dataset":
+    """Raw IVF approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
     return ivf_topk(db, qdf, k=10, n_probe=8)
 
@@ -257,31 +348,36 @@ def _exact_topk(sf_dir: str) -> pd.DataFrame:
     return _EXACT_TOPK_CACHE[sf_dir]
 
 
-def _ann_recall(sf_dir: str, approx: pd.DataFrame, bar: int) -> pd.DataFrame:
+def _ann_contract(sf_dir: str, approx: pd.DataFrame, bar: int) -> pd.DataFrame:
     """Per-query recall CONTRACT vs the exact top-k: the approximate
-    result must overlap the exact top-10 by ≥ bar. The oracle twin
-    states the contract (all true), so a recall regression in the
-    deterministic sketch flips a row and fails the hash — the ANN
-    analogue of checking an inexact operator against an exact oracle."""
+    result must return a full k and overlap the exact top-10 by ≥ bar.
+    The oracle twin states the contract (n_returned = 10, all true),
+    so a recall or plumbing regression in the deterministic sketch
+    flips a row and fails the hash — the ANN analogue of checking an
+    inexact operator against an exact oracle."""
     exact = _exact_topk(sf_dir)
     e = exact.groupby("query_id")["neighbor_id"].apply(set)
     a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    n_ret = approx.groupby("query_id").size()
+    qs = sorted(int(q) for q in e.index)
     return pd.DataFrame(
         {
-            "query_id": sorted(int(q) for q in e.index),
-            "recall_ok": [
-                len(e[q] & a.get(q, set())) >= bar for q in sorted(e.index)
-            ],
+            "query_id": qs,
+            "n_returned": [int(n_ret.get(q, 0)) for q in qs],
+            "recall_ok": [len(e[q] & a.get(q, set())) >= bar for q in qs],
         }
     )
 
 
-def ann_lsh_recall(sf_dir: str) -> pd.DataFrame:
-    return _ann_recall(sf_dir, ann_lsh(sf_dir).to_pandas(), bar=5)
+def ann_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH ANN recall contract (bar 5/10) — runs the full distributed
+    lsh_topk pipeline, then grades it against the exact top-10."""
+    return _ann_contract(sf_dir, lsh_neighbors(sf_dir).to_pandas(), bar=5)
 
 
-def ann_ivf_recall(sf_dir: str) -> pd.DataFrame:
-    return _ann_recall(sf_dir, ann_ivf(sf_dir).to_pandas(), bar=3)
+def ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN recall contract (bar 3/10, n_probe=8)."""
+    return _ann_contract(sf_dir, ivf_neighbors(sf_dir).to_pandas(), bar=3)
 
 
 QUERIES = {
@@ -299,8 +395,6 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
-    "ann_lsh_recall": ann_lsh_recall,
-    "ann_ivf_recall": ann_ivf_recall,
     "media_meta": media_meta,
 }
 
@@ -391,10 +485,35 @@ SELECT doc_id,
        END AS BIGINT) AS rolling_fp
 FROM documents
 """,
-    # enumerated planted candidates (d, d+1e6), exact 3-gram Jaccard —
-    # the SQL twin rebuilds the perturbed corpus with the same
-    # every-13th-word drop and the same n-gram/set math
-    "dedup_ngram_jaccard": """
+    # recall contracts: every query must return a full k and overlap
+    # the exact top-10 by the stated bar — a regression in the
+    # deterministic sketches flips a row and fails the hash
+    "ann_lsh": """
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_returned, true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+""",
+    "ann_ivf": """
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_returned, true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+""",
+    # the media synthesis is deterministic from documents: payload =
+    # utf-8(text) ×3, kind = doc_id%3, n_frames = doc_id%24+1 sampled
+    # every 8th frame — all SQL-derivable
+    "media_meta": """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][doc_id % 3 + 1] AS kind,
+       sha256(repeat(text, 3)) AS payload_sha256,
+       CAST(3 * octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST((doc_id % 24 + 1 + 7) // 8 AS BIGINT) AS n_sampled_frames
+FROM documents
+""",
+}
+
+# enumerated planted candidates (d, d+1e6), exact 3-gram Jaccard — the
+# SQL rebuilds the perturbed corpus with the same every-13th-word drop
+# and the same n-gram/set math. Shared by dedup_ngram_jaccard (raw
+# pair check) and the three banded recall contracts.
+_NGRAM_PAIRS_CTES = """
 WITH g AS (
     SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
@@ -422,26 +541,24 @@ pairs AS (
                / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
     FROM grams a JOIN pgrams b ON b.doc_id = a.doc_id
 )
-SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3
-""",
-    # recall contracts: every query must overlap the exact top-10 by
-    # the stated bar — a regression in the deterministic sketches flips
-    # a row and fails the hash
-    "ann_lsh_recall": """
-SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5
-""",
-    "ann_ivf_recall": """
-SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5
-""",
-    # the media synthesis is deterministic from documents: payload =
-    # utf-8(text) ×3, kind = doc_id%3, n_frames = doc_id%24+1 sampled
-    # every 8th frame — all SQL-derivable
-    "media_meta": """
-SELECT doc_id AS media_id,
-       ['image', 'audio', 'video'][doc_id % 3 + 1] AS kind,
-       sha256(repeat(text, 3)) AS payload_sha256,
-       CAST(3 * octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST((doc_id % 24 + 1 + 7) // 8 AS BIGINT) AS n_sampled_frames
-FROM documents
-""",
-}
+"""
+
+ORACLE_SQL["dedup_ngram_jaccard"] = (
+    _NGRAM_PAIRS_CTES + "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3"
+)
+
+# banded recall contract: the band structure (jband, n_pairs) is
+# hash-checked exactly against the engine's distributed exact-Jaccard
+# run; recall_ok = true states the contract the deterministic sketch
+# must meet per band (bars in _RECALL_BARS, set under measured recall)
+_BANDED_RECALL_SQL = _NGRAM_PAIRS_CTES + """
+SELECT CAST(floor(jaccard * 10) AS BIGINT) AS jband,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       true AS recall_ok
+FROM pairs WHERE jaccard >= 0.5
+GROUP BY 1
+"""
+
+ORACLE_SQL["dedup_minhash"] = _BANDED_RECALL_SQL
+ORACLE_SQL["dedup_simhash"] = _BANDED_RECALL_SQL
+ORACLE_SQL["dedup_clusters"] = _BANDED_RECALL_SQL

@@ -11,9 +11,9 @@ from cosmwasm_etl_ray.functions.similarity import brute_force_topk, lsh_topk
 from cosmwasm_etl_ray.pipelines.queries_textml import (
     ann_topk,
     augmented_docs,
-    dedup_minhash,
-    dedup_simhash,
     lang_id,
+    minhash_pairs,
+    simhash_pairs,
     text_features,
 )
 
@@ -33,7 +33,7 @@ def planted_recall(pairs: pd.DataFrame, n_docs: int) -> float:
 
 
 def test_minhash_lsh_finds_planted_neardups(sf_dir):
-    pairs = as_df(dedup_minhash(sf_dir))
+    pairs = as_df(minhash_pairs(sf_dir))
     rec = planted_recall(pairs, 500)
     assert rec >= 0.85, f"minhash recall {rec}"
     # verified pairs carry their jaccard and meet the threshold
@@ -41,7 +41,7 @@ def test_minhash_lsh_finds_planted_neardups(sf_dir):
 
 
 def test_simhash_finds_planted_neardups(sf_dir):
-    pairs = as_df(dedup_simhash(sf_dir))
+    pairs = as_df(simhash_pairs(sf_dir))
     rec = planted_recall(pairs, 500)
     assert rec >= 0.8, f"simhash recall {rec}"
     assert (pairs["hamming"] <= 16).all()
@@ -96,9 +96,9 @@ def test_lang_id_and_features_deterministic_schema(sf_dir):
 
 
 def test_dedup_clusters_pair_planted_docs(sf_dir):
-    from cosmwasm_etl_ray.pipelines.queries_textml import dedup_clusters
+    from cosmwasm_etl_ray.pipelines.queries_textml import neardup_clusters
 
-    cl = dedup_clusters(sf_dir).set_index("doc_id")["cluster_id"]
+    cl = neardup_clusters(sf_dir).set_index("doc_id")["cluster_id"]
     # most planted (d, d+1e6) pairs share a cluster with id = d
     hits = sum(
         d in cl.index and d + 1_000_000 in cl.index and cl[d] == cl[d + 1_000_000] == d
