@@ -47,10 +47,16 @@ def grouped_agg(
     batch_size: int = 65536,
     final: str = "driver",
     shards: int = 64,
+    driver_limit: int = 200_000,
 ):
     """spec: output_col → (source_col, op) with op ∈ sum|count|min|max|mean.
     final="driver" returns a pandas DataFrame (small by contract);
-    final="shuffle" returns a Dataset (high-cardinality keys)."""
+    final="shuffle" returns a Dataset (high-cardinality keys).
+
+    Driver mode ENFORCES its small-cardinality contract: if the
+    collected partial set exceeds ``driver_limit`` rows the reduce
+    raises instead of silently funnelling a high-cardinality key
+    through the driver — switch that caller to final="shuffle"."""
     # decompose means into sum+count partials
     plan: dict[str, tuple[str, str]] = {}
     means: dict[str, str] = {}
@@ -95,7 +101,15 @@ def grouped_agg(
 
     partial_ds = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
     if final == "driver":
-        return reduce_partials(partial_ds.to_pandas())
+        partials = partial_ds.to_pandas()
+        if len(partials) > driver_limit:
+            raise ValueError(
+                f"grouped_agg(final='driver') collected {len(partials)} "
+                f"partial rows (> driver_limit={driver_limit}); the key "
+                f"cardinality is too high for a driver reduce — use "
+                f"final='shuffle'"
+            )
+        return reduce_partials(partials)
 
     # shuffle mode: shard partials by key hash; each shard holds ALL
     # partials of its keys, so the within-shard reduce is global —

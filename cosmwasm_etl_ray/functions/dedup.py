@@ -457,20 +457,30 @@ def cluster_pairs_labelprop(
 
 
 def exact_dedup_keep_min(
-    docs: "ray.data.Dataset", key_fn_batch, key_name: str
+    docs: "ray.data.Dataset", key_fn_batch, key_name: str, shards: int = 64
 ) -> "ray.data.Dataset":
-    """Exact dedup: add key column per batch, groupby(key), keep the
-    min-doc_id representative (hash-partition + per-group first — D2)."""
+    """Exact dedup: add key column per batch, keep the min-doc_id
+    representative per key (D2). Scale shape: a map-side PARTIAL
+    (per-batch min/count per key) shrinks the shuffle to per-batch
+    distinct keys, then the partials shard by key hash and fold
+    vectorized per COARSE shard — never one pandas group per distinct
+    key (at corpus-scale cardinality that pays per-key task/frame
+    overhead everywhere)."""
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+
     keyed = docs.map_batches(key_fn_batch, batch_format="pyarrow")
 
-    def keep(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="stable")
-        return pd.DataFrame(
-            {
-                key_name: [g[key_name].iloc[0]],
-                "keep_doc_id": [g["doc_id"].iloc[0]],
-                "group_size": [len(g)],
-            }
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key_name, sort=False, as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), group_size=("doc_id", "size")
         )
 
-    return keyed.groupby(key_name).map_groups(keep, batch_format="pandas")
+    partials = keyed.map_batches(partial, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_name, sort=False, as_index=False).agg(
+            keep_doc_id=("keep_doc_id", "min"), group_size=("group_size", "sum")
+        )
+        return out[[key_name, "keep_doc_id", "group_size"]]
+
+    return sharded_map_groups(partials, [key_name], fold, shards=shards)

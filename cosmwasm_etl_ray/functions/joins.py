@@ -198,13 +198,20 @@ def asof_join_groups(
     key: str,
     ts_col: str,
     fn,
+    shards: int = 64,
 ) -> "ray.data.Dataset":
-    """Per-key ordered processing: groupby(key) → sort by ts inside the
-    group → apply fn (e.g. merge_asof / ffill). The per-key ordering
-    contract mirrors the reference's as-of price search
-    (/root/reference/aggregator/task.go:558-578)."""
+    """Per-key ordered processing: shard by key hash (a key's rows land
+    in exactly one shard), sort by (key, ts) inside the shard, apply fn
+    per key. The per-key ordering contract mirrors the reference's
+    as-of price search (/root/reference/aggregator/task.go:558-578).
+    Coarse shards, not one task per key — ``fn`` is arbitrary per-key
+    code, so the per-key loop is unavoidable, but it runs inside
+    ~shards tasks instead of paying task + frame overhead per key."""
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.sort_values(ts_col, kind="stable"))
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="stable")
+        outs = [fn(grp) for _, grp in g.groupby(key, sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
 
-    return events.groupby(key).map_groups(per_key, batch_format="pandas")
+    return sharded_map_groups(events, [key], per_shard, shards=shards)

@@ -148,22 +148,33 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
-    """Star join: collapse only the true dimensions (customer ⋈ nation)
-    driver-side; the orders FACT table stays distributed — it picks up
-    n_name via a broadcast merge inside its scan, then hash-joins
-    against pre-aggregated lineitem revenue. Final group count is 25,
-    so the last reduce is trivially driver-safe."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust_nation = cust.merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey"
-    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+    """Star join, nothing customer-sized through the driver: only
+    nation (25 rows, truly tiny) is broadcast — into a distributed
+    customer scan that emits (o_custkey, n_name) pairs; orders picks
+    up n_name via a distributed hash join, then hash-joins the
+    pre-aggregated lineitem revenue. Final group count is 25, so the
+    last reduce is trivially driver-safe."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas().rename(
+        columns={"n_nationkey": "c_nationkey"}
+    )
+    cust_nation = broadcast_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        nation,
+        on="c_nationkey",
+    ).map_batches(
+        lambda df: df[["c_custkey", "n_name"]].rename(
+            columns={"c_custkey": "o_custkey"}
+        ),
+        batch_format="pandas",
+    )
 
-    orders_dim = broadcast_join(
+    orders_dim = hash_join(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
         cust_nation,
         on="o_custkey",
-    ).select_columns(["o_orderkey", "n_name"])
+        left_cols={"o_orderkey": "int64", "o_custkey": "int64"},
+        right_cols={"o_custkey": "int64", "n_name": "object"},
+    ).map_batches(lambda df: df[["o_orderkey", "n_name"]], batch_format="pandas")
 
     joined = hash_join(
         orders_dim,
@@ -173,7 +184,9 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         left_cols=["o_orderkey", "n_name"],
         right_cols={"o_orderkey": "int64", "rev_e4": "int64"},
     )
-    agg = grouped_agg(joined, keys=["n_name"], spec={"rev_e4": ("rev_e4", "sum")})
+    agg = grouped_agg(
+        joined, keys=["n_name"], spec={"rev_e4": ("rev_e4", "sum")}, final="driver"
+    )
     agg["revenue"] = agg["rev_e4"] / 10000.0
     return agg[["n_name", "revenue"]]
 

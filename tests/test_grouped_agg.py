@@ -98,3 +98,14 @@ def test_stats_with_distinct_matches_pandas():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+def test_grouped_agg_driver_mode_enforces_cardinality_bound():
+    import pytest
+
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 5000, 20_000).astype(str), "x": rng.normal(size=20_000)}
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    with pytest.raises(ValueError, match="final='shuffle'"):
+        grouped_agg(ds, ["k"], {"sum_x": ("x", "sum")}, driver_limit=1000)
