@@ -29,6 +29,14 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "8000000"))
 CACHE_ROOT = os.environ.get("GRAFT_BENCH_CACHE", "/tmp/cdc_bench_cache")
+# number of replay epochs the headline run is sliced into (default 2);
+# raise for many-epoch state-residency comparisons (disk vs actor tier)
+N_EPOCHS = int(os.environ.get("GRAFT_BENCH_EPOCHS", "2"))
+# merge-state residency for the headline replay: "disk" | "actor"
+STATE_TIER = os.environ.get("GRAFT_BENCH_TIER", "disk")
+# full query sweeps per bench (per-query time = min across sweeps —
+# one noisy hypervisor window can no longer fabricate a 13× regression)
+QUERY_SWEEPS = int(os.environ.get("GRAFT_QUERY_SWEEPS", "2"))
 
 
 def ensure_change_log() -> list[str]:
@@ -117,8 +125,13 @@ def run_once() -> dict:
     # parallelism and regresses)
     cfg = EngineConfig(
         num_partitions=64,
-        epoch_max_events=max(1_000_000, N_EVENTS // 2),
+        epoch_max_events=max(250_000, N_EVENTS // N_EPOCHS),
         batch_size=262_144,
+        state_tier=STATE_TIER,
+        # one shard actor per 2 CPUs: the per-epoch fold+checkpoint
+        # parallelizes across actors (64 pids / 16 actors = 4 serial
+        # folds each)
+        actor_state_shards=min(64, max(8, NUM_CPUS // 2)),
     )
 
     # untimed warmup: spins up Ray workers + actor pools so the timed
@@ -152,18 +165,35 @@ def run_once() -> dict:
         run_all_tasks(store, cfg)
         derived_sec = round(time.time() - t0, 3)
 
-    # per-query timings over the sf dir (the oracle-checked pipelines)
-    qtimes = {}
+    # per-query timings over the sf dir (the oracle-checked pipelines).
+    # The whole sweep runs QUERY_SWEEPS times and each query records its
+    # MIN across sweeps: process-level caches (the shared LSH/exact-topk
+    # runs) are cleared at each sweep start, so intra-sweep sharing
+    # stays honest while a single noisy window can't poison the record.
+    qtimes: dict = {}
+    sweep_steals = []
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import __ray_entry__ as entrymod
 
-        for name, fn in entrymod.queries().items():
-            t0 = time.time()
-            res = fn(SF_DIR)
-            if hasattr(res, "count"):
-                res.count()  # consume the lazy Dataset
-            qtimes[name] = round(time.time() - t0, 3)
+        def _clear_query_caches():
+            from cosmwasm_etl_ray.pipelines import queries_textml as qt
+
+            qt._PAIR_CACHE.clear()
+            qt._TRUTH_CACHE.clear()
+            qt._EXACT_TOPK_CACHE.clear()
+
+        for sweep in range(max(1, QUERY_SWEEPS)):
+            _clear_query_caches()
+            s0 = _cpu_ticks()
+            for name, fn in entrymod.queries().items():
+                t0 = time.time()
+                res = fn(SF_DIR)
+                if hasattr(res, "count"):
+                    res.count()  # consume the lazy Dataset
+                dt = round(time.time() - t0, 3)
+                qtimes[name] = min(qtimes.get(name, dt), dt)
+            sweep_steals.append(_steal_pct(s0, _cpu_ticks()))
 
     shutil.rmtree(store_root, ignore_errors=True)
     result = {
@@ -179,6 +209,10 @@ def run_once() -> dict:
         "events_per_sec": round(N_EVENTS / replay_sec),
         "cpu_steal_pct": steal_pct,
         "derived_tasks_sec": derived_sec,
+        "n_epochs": N_EPOCHS,
+        "state_tier": STATE_TIER,
+        "query_sweeps": max(1, QUERY_SWEEPS),
+        "query_sweep_steal_pct": sweep_steals,
     }
     ray.shutdown()
     return result

@@ -56,6 +56,25 @@ class EngineConfig:
     # (behaviorally identical to stages.rules.default_cdc_rules()).
     rules: object | None = None
 
+    # Merge-state residency. "disk" (default): each epoch's merge
+    # re-reads the prior partition file — cheap restart, state survives
+    # any process death. "actor": a StateShard actor pool holds state
+    # in RAM across epochs (the reference keeps its pair set in process
+    # memory, /root/reference/parser/dex/dezswap/app.go:42-68) and
+    # checkpoints per epoch into the SAME manifest store — many-epoch
+    # replays skip the per-epoch state re-read. Same resume semantics:
+    # recovery loads the last committed epoch and re-applies the tail.
+    state_tier: str = "disk"
+    actor_state_shards: int = 8
+
+    # Pipelined replay: epoch e+1's read+flag+combine (which depends
+    # only on its own input files) materializes on a background thread
+    # while epoch e's merge holds the shuffle barrier — the barrier's
+    # idle CPUs do the next epoch's map work. Commit order, manifests
+    # and crash semantics are unchanged (the merge of e+1 still starts
+    # only after e commits).
+    pipeline_epochs: bool = True
+
 
 DEFAULT_CONFIG = EngineConfig()
 

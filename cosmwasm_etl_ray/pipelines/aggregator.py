@@ -307,21 +307,42 @@ class LangWindowStatsTask(DerivedTask):
         )
 
 
-def run_all_tasks(store, cfg: EngineConfig) -> dict[str, list[int]]:
-    """The scheduler tick, in dependency order mirroring the
-    reference's lp_history → price → pair/account stats chain
-    (/root/reference/aggregator/aggregator.go:69-84): window_stats and
-    repo_history hang directly off the replay; the cross-key PriceTask
-    runs next; lang_window_stats (the account-stats shape) is gated on
-    the price cursor — it never processes an epoch the price stage
-    hasn't reached."""
+def run_all_tasks(
+    store, cfg: EngineConfig, concurrent: bool = True
+) -> dict[str, list[int]]:
+    """The scheduler tick, mirroring the reference's one-goroutine-per-
+    task schedulers with first-error propagation
+    (/root/reference/aggregator/aggregator.go:93-148): window_stats,
+    repo_history and the cross-key PriceTask have no mutual dependency
+    and tick CONCURRENTLY (each thread drives its own Ray Dataset jobs;
+    the cluster interleaves them, so the cheap stats tasks ride the
+    PriceTask's idle gaps instead of queueing behind it);
+    lang_window_stats (the account-stats shape) is gated on the price
+    cursor — it never processes an epoch the price stage hasn't
+    reached. The first task error re-raises after the in-flight tick
+    drains (per-task outputs are epoch-atomic, so a failed tick leaves
+    resumable cursors)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cosmwasm_etl_ray.compat import ensure_thread_safe_lazy_imports
     from cosmwasm_etl_ray.pipelines.price import PriceTask
 
     out = {}
-    out[WindowStatsTask.name] = WindowStatsTask(store, cfg).run()
-    out[RepoHistoryTask.name] = RepoHistoryTask(store, cfg).run()
     price = PriceTask(store, cfg)
-    out[PriceTask.name] = price.run()
+    if concurrent:
+        ensure_thread_safe_lazy_imports()
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = {
+                WindowStatsTask.name: pool.submit(WindowStatsTask(store, cfg).run),
+                RepoHistoryTask.name: pool.submit(RepoHistoryTask(store, cfg).run),
+                PriceTask.name: pool.submit(price.run),
+            }
+            for name, f in futs.items():
+                out[name] = f.result()  # first error propagates
+    else:
+        out[WindowStatsTask.name] = WindowStatsTask(store, cfg).run()
+        out[RepoHistoryTask.name] = RepoHistoryTask(store, cfg).run()
+        out[PriceTask.name] = price.run()
     out[LangWindowStatsTask.name] = LangWindowStatsTask(store, cfg).run(
         parent_cursor=price.cursor()
     )

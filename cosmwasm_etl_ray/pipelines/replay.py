@@ -61,6 +61,26 @@ def plan_epochs(files: list[str], cfg: EngineConfig) -> list[list[str]]:
     return epochs
 
 
+def _flag_and_combine(
+    changes: "ray.data.Dataset", cfg: EngineConfig
+) -> "ray.data.Dataset":
+    """The pre-shuffle half of an epoch: flag+partition, then (unless
+    override mode) the LWW combiner. Depends only on the epoch's OWN
+    input — never on prior state — so epoch e+1's instance may run
+    while epoch e's merge is still holding the shuffle barrier."""
+    flagged = changes.map_batches(
+        FlagAndPartition(cfg.num_partitions, ruleset=cfg.rules),
+        batch_format="pyarrow",
+    )
+    if not cfg.override_coalesce:
+        flagged = flagged.map_batches(
+            fold_partial_arrow,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+    return flagged
+
+
 def apply_epoch(
     changes: "ray.data.Dataset",
     store,
@@ -68,12 +88,17 @@ def apply_epoch(
     cfg: EngineConfig = DEFAULT_CONFIG,
     offset_range: tuple[str, str] = ("", ""),
     input_rows: int | None = None,
+    preflagged: "ray.data.Dataset | None" = None,
 ) -> dict:
     """Apply one epoch of change events to the store — ONE pass over
     the input: flag+partition → combiner → shuffle → merge (which also
     writes the quarantine side output per partition). Idempotent:
     re-running a committed epoch is a no-op; re-running an uncommitted
-    (crashed) epoch overwrites the same partition files."""
+    (crashed) epoch overwrites the same partition files.
+
+    ``preflagged``: an already flag+combined dataset for this epoch
+    (the pipelined replay prefetches it while the previous epoch's
+    merge runs); when given, ``changes`` is ignored."""
     if store.is_committed(epoch):
         return store.manifest(epoch)
 
@@ -92,16 +117,7 @@ def apply_epoch(
 
     prior = store.partition_files()
 
-    flagged = changes.map_batches(
-        FlagAndPartition(cfg.num_partitions, ruleset=cfg.rules),
-        batch_format="pyarrow",
-    )
-    if not cfg.override_coalesce:
-        flagged = flagged.map_batches(
-            fold_partial_arrow,
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-        )
+    flagged = preflagged if preflagged is not None else _flag_and_combine(changes, cfg)
     merge = MergeWithState(
         store.state_dir,
         epoch,
@@ -184,6 +200,10 @@ def replay_files(
     reads epoch e's state."""
     todo, start = pending_files(files, store)
     epochs = plan_epochs(todo, cfg)
+    if cfg.state_tier == "actor" and epochs:
+        return _replay_files_actor(epochs, start, store, cfg)
+    if cfg.pipeline_epochs and len(epochs) > 1:
+        return _replay_files_pipelined(epochs, start, store, cfg)
     out = []
     for i, batch in enumerate(epochs):
         e = start + i
@@ -191,6 +211,90 @@ def replay_files(
         rows = sum(pq.read_metadata(f).num_rows for f in batch)
         out.append(
             apply_epoch(ds, store, e, cfg, (batch[0], batch[-1]), input_rows=rows)
+        )
+    return out
+
+
+def _replay_files_pipelined(
+    epochs: list[list[str]], start: int, store, cfg: EngineConfig
+) -> list[dict]:
+    """Disk-tier replay with epoch-level pipelining: while epoch e's
+    merge holds the shuffle barrier, epoch e+1's read+flag+combine
+    materializes on a background thread (it depends only on its own
+    input files, never on e's state). Epoch e+1's MERGE still starts
+    only after e's manifest commits — ordering, idempotency and crash
+    recovery are identical to the serial loop."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cosmwasm_etl_ray.compat import ensure_thread_safe_lazy_imports
+
+    ensure_thread_safe_lazy_imports()
+
+    def prep(batch: list[str]) -> "ray.data.Dataset":
+        return _flag_and_combine(ray.data.read_parquet(batch), cfg).materialize()
+
+    out = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(prep, epochs[0])
+        for i, batch in enumerate(epochs):
+            flagged = fut.result()
+            if i + 1 < len(epochs):
+                fut = pool.submit(prep, epochs[i + 1])
+            e = start + i
+            rows = sum(pq.read_metadata(f).num_rows for f in batch)
+            out.append(
+                apply_epoch(
+                    flagged,
+                    store,
+                    e,
+                    cfg,
+                    (batch[0], batch[-1]),
+                    input_rows=rows,
+                    preflagged=flagged,
+                )
+            )
+    return out
+
+
+def _replay_files_actor(
+    epochs: list[list[str]], start: int, store, cfg: EngineConfig
+) -> list[dict]:
+    """Actor-resident replay (cfg.state_tier="actor"): ONE StateShard
+    pool is recovered from the last committed checkpoint and holds the
+    merge state in RAM across ALL epochs — no per-epoch state-file
+    re-read (the disk path's deliberate cheap-restart cost). Each epoch
+    still checkpoints its dirty partitions + manifest, so crash
+    recovery is identical: load the last committed epoch, re-apply the
+    tail. Quarantine rows are dropped (counted in the manifest), not
+    persisted — the dead-letter side output belongs to the disk path."""
+    from cosmwasm_etl_ray.state.actor_state import ActorStateTier
+
+    latest = store.latest_epoch()
+    if latest is not None:
+        committed_p = store.manifest(latest).get("num_partitions")
+        if committed_p is not None and committed_p != cfg.num_partitions:
+            raise ValueError(
+                f"store was built with num_partitions={committed_p}; "
+                f"config asks for {cfg.num_partitions} — refusing to mix"
+            )
+
+    tier = ActorStateTier.from_store(store, cfg, num_actors=cfg.actor_state_shards)
+    out = []
+    for i, batch in enumerate(epochs):
+        e = start + i
+        if store.is_committed(e):
+            out.append(store.manifest(e))
+            continue
+        rows = sum(pq.read_metadata(f).num_rows for f in batch)
+        stats = tier.apply_changes(ray.data.read_parquet(batch))
+        out.append(
+            tier.flush(
+                store,
+                e,
+                offset_range=(batch[0], batch[-1]),
+                input_rows=rows,
+                applied_rows=rows - stats["invalid"],
+            )
         )
     return out
 

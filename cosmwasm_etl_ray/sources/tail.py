@@ -58,6 +58,7 @@ def tail_changes(
     applied_epochs = 0
     validations = 0
     validation_mismatches = 0
+    validation_exceptions = 0
     validated_through = -1
     while True:
         try:
@@ -78,13 +79,17 @@ def tail_changes(
             ):
                 from cosmwasm_etl_ray.stages.validate import (
                     snapshot_state,
-                    validate_store,
+                    validate_and_except,
                 )
 
                 snapshot_state(store)
-                bad = validate_store(store, files, cfg)
+                # mismatched keys are appended to the durable exception
+                # table (the reference's flagged-token append), so the
+                # NEXT periodic pass skips them until operator repair
+                bad, n_new_exceptions = validate_and_except(store, files, cfg)
                 validations += 1
                 validation_mismatches += len(bad)
+                validation_exceptions += n_new_exceptions
                 validated_through = latest
             errors = 0
         except Exception:
@@ -107,6 +112,7 @@ def tail_changes(
                 "applied_epochs": applied_epochs,
                 "validations": validations,
                 "validation_mismatches": validation_mismatches,
+                "validation_exceptions": validation_exceptions,
                 "stopped": "until" if caught_up else "idle",
             }
         sleep(poll_interval)

@@ -13,6 +13,7 @@ excluded via a broadcast set (ST2).
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -120,6 +121,60 @@ def validate_store(
                      "commit_src", "content_sha_src", "presence"]
         )
     return out.reset_index(drop=True)
+
+
+def exceptions_path(store) -> str:
+    return os.path.join(store.root, "validation_exceptions.parquet")
+
+
+def load_exceptions(store) -> set[tuple[str, str]]:
+    """The persisted exception key set (ST2's durable source)."""
+    p = exceptions_path(store)
+    if not os.path.exists(p):
+        return set()
+    df = pd.read_parquet(p)
+    return set(zip(df["repo"], df["path"]))
+
+
+def append_exceptions(
+    store, bad: pd.DataFrame, reason: str = "validation_mismatch"
+) -> int:
+    """Append flagged keys to the durable exception table (the
+    reference appends mismatched tokens so later validations skip them
+    until an operator resolves — /root/reference/parser/dex/dex.go:669-689).
+    Idempotent: existing keys are not duplicated; tmp+rename commit.
+    Returns the number of NEW exception keys."""
+    if bad.empty:
+        return 0
+    new = bad[["repo", "path"]].drop_duplicates().copy()
+    new["reason"] = reason
+    p = exceptions_path(store)
+    if os.path.exists(p):
+        cur = pd.read_parquet(p)
+        have = set(zip(cur["repo"], cur["path"]))
+        new = new[~new.apply(lambda r: (r["repo"], r["path"]) in have, axis=1)]
+        if new.empty:
+            return 0
+        allrows = pd.concat([cur, new], ignore_index=True)
+    else:
+        allrows = new
+    tmp = f"{p}.tmp.{os.getpid()}"
+    allrows.to_parquet(tmp, index=False)
+    os.replace(tmp, p)
+    return len(new)
+
+
+def validate_and_except(
+    store, files: list[str], cfg: EngineConfig
+) -> tuple[pd.DataFrame, int]:
+    """One validation pass with the full exception flow: consume the
+    persisted exception set, diff, and append every NEW mismatch key to
+    the exception table — the next pass reports clean on those keys
+    (the operator resolves or repairs them out-of-band). Returns
+    (mismatch frame, number of newly excepted keys)."""
+    bad = validate_store(store, files, cfg, exceptions=load_exceptions(store))
+    n_new = append_exceptions(store, bad)
+    return bad, n_new
 
 
 def snapshot_state(store, epoch: int | None = None) -> str:

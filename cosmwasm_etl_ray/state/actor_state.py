@@ -22,47 +22,116 @@ only).
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
 from cosmwasm_etl_ray.config import EngineConfig
-from cosmwasm_etl_ray.stages.merge import (
-    MergeWithState,
-    _to_arrow,
-    fold_partial,
-    fold_partial_arrow,
-)
+from cosmwasm_etl_ray.stages.merge import fold_lww_arrow, fold_partial_arrow
 from cosmwasm_etl_ray.stages.normalize import FlagAndPartition
 
 
 @ray.remote
 class StateShard:
-    """Owns the in-memory state frames for pids ≡ shard (mod actors)."""
+    """Owns the in-memory state tables for pids ≡ shard (mod actors).
+    State lives as Arrow tables end-to-end: applies concatenate (with
+    permissive promotion for additive schema evolution) and fold via
+    fold_lww_arrow — the wide content strings never convert to
+    Python/pandas objects, and the inbound slices arrive zero-copy
+    through the object store."""
 
     def __init__(self):
-        self.frames: dict[int, pd.DataFrame] = {}
+        self.tables: dict[int, pa.Table] = {}
+        self.pending: dict[int, list] = {}
+        self.dirty: set[int] = set()
 
-    def apply(self, pid: int, partial: pd.DataFrame) -> int:
-        prior = self.frames.get(pid)
+    def apply(self, pid: int, partial: "pa.Table") -> int:
+        # applies only BUFFER (zero-copy table refs); the LWW fold is
+        # deferred to the epoch fold point (_fold_pid, at flush /
+        # read). LWW is order-free, so folding once per epoch over
+        # [prior, *partials] is exactly the per-apply fold's result —
+        # without re-taking the full state table per inbound batch.
+        self.pending.setdefault(pid, []).append(partial)
+        self.dirty.add(pid)
+        return partial.num_rows
+
+    def _fold_pid(self, pid: int) -> None:
+        parts = self.pending.pop(pid, [])
+        if not parts:
+            return
+        base = ([self.tables[pid]] if pid in self.tables else []) + parts
         allrows = (
-            pd.concat([prior, partial], ignore_index=True)
-            if prior is not None
-            else partial
+            pa.concat_tables(base, promote_options="permissive")
+            if len(base) > 1
+            else base[0]
         )
-        self.frames[pid] = fold_partial(allrows)
-        return len(self.frames[pid])
+        # fold_lww_arrow keeps the max-commit row per key (ties → later
+        # input position; prior is concatenated first, like the disk
+        # path) and returns rows key-sorted
+        self.tables[pid] = fold_lww_arrow(allrows).combine_chunks()
 
-    def snapshot(self) -> dict[int, pd.DataFrame]:
-        return self.frames
+    def _fold_all(self) -> None:
+        for pid in list(self.pending):
+            self._fold_pid(pid)
 
-    def load(self, frames: dict[int, pd.DataFrame]) -> int:
-        self.frames.update(frames)
-        return sum(len(f) for f in frames.values())
+    def snapshot(self) -> dict[int, "pa.Table"]:
+        self._fold_all()
+        return self.tables
+
+    def load(self, tables: dict[int, "pa.Table"]) -> int:
+        self.tables.update(tables)
+        return sum(t.num_rows for t in tables.values())
 
     def live_count(self) -> int:
-        return sum(int((f["op"] != "delete").sum()) for f in self.frames.values())
+        self._fold_all()
+        return sum(
+            int(pc.sum(pc.not_equal(t["op"], pa.scalar("delete"))).as_py() or 0)
+            for t in self.tables.values()
+        )
+
+    def flush_shard(self, state_dir: str, epoch: int) -> list[dict]:
+        """Checkpoint this shard's DIRTY partitions as the epoch's
+        state files — written BY the actor (parallel across shards,
+        nothing crosses the driver), tmp+rename like the disk path.
+        Untouched pids keep resolving to their older epoch files via
+        store.partition_files(). Dirty set clears on success; a crash
+        before the manifest commit leaves the epoch uncommitted, and
+        resume re-applies it (LWW is idempotent)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(state_dir, f"epoch={epoch}"), exist_ok=True)
+        out = []
+        for pid in sorted(self.dirty):
+            self._fold_pid(pid)
+            t = self.tables[pid]
+            if "pid" not in t.column_names:
+                t = t.append_column(
+                    "pid", pa.array([pid] * t.num_rows, pa.int64())
+                )
+            path = os.path.join(
+                state_dir, f"epoch={epoch}", f"part-{pid:05d}.parquet"
+            )
+            tmp = f"{path}.tmp.{os.getpid()}"
+            pq.write_table(t, tmp)
+            os.replace(tmp, path)
+            live = int(
+                pc.sum(pc.not_equal(t["op"], pa.scalar("delete"))).as_py() or 0
+            )
+            out.append(
+                {
+                    "pid": int(pid),
+                    "file": path,
+                    "rows": t.num_rows,
+                    "live_rows": live,
+                }
+            )
+        self.dirty.clear()
+        return out
 
 
 class ActorStateTier:
@@ -73,20 +142,36 @@ class ActorStateTier:
     def _handle(self, pid: int):
         return self.actors[pid % len(self.actors)]
 
-    def apply_changes(self, changes: "ray.data.Dataset") -> int:
+    def apply_changes(self, changes: "ray.data.Dataset") -> dict:
         """Stream an epoch of changes into the actors: flag+partition →
-        Arrow combiner → per-batch routing to the owning shard. Returns
-        applied row count. Invalid rows are dropped here (the quarantine
-        path belongs to the durable sink)."""
+        Arrow combiner → per-batch pid-sliced routing to the owning
+        shard, ALL Arrow (the slices move zero-copy through the object
+        store; nothing converts to pandas). Returns {"applied":
+        folded-partial rows shipped, "invalid": dropped rows}. Invalid
+        rows are dropped here (the quarantine side output belongs to
+        the durable sink)."""
         actors = self.actors
 
-        def route(df: pd.DataFrame) -> pd.DataFrame:
-            df = df[df["valid"]].drop(columns=["valid"])
+        def route(t: pa.Table) -> pa.Table:
+            valid = t["valid"].combine_chunks()
+            n_ok = int(pc.sum(valid).as_py() or 0)
+            n_bad = t.num_rows - n_ok
+            t = t.filter(valid).drop_columns(["valid"])
+            pids = t["pid"].to_numpy(zero_copy_only=False)
             refs = []
-            for pid, g in df.groupby("pid", sort=False):
-                refs.append(actors[int(pid) % len(actors)].apply.remote(int(pid), g))
+            for pid in np.unique(pids):
+                refs.append(
+                    actors[int(pid) % len(actors)].apply.remote(
+                        int(pid), t.filter(pa.array(pids == pid))
+                    )
+                )
             ray.get(refs)  # backpressure: don't outrun the shards
-            return pd.DataFrame({"applied": [len(df)]})
+            return pa.table(
+                {
+                    "applied": pa.array([n_ok], pa.int64()),
+                    "invalid": pa.array([n_bad], pa.int64()),
+                }
+            )
 
         flagged = changes.map_batches(
             FlagAndPartition(self.cfg.num_partitions, ruleset=self.cfg.rules),
@@ -94,44 +179,67 @@ class ActorStateTier:
         ).map_batches(
             fold_partial_arrow, batch_format="pyarrow", batch_size=self.cfg.batch_size
         )
-        stats = flagged.map_batches(route, batch_format="pandas").to_pandas()
-        return int(stats["applied"].sum()) if len(stats) else 0
+        stats = flagged.map_batches(route, batch_format="pyarrow").to_pandas()
+        if not len(stats):
+            return {"applied": 0, "invalid": 0}
+        return {
+            "applied": int(stats["applied"].sum()),
+            "invalid": int(stats["invalid"].sum()),
+        }
 
     # ---- checkpointing into the durable store ----
-    def flush(self, store, epoch: int, offset_range=("actor", "actor")) -> dict:
-        """Write every shard's frames as the epoch's partition files +
-        manifest — the same exactly-once layout the disk path produces,
-        so read_state() and resume work unchanged."""
-        merge = MergeWithState(store.state_dir, epoch, {}, override=False)
-        touched = {}
-        for shard in ray.get([a.snapshot.remote() for a in self.actors]):
-            for pid, frame in shard.items():
-                f = frame.copy()
-                f["pid"] = pid
-                row = merge(_to_arrow(f))  # merge stage is Arrow-native
-                touched[int(pid)] = {
-                    "file": row["file"][0].as_py(),
-                    "rows": int(row["rows"][0].as_py()),
-                    "live_rows": int(row["live_rows"][0].as_py()),
-                }
+    def flush(
+        self,
+        store,
+        epoch: int,
+        offset_range=("actor", "actor"),
+        input_rows: int | None = None,
+        applied_rows: int | None = None,
+    ) -> dict:
+        """Checkpoint every shard's DIRTY partitions as the epoch's
+        partition files + manifest — the same exactly-once layout the
+        disk path produces, so read_state() and resume work unchanged.
+        Each actor writes its own files in parallel; only the tiny
+        stats rows reach the driver."""
+        shard_stats = ray.get(
+            [a.flush_shard.remote(store.state_dir, epoch) for a in self.actors]
+        )
+        touched = {
+            r["pid"]: {
+                "file": r["file"],
+                "rows": r["rows"],
+                "live_rows": r["live_rows"],
+            }
+            for rows in shard_stats
+            for r in rows
+        }
         counts = {
-            "input_events": None,
-            "applied_events": None,
-            "quarantined": 0,
+            "input_events": input_rows,
+            "applied_events": applied_rows,
+            "quarantined": (
+                input_rows - applied_rows
+                if input_rows is not None and applied_rows is not None
+                else 0
+            ),
             "touched_partitions": len(touched),
         }
-        return store.commit_epoch(epoch, touched, offset_range, counts)
+        return store.commit_epoch(
+            epoch,
+            touched,
+            offset_range,
+            counts,
+            num_partitions=self.cfg.num_partitions,
+        )
 
     @classmethod
     def from_store(cls, store, cfg: EngineConfig, num_actors: int = 8):
         """Recover the tier from the last flushed checkpoint."""
+        import pyarrow.parquet as pq
+
         tier = cls(cfg, num_actors=num_actors)
-        per_actor: list[dict[int, pd.DataFrame]] = [
-            {} for _ in range(num_actors)
-        ]
+        per_actor: list[dict[int, pa.Table]] = [{} for _ in range(num_actors)]
         for pid, path in store.partition_files().items():
-            df = pd.read_parquet(path)
-            per_actor[pid % num_actors][pid] = df
+            per_actor[pid % num_actors][pid] = pq.read_table(path)
         ray.get(
             [
                 tier.actors[i].load.remote(per_actor[i])

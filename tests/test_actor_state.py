@@ -66,3 +66,55 @@ def test_actor_tier_recovery_then_tail(tmp_path):
         _sorted_state(read_state(disk).to_pandas()),
         _sorted_state(read_state(store).to_pandas()),
     )
+
+
+ACTOR_CFG = EngineConfig(
+    num_partitions=8, epoch_max_events=15_000, batch_size=2048,
+    state_tier="actor", actor_state_shards=4,
+)
+
+
+def test_replay_files_actor_tier_matches_disk(tmp_path):
+    """cfg.state_tier='actor' routes replay_files through the resident
+    pool; the committed store is indistinguishable from the disk path."""
+    log = _log(tmp_path, seed=63)
+
+    disk = StateStore(str(tmp_path / "disk"))
+    replay_files(log["files"], disk, CFG)
+
+    actor = StateStore(str(tmp_path / "actor"))
+    manifests = replay_files(log["files"], actor, ACTOR_CFG)
+
+    pd.testing.assert_frame_equal(
+        _sorted_state(read_state(disk).to_pandas()),
+        _sorted_state(read_state(actor).to_pandas()),
+    )
+    # per-epoch manifests with file cursors + counts, like the disk path
+    assert len(manifests) == len(actor.committed_epochs())
+    m = manifests[-1]
+    assert m["offset_range"][1] == sorted(log["files"])[-1]
+    assert m["counts"]["input_events"] is not None
+    assert m["num_partitions"] == 8
+
+
+def test_replay_files_actor_tier_crash_resume(tmp_path):
+    """Replay the head epochs with the actor tier, 'crash' (fresh call,
+    fresh pool), resume over the full file list: recovery loads the
+    checkpoint and applies only the tail; state converges to the disk
+    replay."""
+    log = _log(tmp_path, seed=64)
+    files = sorted(log["files"])
+
+    store = StateStore(str(tmp_path / "ckpt"))
+    replay_files(files[:2], store, ACTOR_CFG)        # head
+    n_head = len(store.committed_epochs())
+    assert n_head >= 1
+
+    replay_files(files, store, ACTOR_CFG)            # fresh pool, resume
+
+    disk = StateStore(str(tmp_path / "disk"))
+    replay_files(files, disk, CFG)
+    pd.testing.assert_frame_equal(
+        _sorted_state(read_state(disk).to_pandas()),
+        _sorted_state(read_state(store).to_pandas()),
+    )

@@ -164,3 +164,32 @@ def test_final_state_invariant_across_partition_counts(sf_dir):
         )
         frames.append(f[["repo", "path", "commit", "lang", "content"]])
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_validation_exception_flow_auto_excepts(tmp_path):
+    """The reference's flagged-token append: the first validation pass
+    flags a divergent key AND appends it to the durable exception
+    table; the second pass reports clean without operator input."""
+    from cosmwasm_etl_ray.stages.validate import (
+        load_exceptions,
+        validate_and_except,
+    )
+
+    log = _log(tmp_path, seed=19)
+    store = StateStore(str(tmp_path / "store"))
+    replay_files(log["files"], store, CFG)
+
+    pid, f = sorted(store.partition_files().items())[0]
+    df = pd.read_parquet(f)
+    df.loc[df.index[0], "content"] = "CORRUPTED"
+    df.to_parquet(f, index=False)
+
+    bad1, n_new = validate_and_except(store, log["files"], CFG)
+    assert len(bad1) == 1 and n_new == 1
+    key = (bad1.iloc[0]["repo"], bad1.iloc[0]["path"])
+    assert load_exceptions(store) == {key}
+
+    bad2, n_new2 = validate_and_except(store, log["files"], CFG)
+    assert bad2.empty and n_new2 == 0
+    # idempotent: the table still holds exactly the one key
+    assert load_exceptions(store) == {key}
