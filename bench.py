@@ -124,7 +124,7 @@ def run_once() -> dict:
     # the window (measured 9.0s vs 10.3s at 65536; 524288+ loses map
     # parallelism and regresses)
     cfg = EngineConfig(
-        num_partitions=64,
+        num_partitions=int(os.environ.get("GRAFT_BENCH_PARTITIONS", "64")),
         epoch_max_events=max(250_000, N_EVENTS // N_EPOCHS),
         batch_size=262_144,
         state_tier=STATE_TIER,
@@ -236,14 +236,23 @@ def run_scaling() -> dict:
 
     ensure_change_log()  # build cache once, outside both timed runs
 
+    clean_bar = float(os.environ.get("GRAFT_SCALING_STEAL_BAR", "2.0"))
+    max_tries = int(os.environ.get("GRAFT_SCALING_MAX_TRIES", "5"))
+
     def best_of(ncpu: int, n: int = 3) -> dict:
-        # single-node run-to-run variance is large AND asymmetric:
-        # hypervisor steal measured 5.8% at 8-way load vs 18%+ at
-        # 32-way under neighbor contention, which deflates the ratio
-        # one-sidedly. best-of-n maximizes the chance of catching a
-        # clean window at each level.
-        runs = [sub(ncpu) for _ in range(n)]
-        return min(runs, key=lambda r: r["value"])
+        # single-node run-to-run variance is hypervisor steal, measured
+        # per run and ASYMMETRIC (5.8% at 8-way load vs 18%+ at 32-way
+        # under neighbor contention — deflates the ratio one-sidedly).
+        # Retry until n runs land in clean windows (steal ≤ bar), up to
+        # max_tries; the record is the fastest CLEAN run, falling back
+        # to fastest overall only if no window was clean.
+        runs = []
+        for _ in range(max_tries):
+            runs.append(sub(ncpu))
+            if sum(r["cpu_steal_pct"] <= clean_bar for r in runs) >= n:
+                break
+        clean = [r for r in runs if r["cpu_steal_pct"] <= clean_bar]
+        return min(clean or runs, key=lambda r: r["value"])
 
     lo, hi = best_of(8), best_of(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)

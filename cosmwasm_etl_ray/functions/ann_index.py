@@ -143,3 +143,185 @@ def query_ivf_index(
         return g[["query_id", "neighbor_id", "rank"]]
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# --------------------------------------------------------------- LSH index
+
+
+def build_lsh_index(
+    db: "ray.data.Dataset",
+    index_dir: str,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 23,
+) -> dict:
+    """Persistent LSH tables — the build-once twin of ``lsh_topk``
+    (which regenerates planes and rescans the corpus per call; the
+    reference's route cache persists and rebuilds only on growth,
+    /root/reference/pkg/dex/router/route_info.go:106-143 — the same
+    discipline applied to the sketch family).
+
+    Layout (storage-honest: tables hold IDS, vectors live once):
+      ``buckets/tb=<table*2^planes+bucket>/`` — (vec_id) inverted
+        lists, hive-partitioned so a probe reads only matching buckets
+      ``vectors/`` — the (vec_id, embedding) primary store
+      ``_meta.json`` — planes + params (versioned sidecar; rebuild =
+        new dir + pointer swap, like the state manifests)
+    """
+    rng = np.random.default_rng(seed)
+    # peek one row for the dimension (cheap; schema-only would not
+    # carry the list length)
+    dim = len(db.limit(1).to_pandas()["embedding"].iloc[0])
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    pref = ray.put(planes)
+    pow2 = 1 << np.arange(n_planes)
+    width = 1 << n_planes
+
+    class BucketLists:
+        def __init__(self):
+            self.planes = ray.get(pref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            X = _normalize(_embedding_matrix(batch))
+            ids = batch["vec_id"].to_numpy()
+            parts = []
+            for t in range(len(self.planes)):
+                b = ((X @ self.planes[t].T) > 0) @ pow2
+                parts.append(
+                    pd.DataFrame({"tb": t * width + b, "vec_id": ids})
+                )
+            return pd.concat(parts, ignore_index=True)
+
+    db.map_batches(
+        BucketLists, batch_format="pandas", concurrency=(1, 8)
+    ).write_parquet(os.path.join(index_dir, "buckets"), partition_cols=["tb"])
+    db.write_parquet(os.path.join(index_dir, "vectors"))
+
+    meta = {
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "seed": seed,
+        "dim": dim,
+        "planes": planes.tolist(),
+    }
+    tmp = os.path.join(index_dir, f"_meta.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "_meta.json"))
+    return meta
+
+
+def query_lsh_index(
+    index_dir: str,
+    queries_df: pd.DataFrame,
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """Approximate top-k against a persistent LSH index: compute the
+    query buckets from the stored planes, read ONLY those bucket
+    partitions (path pruning), resolve candidate ids → vectors with a
+    distributed hash join against the primary store, exact-cosine rank.
+    Same candidate set as ``lsh_topk`` with the same planes."""
+    import glob as _glob
+
+    from cosmwasm_etl_ray.functions.joins import hash_join
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    planes = np.array(meta["planes"], dtype=np.float64)
+    n_planes = meta["n_planes"]
+    pow2 = 1 << np.arange(n_planes)
+    width = 1 << n_planes
+
+    Q = _normalize(np.array(queries_df["embedding"].tolist()))
+    qids = queries_df["vec_id"].to_numpy()
+    qtb = np.stack(
+        [t * width + (((Q @ planes[t].T) > 0) @ pow2) for t in range(len(planes))],
+        axis=1,
+    )  # (q, tables)
+
+    # tb → probing query ids (tiny, broadcast)
+    tb_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for tb in qtb[qi]:
+            tb_to_q.setdefault(int(tb), []).append(int(qids[qi]))
+    needed = sorted(tb_to_q)
+    probe_files = [
+        f
+        for tb in needed
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, "buckets", f"tb={tb}", "*.parquet"))
+        )
+    ]
+    mref = ray.put(tb_to_q)
+
+    class Expand:
+        """bucket rows → distinct (query_id, vec_id) candidates.
+        Partition pruning strips the hive key from file contents, so
+        the tb value is recovered from the FILE PATH column."""
+
+        def __init__(self):
+            self.tb_to_q = ray.get(mref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            tbs = (
+                batch["path"]
+                .str.extract(r"tb=(\d+)", expand=False)
+                .astype("int64")
+                .to_numpy()
+            )
+            ids = batch["vec_id"].to_numpy()
+            out_q, out_v = [], []
+            for tb, vid in zip(tbs, ids):
+                for q in self.tb_to_q.get(int(tb), ()):
+                    out_q.append(q)
+                    out_v.append(vid)
+            return pd.DataFrame({"query_id": out_q, "vec_id": out_v}).drop_duplicates()
+
+    cands = ray.data.read_parquet(probe_files, include_paths=True).map_batches(
+        Expand, batch_format="pandas", concurrency=(1, 8)
+    )
+
+    vectors = ray.data.read_parquet(os.path.join(index_dir, "vectors"))
+    joined = hash_join(
+        cands,
+        vectors,
+        on="vec_id",
+        left_cols={"query_id": "int64", "vec_id": "int64"},
+        right_cols=["vec_id", "embedding"],
+        # a candidate pair may arrive from several tables/files —
+        # global dedup rides the join bucket, no extra shuffle
+        left_fold=lambda l: l.drop_duplicates(["query_id", "vec_id"]),
+    )
+
+    qref = ray.put((qids, Q))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Q = ray.get(qref)
+            self.qrow = {int(q): i for i, q in enumerate(self.qids)}
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            X = _normalize(_embedding_matrix(batch))
+            qi = np.array([self.qrow[int(q)] for q in batch["query_id"]])
+            cos = np.einsum("ij,ij->i", self.Q[qi], X)
+            return pd.DataFrame(
+                {
+                    "query_id": batch["query_id"].to_numpy(),
+                    "neighbor_id": batch["vec_id"].to_numpy(),
+                    "cos": cos,
+                }
+            )
+
+    partials = joined.map_batches(
+        Score, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
