@@ -43,7 +43,7 @@ def ensure_change_log() -> list[str]:
     from cosmwasm_etl_ray.config import GeneratorConfig
     from cosmwasm_etl_ray.sources.generator import generate_change_stream
 
-    tag = f"v2-seed42-n{N_EVENTS}"
+    tag = f"v3-seed42-n{N_EVENTS}"
     out = os.path.join(CACHE_ROOT, tag)
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
@@ -126,8 +126,10 @@ def run_once() -> dict:
     cfg = EngineConfig(
         num_partitions=int(os.environ.get("GRAFT_BENCH_PARTITIONS", "64")),
         epoch_max_events=max(250_000, N_EVENTS // N_EPOCHS),
-        batch_size=262_144,
+        batch_size=int(os.environ.get("GRAFT_BENCH_BATCH", "262144")),
         state_tier=STATE_TIER,
+        pipeline_epochs=os.environ.get("GRAFT_BENCH_PIPELINE", "1") != "0",
+        merge_exchange=os.environ.get("GRAFT_BENCH_EXCHANGE", "direct"),
         # one shard actor per 2 CPUs: the per-epoch fold+checkpoint
         # parallelizes across actors (64 pids / 16 actors = 4 serial
         # folds each)

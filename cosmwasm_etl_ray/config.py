@@ -75,6 +75,21 @@ class EngineConfig:
     # only after e commits).
     pipeline_epochs: bool = True
 
+    # Merge exchange strategy. "streaming" (default): Ray Data's
+    # groupby("pid").map_groups — the hash-shuffle operator spawns an
+    # aggregator-actor pool PER DATASET EXECUTION (measured ~1.7 s
+    # fixed cost per epoch at bench scale regardless of CPU count,
+    # BASELINE.md), which it amortizes over very large epochs.
+    # "direct": a spawn-free raw-task exchange — each combined block is
+    # split by pid in one task (num_returns=P) and one raw merge task
+    # per touched partition gathers its slices; same MergeWithState,
+    # same tie-break order (slices concatenate in block order), no
+    # actors. Driver bookkeeping is O(blocks × P) ObjectRefs, so at
+    # 100-TB epoch sizes either raise the target block size or fall
+    # back to "streaming" (whose actor spawn amortizes there anyway) —
+    # the crossover is documented in BASELINE.md.
+    merge_exchange: str = "streaming"
+
 
 DEFAULT_CONFIG = EngineConfig()
 

@@ -41,6 +41,179 @@ from cosmwasm_etl_ray.stages.merge import (
 from cosmwasm_etl_ray.stages.normalize import FlagAndPartition
 
 
+def _split_block_by_pid(t: "pa.Table", num_partitions: int):
+    """One raw task of the direct exchange: slice a combined block into
+    one sub-table per pid (single argsort + zero-copy take + slices).
+    Returns a ``num_returns=P`` tuple; empty pids return None so the
+    object store holds a tiny marker, not an empty table."""
+    import numpy as np
+
+    P = num_partitions
+    if t.num_rows == 0:
+        return tuple([None] * P)
+    pid = t["pid"].to_numpy(zero_copy_only=False)
+    order = np.argsort(pid, kind="stable")
+    st = t.take(pa.array(order))
+    spid = pid[order]
+    bounds = np.searchsorted(spid, np.arange(P + 1))
+    out = []
+    for p in range(P):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        out.append(st.slice(lo, hi - lo) if hi > lo else None)
+    return tuple(out)
+
+
+def _merge_pid_parts(merge: MergeWithState, *parts):
+    """One raw merge task: concatenate a pid's slices (in block order —
+    the same positional tie-break the groupby path sees) and run the
+    unchanged MergeWithState on the group."""
+    tables = [p for p in parts if p is not None and p.num_rows > 0]
+    if not tables:
+        return None
+    group = pa.concat_tables(tables, promote_options="permissive")
+    return merge(group)
+
+
+def _prep_split_shard(
+    path: str,
+    row_groups: list[int],
+    num_partitions: int,
+    ruleset,
+    combine: bool,
+):
+    """One raw prep task of the direct replay: read a shard (a run of
+    parquet row groups) → flag+partition → LWW-combine → split by pid.
+    Fusing the whole pre-shuffle half into one task (instead of a
+    read→map→map Dataset execution) removes the streaming executor's
+    per-execution ramp and its per-operator CPU allocation, which
+    measurably cap the replay at ~45% utilization on an idle 32-CPU
+    box (BASELINE.md). Task count = input shards, so parallelism
+    follows the data, not the operator plan."""
+    t = pq.ParquetFile(path).read_row_groups(row_groups)
+    fp = FlagAndPartition(num_partitions, ruleset=ruleset)
+    out = fp(t)
+    if combine:
+        out = fold_partial_arrow(out)
+    return _split_block_by_pid(out, num_partitions)
+
+
+def _plan_shards(files: list[str], target_rows: int) -> list[tuple[str, list[int]]]:
+    """Slice an epoch's files into prep shards of ≈target_rows
+    consecutive row groups (never crossing a file). Shard granularity =
+    row-group granularity, so writers control read parallelism with
+    row_group_size (the generator writes 65536-row groups)."""
+    shards: list[tuple[str, list[int]]] = []
+    for f in sorted(files):
+        md = pq.read_metadata(f)
+        cur: list[int] = []
+        cur_rows = 0
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            if cur and cur_rows + n > target_rows:
+                shards.append((f, cur))
+                cur, cur_rows = [], 0
+            cur.append(rg)
+            cur_rows += n
+        if cur:
+            shards.append((f, cur))
+    return shards
+
+
+def _merge_pid_chain(
+    state_root: str,
+    epoch: int,
+    pid: int,
+    override: bool,
+    quarantine_root: str | None,
+    committed_prior: str | None,
+    prev,
+    *parts,
+):
+    """One link of the pid-chained merge: fold THIS pid's epoch slices
+    onto its state as of the previous epoch. ``prev`` is the (stats,
+    state_file) result of this pid's task for epoch-1 — passing its
+    ObjectRef makes Ray start this task only after the predecessor
+    finished, so epochs pipeline at PARTITION granularity with no
+    global per-epoch barrier (pid A can be three epochs ahead of a
+    straggling pid B; keys never move between pids, so only the chain
+    orders anything). Returns (stats_table | None, state_file | None)
+    for the next link."""
+    prior = prev[1] if prev is not None else committed_prior
+    tables = [p for p in parts if p is not None and p.num_rows > 0]
+    if not tables:
+        return (None, prior)
+    group = pa.concat_tables(tables, promote_options="permissive")
+    merge = MergeWithState(
+        state_root,
+        epoch,
+        {pid: prior} if prior else {},
+        override=override,
+        quarantine_root=quarantine_root,
+    )
+    stats = merge(group)
+    return (stats, stats["file"][0].as_py())
+
+
+_REMOTE_CACHE: dict = {}
+
+
+def _direct_exchange_stats(
+    flagged: "ray.data.Dataset", merge: MergeWithState, num_partitions: int
+) -> pd.DataFrame:
+    """Spawn-free exchange replacing ``groupby("pid").map_groups``:
+    stream the combined blocks out of the dataset, split each by pid
+    with a raw task, then run ONE raw merge task per touched partition.
+
+    Why raw Ray here (the documented Dataset-API exception): Ray Data's
+    hash-shuffle operator creates and force-shuts-down its aggregator
+    actor pool per dataset execution — a measured ~1.7 s fixed cost per
+    epoch at any CPU count (BASELINE.md), which dominates small/medium
+    epochs and caps multi-epoch scaling. The raw-task exchange has no
+    per-epoch pool. Partitioning assumption: ``pid`` is already
+    assigned upstream (FlagAndPartition) and P is fixed by the store,
+    so this is a pure routing exchange, not a repartition decision.
+
+    Scale bound: the driver holds O(blocks × P) ObjectRefs during one
+    epoch. At the 100-TB shape either raise the block size or use
+    cfg.merge_exchange="streaming" — crossover in BASELINE.md."""
+    import ray as _ray
+
+    P = num_partitions
+    split = _REMOTE_CACHE.get(("split", P))
+    if split is None:
+        split = _ray.remote(num_returns=P)(_split_block_by_pid)
+        _REMOTE_CACHE[("split", P)] = split
+    mtask = _REMOTE_CACHE.get("merge")
+    if mtask is None:
+        mtask = _ray.remote(_merge_pid_parts)
+        _REMOTE_CACHE["merge"] = mtask
+
+    per_pid: list[list] = [[] for _ in range(P)]
+    for bundle in flagged.iter_internal_ref_bundles():
+        for block_ref, _md in bundle.blocks:
+            refs = split.remote(block_ref, P)
+            if P == 1:
+                refs = [refs]
+            for p, r in enumerate(refs):
+                per_pid[p].append(r)
+
+    merge_ref = _ray.put(merge)
+    stats_refs = [mtask.remote(merge_ref, *parts) for parts in per_pid if parts]
+    tables = [t for t in _ray.get(stats_refs) if t is not None]
+    if not tables:
+        return pd.DataFrame(
+            columns=[
+                "pid",
+                "rows",
+                "live_rows",
+                "merged_partials",
+                "quarantined",
+                "file",
+            ]
+        )
+    return pa.concat_tables(tables).to_pandas()
+
+
 def plan_epochs(files: list[str], cfg: EngineConfig) -> list[list[str]]:
     """Slice the change log's file list into epochs of ≤ epoch_max_events,
     on file boundaries only (files are commit-contiguous, like height
@@ -126,17 +299,21 @@ def apply_epoch(
         quarantine_root=store.quarantine_dir,
     )
 
-    def merge_fn(group):
-        return merge(group)
+    if cfg.merge_exchange == "direct" and not cfg.merge_concurrency:
+        stats = _direct_exchange_stats(flagged, merge, cfg.num_partitions)
+    else:
 
-    mg_kwargs = {}
-    if cfg.merge_concurrency:
-        mg_kwargs["concurrency"] = cfg.merge_concurrency
-    stats = (
-        flagged.groupby("pid")
-        .map_groups(merge_fn, batch_format="pyarrow", **mg_kwargs)
-        .to_pandas()
-    )
+        def merge_fn(group):
+            return merge(group)
+
+        mg_kwargs = {}
+        if cfg.merge_concurrency:
+            mg_kwargs["concurrency"] = cfg.merge_concurrency
+        stats = (
+            flagged.groupby("pid")
+            .map_groups(merge_fn, batch_format="pyarrow", **mg_kwargs)
+            .to_pandas()
+        )
 
     quarantined = int(stats["quarantined"].sum()) if len(stats) else 0
     touched = {
@@ -202,6 +379,12 @@ def replay_files(
     epochs = plan_epochs(todo, cfg)
     if cfg.state_tier == "actor" and epochs:
         return _replay_files_actor(epochs, start, store, cfg)
+    if (
+        cfg.merge_exchange == "direct"
+        and not cfg.merge_concurrency
+        and epochs
+    ):
+        return _replay_files_direct(epochs, start, store, cfg)
     if cfg.pipeline_epochs and len(epochs) > 1:
         return _replay_files_pipelined(epochs, start, store, cfg)
     out = []
@@ -212,6 +395,130 @@ def replay_files(
         out.append(
             apply_epoch(ds, store, e, cfg, (batch[0], batch[-1]), input_rows=rows)
         )
+    return out
+
+
+def _replay_files_direct(
+    epochs: list[list[str]], start: int, store, cfg: EngineConfig
+) -> list[dict]:
+    """Direct-exchange replay with PID-LEVEL epoch chaining — the
+    engine's fast path for multi-epoch backlogs.
+
+    Per epoch, the read+flag+combine dataset streams on the driver's
+    main thread (``iter_internal_ref_bundles``) and each combined block
+    is split by pid with a raw task. The merge for (epoch e, pid p) is
+    a raw task whose FIRST argument is the ObjectRef of (e-1, p)'s
+    result — Ray's dependency tracking replaces the global per-epoch
+    shuffle barrier with 64 independent per-partition chains, so epoch
+    e+1's drain and e's merges overlap without threads (the threaded
+    prefetch in _replay_files_pipelined measurably collapses under the
+    direct drain — two driver threads fighting over submission).
+
+    Durability is unchanged: each link writes its partition file
+    tmp+rename, the driver commits manifests strictly in epoch order,
+    and a crash leaves later epochs' orphan files that the re-run
+    overwrites (an epoch exists only when its manifest does).
+    Backpressure: at most MAX_WAVES epochs of split outputs are in
+    flight; the driver commits (blocks on) the oldest wave first."""
+    import ray as _ray
+
+    MAX_WAVES = 2
+    P = cfg.num_partitions
+    latest = store.latest_epoch()
+    if latest is not None:
+        committed_p = store.manifest(latest).get("num_partitions")
+        if committed_p is not None and committed_p != P:
+            raise ValueError(
+                f"store was built with num_partitions={committed_p}; "
+                f"config asks for {P} — refusing to mix"
+            )
+
+    prep = _REMOTE_CACHE.get(("prep", P))
+    if prep is None:
+        prep = _ray.remote(num_returns=P)(_prep_split_shard)
+        _REMOTE_CACHE[("prep", P)] = prep
+    chain = _REMOTE_CACHE.get("chain")
+    if chain is None:
+        chain = _ray.remote(_merge_pid_chain)
+        _REMOTE_CACHE["chain"] = chain
+    ruleset_ref = _ray.put(cfg.rules) if cfg.rules is not None else None
+
+    committed_prior = store.partition_files()  # pid -> newest state file
+    prev_refs: dict[int, object] = {}
+    pending: list[tuple] = []
+    out: list[dict] = []
+
+    def _commit(entry) -> dict:
+        e, offset_range, rows, refs = entry
+        results = _ray.get(refs)
+        stats_tables = [r[0] for r in results if r[0] is not None]
+        if stats_tables:
+            stats = pa.concat_tables(stats_tables).to_pandas()
+        else:
+            stats = pd.DataFrame(
+                columns=["pid", "rows", "live_rows", "quarantined", "file"]
+            )
+        quarantined = int(stats["quarantined"].sum()) if len(stats) else 0
+        touched = {
+            int(r.pid): {
+                "file": r.file,
+                "rows": int(r.rows),
+                "live_rows": int(r.live_rows),
+            }
+            for r in stats.itertuples()
+        }
+        counts = {
+            "input_events": int(rows),
+            "applied_events": int(rows) - quarantined,
+            "quarantined": quarantined,
+            "touched_partitions": len(touched),
+        }
+        return store.commit_epoch(
+            e, touched, offset_range, counts, num_partitions=P
+        )
+
+    for i, batch in enumerate(epochs):
+        e = start + i
+        if store.is_committed(e):
+            out.append(store.manifest(e))
+            continue
+        rows = sum(pq.read_metadata(f).num_rows for f in batch)
+        # Shard cap: in-flight ObjectRefs per epoch are shards × P, and
+        # the raylet measurably degrades past ~4k small objects in
+        # flight (BASELINE.md: 32M-row run 69.8 s → 11.0 s with coarser
+        # shards). Bound shards/epoch at 2×NCPU — enough to fill every
+        # core — by raising the per-shard row target on large epochs.
+        ncpu = int(_ray.cluster_resources().get("CPU", 32))
+        target = max(cfg.batch_size, -(-rows // (2 * ncpu)))
+        per_pid: list[list] = [[] for _ in range(P)]
+        for path, rgs in _plan_shards(batch, target):
+            refs = prep.remote(
+                path, rgs, P, ruleset_ref, not cfg.override_coalesce
+            )
+            if P == 1:
+                refs = [refs]
+            for p, r in enumerate(refs):
+                per_pid[p].append(r)
+        wave = []
+        for p in range(P):
+            ref = chain.remote(
+                store.state_dir,
+                e,
+                p,
+                cfg.override_coalesce,
+                store.quarantine_dir,
+                committed_prior.get(p),
+                prev_refs.get(p),
+                *per_pid[p],
+            )
+            prev_refs[p] = ref
+            wave.append(ref)
+        pending.append((e, (batch[0], batch[-1]), rows, wave))
+        while len(pending) >= MAX_WAVES:
+            out.append(_commit(pending.pop(0)))
+
+    for entry in pending:
+        out.append(_commit(entry))
     return out
 
 

@@ -124,7 +124,10 @@ def generate_change_stream(out_dir: str, cfg: GeneratorConfig) -> dict:
         stop = min(start + per, cfg.n_events)
         table, bad = _chunk(cfg, i, start, stop, key_repo, seen, evolve_at)
         fname = os.path.join(out_dir, f"changes-{i:05d}.parquet")
-        pq.write_table(table, fname)
+        # 65536-row groups: prep-shard granularity for the direct
+        # replay (_plan_shards slices on row-group boundaries, so
+        # read parallelism is writer-controlled, not one-task-per-file)
+        pq.write_table(table, fname, row_group_size=65536)
         files.append(fname)
         n_malformed += bad
 
