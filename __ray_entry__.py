@@ -44,6 +44,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(queries_extra.QUERIES)
     except ImportError:
         pass
+    try:
+        from cosmwasm_etl_ray.pipelines import queries_transfers
+
+        out.update(queries_transfers.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -69,6 +75,12 @@ def oracle_sql() -> dict[str, str]:
         from cosmwasm_etl_ray.pipelines import queries_extra
 
         out.update(queries_extra.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from cosmwasm_etl_ray.pipelines import queries_transfers
+
+        out.update(queries_transfers.ORACLE_SQL)
     except ImportError:
         pass
     return out
