@@ -53,6 +53,26 @@ def transfer_ledger(sf_dir: str) -> "ray.data.Dataset":
     return _ledger_ds(sf_dir).select_columns(_LEDGER_COLS)
 
 
+def transfer_quarantine(sf_dir: str) -> "ray.data.Dataset":
+    """Malformed logs (no amount attr after decode — the noise kind)
+    surfaced as a quarantine side output instead of a silent drop
+    (M13's ambiguity->quarantine path in the transfer domain,
+    /root/reference/pkg/eventlog/util.go:58-114). Failed txs are
+    SKIPPED, not quarantined — only decodable-but-unmappable logs
+    land here."""
+    import pyarrow.compute as pc
+
+    decoded = raw_logs_from_lineitem(sf_dir).map_batches(
+        decode_raw_logs_batch, batch_format="pyarrow"
+    )
+    return decoded.map_batches(
+        lambda t: t.filter(pc.is_null(t["amount_str"])).select(
+            ["tx_id", "log_idx", "kind", "contract"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def transfer_pair_flows(sf_dir: str) -> pd.DataFrame:
     from cosmwasm_etl_ray.functions.agg import grouped_agg
 
@@ -148,6 +168,7 @@ ledger AS (
 QUERIES = {
     "transfer_ledger": transfer_ledger,
     "transfer_pair_flows": transfer_pair_flows,
+    "transfer_quarantine": transfer_quarantine,
 }
 
 ORACLE_SQL = {
@@ -161,5 +182,15 @@ SELECT pair, token, ttype,
        CAST(sum(amount) AS BIGINT) AS net_amount,
        CAST(count(*) AS BIGINT) AS n
 FROM ledger GROUP BY pair, token, ttype
+""",
+    # noise logs are exactly the kdet=9 rows of non-failed txs
+    "transfer_quarantine": """
+SELECT l_orderkey AS tx_id,
+       CAST(l_linenumber AS BIGINT) * 2 AS log_idx,
+       'noise' AS kind,
+       'junk' AS contract
+FROM lineitem
+WHERE l_orderkey % 53 <> 0
+  AND (l_orderkey*31 + CAST(l_linenumber AS BIGINT)*17) % 10 = 9
 """,
 }

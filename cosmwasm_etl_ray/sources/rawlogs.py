@@ -44,6 +44,11 @@ the chain emits attrs unordered (M8,
 /root/reference/pkg/eventlog/util.go:11-56); decode must extract by
 key, never by position.
 
+String assembly runs through Arrow kernels
+(``binary_join_element_wise`` + int->string casts) over
+lookup-table labels — the numpy ``np.char`` fixed-width path measured
+20 s per 600k rows vs <1 s here; only the integer math stays numpy.
+
 The oracle SQL in ``pipelines/queries_transfers.py`` rebuilds the
 LEDGER from these formulas from first principles — it never round-trips
 the string encoding, so the engine's encode->decode->map path is
@@ -54,6 +59,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -75,55 +81,59 @@ LP_TO_PAIR = {
     f"lp_{p:02d}": f"pair_{p:02d}" for p in range(N_PAIRS) if p % 3 != 0
 }
 
+# label lookup tables: tiny-id -> string resolved by np.take (an
+# order of magnitude faster than per-row zfill/concat)
+_PAIRS = np.array([f"pair_{p:02d}" for p in range(N_PAIRS)], dtype=object)
+_LPS = np.array([f"lp_{p:02d}" for p in range(N_PAIRS)], dtype=object)
+_TOKS = np.array([f"tok_{a:02d}" for a in range(N_TOKENS)], dtype=object)
+_USERS = np.array([f"addr_{u:03d}" for u in range(N_USERS)], dtype=object)
 
-def _z2(x: np.ndarray) -> np.ndarray:
-    return np.char.zfill(x.astype("U2"), 2)
+
+def _s(arr: np.ndarray) -> pa.Array:
+    return pa.array(arr, type=pa.string())
 
 
-def _seg(key: str, val: np.ndarray, v2: np.ndarray) -> np.ndarray:
-    """One attr segment: 'key=val' (v1) or 'key:val' (v2)."""
-    return np.where(
-        v2,
-        np.char.add(key + ":", val.astype("U64")),
-        np.char.add(key + "=", val.astype("U64")),
-    )
+def _i2s(arr: np.ndarray) -> pa.Array:
+    return pc.cast(pa.array(arr, type=pa.int64()), pa.string())
+
+
+def _concat(*parts) -> pa.Array:
+    """Element-wise concatenation (empty separator)."""
+    return pc.binary_join_element_wise(*parts, "")
 
 
 def _attrs(
     perm: np.ndarray,
     v2: np.ndarray,
-    contract: np.ndarray,
-    frm: np.ndarray,
-    to: np.ndarray,
-    amount: np.ndarray | None,
-) -> np.ndarray:
+    contract: pa.Array,
+    frm: pa.Array,
+    to: pa.Array,
+    amount: pa.Array | None,
+):
     """Assemble the scrambled attr string. ``amount=None`` omits the
     amount segment entirely (noise logs)."""
-    sep = np.where(v2, "|", ";")
-    sc = _seg("contract", contract, v2)
-    sf = _seg("from", frm, v2)
-    st = _seg("to", to, v2)
+    kv = _s(np.where(v2, ":", "=").astype(object))
+    sep = _s(np.where(v2, "|", ";").astype(object))
+    sc = pc.binary_join_element_wise("contract", contract, kv)
+    sf = pc.binary_join_element_wise("from", frm, kv)
+    st = pc.binary_join_element_wise("to", to, kv)
     if amount is None:
         # fixed order is fine: rejection is by the MISSING amount key
-        return np.char.add(np.char.add(sc, sep), np.char.add(sf, np.char.add(sep, st)))
-    sa = _seg("amount", amount, v2)
-
-    def join(parts):
-        out = parts[0]
-        for nxt in parts[1:]:
-            out = np.char.add(np.char.add(out, sep), nxt)
-        return out
-
+        return pc.binary_join_element_wise(sc, sf, st, sep)
+    sa = pc.binary_join_element_wise("amount", amount, kv)
     orders = [
-        join([sa, st, sf, sc]),   # perm 0: amount,to,from,contract
-        join([sc, sf, st, sa]),   # perm 1: contract,from,to,amount
-        join([sf, sa, sc, st]),   # perm 2: from,amount,contract,to
+        pc.binary_join_element_wise(sa, st, sf, sc, sep),  # perm 0
+        pc.binary_join_element_wise(sc, sf, st, sa, sep),  # perm 1
+        pc.binary_join_element_wise(sf, sa, sc, st, sep),  # perm 2
     ]
-    return np.select([perm == 0, perm == 1], orders[:2], default=orders[2])
+    m0 = pa.array(perm == 0)
+    m1 = pa.array(perm == 1)
+    return pc.if_else(m0, orders[0], pc.if_else(m1, orders[1], orders[2]))
 
 
 def expand_lineitem_batch(batch: pa.Table) -> pa.Table:
-    """lineitem batch -> raw log rows (vectorized numpy expansion)."""
+    """lineitem batch -> raw log rows (numpy integer math + Arrow
+    string kernels; no per-row Python)."""
     ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
     pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -143,12 +153,11 @@ def expand_lineitem_batch(batch: pa.Table) -> pa.Table:
     v2 = ok >= V2_FROM_TX
     code = (ok % FAILED_EVERY == 0).astype(np.int64)
 
-    pair = np.char.add("pair_", _z2(p)).astype(object)
-    lp = np.char.add("lp_", _z2(p)).astype(object)
-    tok = np.char.add("tok_", _z2(a)).astype(object)
-    tok2 = np.char.add("tok_", _z2(b)).astype(object)
-    user = np.char.add("addr_", np.char.zfill(u.astype("U3"), 3)).astype(object)
-    amt_s = amt.astype("U20")
+    pair = _PAIRS[p]
+    lp = _LPS[p]
+    tok = _TOKS[a]
+    tok2 = _TOKS[b]
+    user = _USERS[u]
     to_pair = dire == 0  # user -> pair direction
 
     kind = np.select(
@@ -156,7 +165,6 @@ def expand_lineitem_batch(batch: pa.Table) -> pa.Table:
         ["wasm", "native", "action", "mint", "burn"],
         default="noise",
     ).astype(object)
-
     contract = np.select(
         [kdet <= 3, kdet <= 5, kdet == 6, kdet >= 9],
         [tok, "native", pair, "junk"],
@@ -172,57 +180,50 @@ def expand_lineitem_batch(batch: pa.Table) -> pa.Table:
         [np.where(to_pair, pair, user), "burn", user],
         default=np.where(to_pair, pair, user),
     ).astype(object)
-    native_amt = np.char.add(
-        np.char.add(np.char.add(amt_s, tok.astype("U8")), ","),
-        np.char.add(amt2.astype("U20"), tok2.astype("U8")),
-    )
-    action_amt = np.char.add(amt_s, tok.astype("U8"))
-    amount = np.select(
-        [kdet <= 3, kdet <= 5, kdet == 6],
-        [amt_s, native_amt, action_amt],
-        default=amt_s,  # mint, burn (noise handled below)
+
+    amt_s = _i2s(amt)
+    tok_a = _s(tok)
+    native_amt = _concat(amt_s, tok_a, ",", _i2s(amt2), _s(tok2))
+    action_amt = _concat(amt_s, tok_a)
+    amount = pc.if_else(
+        pa.array(kdet <= 3), amt_s,
+        pc.if_else(
+            pa.array(kdet <= 5), native_amt,
+            pc.if_else(pa.array(kdet == 6), action_amt, amt_s),
+        ),
     )
 
-    noise = kdet == 9
-    attrs = np.empty(len(ok), dtype=object)
-    attrs[~noise] = _attrs(
-        perm[~noise], v2[~noise], contract[~noise],
-        frm[~noise], to[~noise], amount[~noise],
-    )
-    if noise.any():
-        attrs[noise] = _attrs(
-            perm[noise], v2[noise], contract[noise],
-            frm[noise], to[noise], None,
-        )
-
-    # duplicate wasm transfer rows for pair actions (kdet 6) at log_idx+1
-    dm = kdet == 6
-    d_amt = np.where(to_pair[dm], amt[dm], net[dm]).astype("U20")
-    d_attrs = _attrs(
-        perm[dm], v2[dm], tok[dm].astype(object),
-        frm[dm], to[dm], d_amt,
-    )
+    # noise logs get the amount-free encoding; everything else the full
+    # one (both built vectorized for all rows, selected per row)
+    contract_a, frm_a, to_a = _s(contract), _s(frm), _s(to)
+    full = _attrs(perm, v2, contract_a, frm_a, to_a, amount)
+    bare = _attrs(perm, v2, contract_a, frm_a, to_a, None)
+    attrs = pc.if_else(pa.array(kdet == 9), bare, full)
 
     def table(tx, idx, knd, att, cd) -> pa.Table:
         return pa.table(
             {
                 "tx_id": pa.array(tx, type=pa.int64()),
                 "log_idx": pa.array(idx, type=pa.int64()),
-                "commit": pa.array(
-                    np.char.zfill(tx.astype("U20"), TX_PAD).astype(object),
-                    type=pa.string(),
-                ),
-                "kind": pa.array(knd.astype(object), type=pa.string()),
-                "attrs": pa.array(att.astype(object), type=pa.string()),
+                "commit": pc.utf8_lpad(_i2s(tx), width=TX_PAD, padding="0"),
+                "kind": knd,
+                "attrs": att,
                 "code": pa.array(cd, type=pa.int64()),
             }
         )
 
-    primary = table(ok, ln * 2, kind, attrs, code)
+    primary = table(ok, ln * 2, _s(kind), attrs, code)
+
+    # duplicate wasm transfer rows for pair actions (kdet 6) at log_idx+1
+    dm = kdet == 6
     if dm.any():
+        d_amt = _i2s(np.where(to_pair[dm], amt[dm], net[dm]))
+        d_attrs = _attrs(
+            perm[dm], v2[dm], _s(tok[dm]), _s(frm[dm]), _s(to[dm]), d_amt
+        )
         dup = table(
             ok[dm], ln[dm] * 2 + 1,
-            np.full(int(dm.sum()), "wasm", dtype=object), d_attrs, code[dm],
+            _s(np.full(int(dm.sum()), "wasm", dtype=object)), d_attrs, code[dm],
         )
         return pa.concat_tables([primary, dup])
     return primary

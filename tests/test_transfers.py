@@ -222,6 +222,75 @@ class TestEliminator:
         assert kept["tx_id"].tolist() == [2]
 
 
+class TestEncodeDecodeRoundtrip:
+    """Property: for ANY lineitem-shaped row, expand (encode, scramble,
+    version-split) then decode recovers the first-principles attr
+    values — across both encoding eras and all three scramble perms."""
+
+    @staticmethod
+    def _roundtrip(ok, ln, pk, sk, q):
+        from cosmwasm_etl_ray.sources.rawlogs import expand_lineitem_batch
+
+        t = pa.table(
+            {
+                "l_orderkey": pa.array([ok], pa.int64()),
+                "l_linenumber": pa.array([ln], pa.int64()),
+                "l_partkey": pa.array([pk], pa.int64()),
+                "l_suppkey": pa.array([sk], pa.int64()),
+                "l_quantity": pa.array([float(q)], pa.float64()),
+            }
+        )
+        return decode_raw_logs_batch(expand_lineitem_batch(t)).to_pylist()
+
+    def test_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            ok=st.integers(min_value=1, max_value=2_000_000),
+            ln=st.integers(min_value=1, max_value=7),
+            pk=st.integers(min_value=1, max_value=500_000),
+            sk=st.integers(min_value=0, max_value=50_000),
+            q=st.integers(min_value=1, max_value=50),
+        )
+        def check(ok, ln, pk, sk, q):
+            out = self._roundtrip(ok, ln, pk, sk, q)
+            kdet = (ok * 31 + ln * 17) % 10
+            if ok % 53 == 0:
+                assert out == []
+                return
+            amt = q * 1000 + pk % 997
+            primary = next(r for r in out if r["log_idx"] == ln * 2)
+            if kdet == 9:
+                assert primary["amount_str"] is None
+                return
+            pair = f"pair_{pk % 29:02d}"
+            user = f"addr_{(pk * 7 + sk) % 97:03d}"
+            if kdet <= 3:
+                assert primary["contract"] == f"tok_{sk % 13:02d}"
+                assert primary["amount_str"] == str(amt)
+                assert {primary["sender"], primary["recipient"]} == {user, pair}
+            elif kdet <= 5:
+                a2 = amt // 2 + 1
+                assert primary["amount_str"] == (
+                    f"{amt}tok_{sk % 13:02d},{a2}tok_{(sk + 1) % 13:02d}"
+                )
+            elif kdet == 6:
+                dup = next(r for r in out if r["log_idx"] == ln * 2 + 1)
+                exp = amt if (ok + ln) % 2 == 0 else amt - amt % 7
+                assert dup["amount_str"] == str(exp)
+                assert primary["contract"] == pair
+            elif kdet == 7:
+                assert primary["sender"] == "mint"
+                assert primary["contract"] == f"lp_{pk % 29:02d}"
+            else:  # kdet == 8
+                assert primary["recipient"] == "burn"
+                assert primary["amount_str"] == str(amt)
+
+        check()
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_ledger_end_to_end_matches_duckdb():
     import duckdb
