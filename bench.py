@@ -184,6 +184,9 @@ def run_once() -> dict:
             qt._PAIR_CACHE.clear()
             qt._TRUTH_CACHE.clear()
             qt._EXACT_TOPK_CACHE.clear()
+            from cosmwasm_etl_ray.pipelines import queries_transfers as qtr
+
+            qtr._LEDGER_CACHE.clear()
 
         for sweep in range(max(1, QUERY_SWEEPS)):
             _clear_query_caches()

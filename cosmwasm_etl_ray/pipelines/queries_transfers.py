@@ -36,8 +36,15 @@ from cosmwasm_etl_ray.stages.transfers import (
 
 _LEDGER_COLS = ["tx_id", "log_idx", "pair", "token", "ttype", "amount"]
 
+# one materialized ledger per sf_dir, shared by transfer_ledger /
+# transfer_pair_flows in the same process (a Dataset consumed twice
+# re-executes its upstream); bench.py clears this per sweep
+_LEDGER_CACHE: dict[str, "ray.data.Dataset"] = {}
+
 
 def _ledger_ds(sf_dir: str) -> "ray.data.Dataset":
+    if sf_dir in _LEDGER_CACHE:
+        return _LEDGER_CACHE[sf_dir]
     decoded = raw_logs_from_lineitem(sf_dir).map_batches(
         decode_raw_logs_batch, batch_format="pyarrow"
     )
@@ -46,7 +53,9 @@ def _ledger_ds(sf_dir: str) -> "ray.data.Dataset":
     mapped = decoded.map_batches(
         TransferMapperFamily, batch_format="pyarrow", concurrency=(1, 8)
     )
-    return eliminate_duplicate_transfers(mapped)
+    out = eliminate_duplicate_transfers(mapped).materialize()
+    _LEDGER_CACHE[sf_dir] = out
+    return out
 
 
 def transfer_ledger(sf_dir: str) -> "ray.data.Dataset":
