@@ -87,6 +87,11 @@ def main(argv=None) -> int:
     x = sub.add_parser("export")
     x.add_argument("--store", required=True)
     x.add_argument("--out", required=True)
+    tp = sub.add_parser("transfer-parse")
+    tp.add_argument("--sf-dir", required=True)
+    tp.add_argument("--store", required=True)
+    tp.add_argument("--epochs", type=int, default=4)
+    tp.add_argument("--partitions", type=int, default=16)
 
     args = p.parse_args(argv)
 
@@ -202,6 +207,28 @@ def main(argv=None) -> int:
                 snap, store, EngineConfig(num_partitions=args.partitions)
             )
             print(json.dumps({"epoch": m["epoch"], "counts": m["counts"]}))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "transfer-parse":
+        _init_ray()
+        import ray
+
+        from cosmwasm_etl_ray.pipelines.transfer_parser import (
+            TransferParserPipeline,
+        )
+
+        try:
+            pipe = TransferParserPipeline(
+                args.sf_dir, args.store,
+                n_epochs=args.epochs, num_partitions=args.partitions,
+            )
+            results = pipe.run()
+            print(json.dumps({
+                "epochs": results,
+                "rows": int(pipe.ledger().count()),
+            }))
         finally:
             ray.shutdown()
         return 0

@@ -82,6 +82,27 @@ def transfer_quarantine(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def transfer_ledger_epochs(sf_dir: str) -> "ray.data.Dataset":
+    """The SAME ledger produced through the epoch-driven exactly-once
+    sink (`pipelines/transfer_parser.py`) instead of the one-shot
+    pipeline — the gate hash-checks the parse->partitioned-write->
+    manifest->read-back path against the identical oracle."""
+    import shutil
+    import tempfile
+
+    from cosmwasm_etl_ray.pipelines.transfer_parser import (
+        TransferParserPipeline,
+    )
+
+    root = tempfile.mkdtemp(prefix="transfer_parser_", dir="/tmp")
+    try:
+        pipe = TransferParserPipeline(sf_dir, root, n_epochs=4)
+        pipe.run()
+        return pipe.ledger().select_columns(_LEDGER_COLS).materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def transfer_pair_flows(sf_dir: str) -> pd.DataFrame:
     from cosmwasm_etl_ray.functions.agg import grouped_agg
 
@@ -178,10 +199,16 @@ QUERIES = {
     "transfer_ledger": transfer_ledger,
     "transfer_pair_flows": transfer_pair_flows,
     "transfer_quarantine": transfer_quarantine,
+    "transfer_ledger_epochs": transfer_ledger_epochs,
 }
 
 ORACLE_SQL = {
     "transfer_ledger": f"""
+WITH {_LEDGER_CTE.strip()}
+SELECT tx_id, log_idx, pair, token, ttype, amount FROM ledger
+""",
+    # identical result through the epoch sink
+    "transfer_ledger_epochs": f"""
 WITH {_LEDGER_CTE.strip()}
 SELECT tx_id, log_idx, pair, token, ttype, amount FROM ledger
 """,

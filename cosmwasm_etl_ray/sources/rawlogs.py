@@ -229,12 +229,26 @@ def expand_lineitem_batch(batch: pa.Table) -> pa.Table:
     return primary
 
 
-def raw_logs_from_lineitem(sf_dir: str) -> "ray.data.Dataset":
+def raw_logs_from_lineitem(
+    sf_dir: str, tx_range: tuple[int, int] | None = None
+) -> "ray.data.Dataset":
     """The raw-log Dataset for an sf dir (lazy, streams; column-pruned
-    read — only the five driving lineitem columns leave storage)."""
+    read — only the five driving lineitem columns leave storage).
+    ``tx_range=(lo, hi)`` pushes the tx-id predicate into the parquet
+    SCAN (row-group prune + filtered read), so an epoch-ranged caller
+    never expands rows outside its range."""
+    kwargs = {}
+    if tx_range is not None:
+        import pyarrow.dataset as pads
+
+        lo, hi = tx_range
+        kwargs["filter"] = (pads.field("l_orderkey") >= lo) & (
+            pads.field("l_orderkey") < hi
+        )
     return ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
         ],
+        **kwargs,
     ).map_batches(expand_lineitem_batch, batch_format="pyarrow")

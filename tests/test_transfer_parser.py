@@ -1,0 +1,80 @@
+"""Epoch-driven transfer parser: exactly-once sink, crash resume, and
+equality with the one-shot ledger query."""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+from cosmwasm_etl_ray.pipelines.transfer_parser import (
+    LEDGER_COLS,
+    TransferParserPipeline,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df[LEDGER_COLS]
+        .sort_values(LEDGER_COLS, kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_epoch_run_matches_one_shot_query(tmp_path):
+    from cosmwasm_etl_ray.pipelines.queries_transfers import transfer_ledger
+
+    pipe = TransferParserPipeline(SF, str(tmp_path / "store"), n_epochs=3)
+    results = pipe.run()
+    assert all(not r["skipped"] for r in results)
+    got = _sorted(pipe.ledger().to_pandas())
+    want = _sorted(transfer_ledger(SF).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crash_resume_and_idempotent_rerun(tmp_path):
+    root = str(tmp_path / "store")
+    pipe = TransferParserPipeline(SF, root, n_epochs=3)
+    plan = pipe.plan_epochs()
+    assert len(plan) == 3
+
+    # "crash" after epoch 0: only the first epoch commits; a stray tmp
+    # file for epoch 1 simulates a mid-write death (no manifest)
+    pipe.run_epoch(0, *plan[0])
+    os.makedirs(os.path.join(root, "epoch=1"), exist_ok=True)
+    with open(os.path.join(root, "epoch=1", "part-00000.parquet.tmp.999"), "w") as f:
+        f.write("garbage")
+    assert pipe.store.committed_epochs() == [0]
+
+    # a fresh process resumes: epoch 0 skips, 1 and 2 run
+    pipe2 = TransferParserPipeline(SF, root, n_epochs=3)
+    results = pipe2.run()
+    assert [r["skipped"] for r in results] == [True, False, False]
+    rows_after_resume = pipe2.ledger().count()
+
+    # full re-run is a pure no-op (every epoch already committed)
+    results = TransferParserPipeline(SF, root, n_epochs=3).run()
+    assert all(r["skipped"] for r in results)
+    assert pipe2.ledger().count() == rows_after_resume
+
+    # the stray tmp never became visible data
+    visible = glob.glob(os.path.join(root, "epoch=*", "*.parquet"))
+    assert all(".tmp." not in f for f in visible)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_epoch_locality_of_elimination(tmp_path):
+    """Different epoch counts must give the identical ledger — the
+    per-tx eliminator cannot see across txs, so epoch boundaries
+    (which split BETWEEN txs) cannot change the result."""
+    a = TransferParserPipeline(SF, str(tmp_path / "a"), n_epochs=1)
+    b = TransferParserPipeline(SF, str(tmp_path / "b"), n_epochs=5)
+    a.run()
+    b.run()
+    pd.testing.assert_frame_equal(
+        _sorted(a.ledger().to_pandas()), _sorted(b.ledger().to_pandas())
+    )
