@@ -150,11 +150,31 @@ class TransferParserPipeline:
         return {"epoch": epoch, "skipped": False, "rows": int(stats["rows"].sum())}
 
     # -- whole run ----------------------------------------------------
-    def run(self) -> list[dict]:
-        return [
-            self.run_epoch(e, lo, hi)
-            for e, (lo, hi) in enumerate(self.plan_epochs())
-        ]
+    def run(self, max_concurrent: int = 2) -> list[dict]:
+        """Epochs are INDEPENDENT here (append sink, no cross-epoch
+        state — unlike the CDC merge), so waves of them run
+        concurrently: each thread drives its own Ray Dataset job and
+        the cluster interleaves them (the same shape as the
+        aggregator's concurrent tick). ``ledger()`` reads only each
+        manifest's own-epoch entries, so commit order doesn't matter."""
+        plan = self.plan_epochs()
+        if max_concurrent <= 1 or len(plan) == 1:
+            return [self.run_epoch(e, lo, hi) for e, (lo, hi) in enumerate(plan)]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        from cosmwasm_etl_ray.compat import ensure_thread_safe_lazy_imports
+
+        ensure_thread_safe_lazy_imports()
+        results: list[dict | None] = [None] * len(plan)
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            futs = {
+                pool.submit(self.run_epoch, e, lo, hi): e
+                for e, (lo, hi) in enumerate(plan)
+            }
+            for f, e in futs.items():
+                results[e] = f.result()  # first error propagates
+        return results
 
     # -- readers ------------------------------------------------------
     def epoch_files(self) -> list[str]:
