@@ -109,14 +109,17 @@ class TransferParserPipeline:
         if self.store.is_committed(epoch):
             return {"epoch": epoch, "skipped": True}
 
-        mapped = (
+        # decoded feeds two consumers (mapper + quarantine side output)
+        decoded = (
             raw_logs_from_lineitem(self.sf_dir, tx_range=(lo, hi))
             .map_batches(decode_raw_logs_batch, batch_format="pyarrow")
-            .map_batches(self.family, batch_format="pyarrow")
+            .materialize()
         )
+        mapped = decoded.map_batches(self.family, batch_format="pyarrow")
         ledger = eliminate_duplicate_transfers(mapped)
 
         P = self.num_partitions
+        n_quarantined = self._write_quarantine(decoded, epoch)
 
         def add_pid(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
@@ -144,10 +147,60 @@ class TransferParserPipeline:
             epoch,
             touched,
             offset_range=(str(lo), str(hi)),
-            counts={"rows": int(stats["rows"].sum())},
+            counts={
+                "rows": int(stats["rows"].sum()),
+                "quarantined": n_quarantined,
+            },
             num_partitions=P,
         )
         return {"epoch": epoch, "skipped": False, "rows": int(stats["rows"].sum())}
+
+    def _write_quarantine(self, decoded: "ray.data.Dataset", epoch: int) -> int:
+        """Malformed logs (no amount attr — undecodable under every
+        rule) land as dead-letter rows under the SAME epoch, committed
+        by the same manifest (the reference upserts quarantines in the
+        parsed-tx transaction, /root/reference/parser/dex/repo/
+        repository.go:63-122). Deterministic per-pid files keep re-runs
+        idempotent."""
+        import pyarrow.compute as pc
+
+        bad = decoded.map_batches(
+            lambda t: t.filter(pc.is_null(t["amount_str"])),
+            batch_format="pyarrow",
+        )
+        qdir = self.store.quarantine_dir
+        P = self.num_partitions
+
+        def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["pid"] = (
+                stable_hash64(df["tx_id"].to_numpy()) % np.uint64(P)
+            ).astype(np.int64)
+            return df
+
+        def write_q(g: pd.DataFrame) -> pd.DataFrame:
+            pid = int(g["pid"].iloc[0])
+            out_dir = os.path.join(qdir, f"epoch={epoch}")
+            os.makedirs(out_dir, exist_ok=True)
+            out = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+            tmp = f"{out}.tmp.{os.getpid()}"
+            pq.write_table(
+                pa.Table.from_pandas(
+                    g.drop(columns=["pid"]).reset_index(drop=True),
+                    preserve_index=False,
+                ),
+                tmp,
+            )
+            os.replace(tmp, out)
+            return pd.DataFrame({"pid": [pid], "rows": [len(g)]})
+
+        stats = (
+            bad.map_batches(add_pid, batch_format="pandas")
+            .groupby("pid")
+            .map_groups(write_q, batch_format="pandas")
+            .to_pandas()
+        )
+        return int(stats["rows"].sum()) if len(stats) else 0
 
     # -- whole run ----------------------------------------------------
     def run(self, max_concurrent: int = 2) -> list[dict]:

@@ -67,6 +67,37 @@ def test_crash_resume_and_idempotent_rerun(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_quarantine_rides_the_epoch(tmp_path):
+    """Malformed (noise) logs land as dead-letter files under the same
+    epoch, counted in its manifest; the total matches the
+    transfer_quarantine query and re-runs don't duplicate."""
+    from cosmwasm_etl_ray.pipelines.queries_transfers import (
+        transfer_quarantine,
+    )
+
+    root = str(tmp_path / "store")
+    pipe = TransferParserPipeline(SF, root, n_epochs=2)
+    pipe.run()
+    qfiles = glob.glob(os.path.join(root, "quarantine", "epoch=*", "*.parquet"))
+    assert qfiles
+    q_rows = sum(len(pd.read_parquet(f)) for f in qfiles)
+    manifest_q = sum(
+        pipe.store.manifest(e)["counts"]["quarantined"]
+        for e in pipe.store.committed_epochs()
+    )
+    expected = transfer_quarantine(SF).count()
+    assert q_rows == manifest_q == expected
+
+    # committed epochs skip entirely: no rewrite, no duplication
+    TransferParserPipeline(SF, root, n_epochs=2).run()
+    q_rows2 = sum(
+        len(pd.read_parquet(f))
+        for f in glob.glob(os.path.join(root, "quarantine", "epoch=*", "*.parquet"))
+    )
+    assert q_rows2 == q_rows
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_epoch_locality_of_elimination(tmp_path):
     """Different epoch counts must give the identical ledger — the
     per-tx eliminator cannot see across txs, so epoch boundaries
