@@ -98,6 +98,50 @@ def test_quarantine_rides_the_epoch(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_rowgroup_stats_pruning(tmp_path):
+    """With a tx-ordered multi-row-group source, each epoch's prep plan
+    touches only the row groups whose stats intersect its tx range —
+    and the pruned run still produces the identical ledger."""
+    import pyarrow.parquet as pq
+
+    from cosmwasm_etl_ray.pipelines.transfer_parser import (
+        _plan_epoch_shards,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = pq.read_table(os.path.join(SF, "lineitem.parquet"))
+    t = t.sort_by("l_orderkey")
+    pq.write_table(t, os.path.join(src, "lineitem.parquet"), row_group_size=512)
+    path = os.path.join(src, "lineitem.parquet")
+    n_rg = pq.read_metadata(path).num_row_groups
+    assert n_rg >= 8
+
+    # a middle third of the key space must plan to a strict subset
+    hi_key = int(t["l_orderkey"][-1].as_py()) + 1
+    lo, hi = hi_key // 3, 2 * hi_key // 3
+    planned = {
+        rg
+        for _, rgs in _plan_epoch_shards(path, lo, hi, 4, target_rows=512)
+        for rg in rgs
+    }
+    assert planned and len(planned) < n_rg
+
+    # and planned runs stay contiguous (one seek per read_row_groups)
+    for _, rgs in _plan_epoch_shards(path, lo, hi, 4, target_rows=10**9):
+        assert rgs == list(range(rgs[0], rgs[-1] + 1))
+
+    from cosmwasm_etl_ray.pipelines.queries_transfers import transfer_ledger
+
+    pipe = TransferParserPipeline(src, str(tmp_path / "store"), n_epochs=4)
+    pipe.run()
+    pd.testing.assert_frame_equal(
+        _sorted(pipe.ledger().to_pandas()),
+        _sorted(transfer_ledger(SF).to_pandas()),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_epoch_locality_of_elimination(tmp_path):
     """Different epoch counts must give the identical ledger — the
     per-tx eliminator cannot see across txs, so epoch boundaries
