@@ -50,6 +50,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(queries_transfers.QUERIES)
     except ImportError:
         pass
+    try:
+        from cosmwasm_etl_ray.pipelines import queries_dataprep
+
+        out.update(queries_dataprep.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -81,6 +87,12 @@ def oracle_sql() -> dict[str, str]:
         from cosmwasm_etl_ray.pipelines import queries_transfers
 
         out.update(queries_transfers.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from cosmwasm_etl_ray.pipelines import queries_dataprep
+
+        out.update(queries_dataprep.ORACLE_SQL)
     except ImportError:
         pass
     return out

@@ -1,0 +1,281 @@
+"""Training-data preparation operators: document chunking, deterministic
+dataset splits, train/eval decontamination, PII scan/redaction.
+
+These extend the engine's training-data family (dedup/similarity/text)
+with the remaining ops a 100-TB pretraining pipeline runs before
+tokenization. Reference provenance: the per-record normalizers and
+rule-driven record rewrites of SURVEY §2.2 (M16-M18 scalar fns,
+M1/M2 rule filters) generalized to document streams — e.g. the
+reference's per-log attribute extraction loop
+(/root/reference/parser/dex/dezswap/mapper.go) is the same
+record→derived-records shape as chunking, and its exception-set
+anti-join (/root/reference/parser/dex/dex.go:669-689) is the same
+membership-test shape as decontamination.
+
+Scale notes (the design constraints, per op):
+
+- ``chunk_batch``: pure flat map — one input row fans out to
+  ``ceil((n_tok-overlap)/stride)`` chunk rows inside the SAME
+  ``map_batches`` call, so the stage streams block-by-block with no
+  shuffle; chunk text is sliced by precomputed char offsets (one
+  ``str.split`` per doc, O(1) substring per chunk — no re-join).
+- ``split_batch``: stateless vectorized hash (Knuth multiplicative,
+  wrap-exact in uint64), zero shuffle; the assignment is a pure
+  function of ``doc_id`` so any stage downstream can recompute it
+  instead of joining it.
+- decontamination: the eval side is SMALL BY CONTRACT (an eval set is
+  thousands of docs even when the train side is 100 TB) — its distinct
+  gram set is built distributedly, collected once, ``ray.put`` once,
+  and every scoring task reads the same object-store copy. The train
+  side streams: explode → per-doc distinct → sorted-array membership
+  (np.isin) → segment sum. No shuffle on the big side.
+- ``PiiScanner``: actor-pool stage — regexes compile once per actor in
+  ``__init__``; per batch it's C-regex over a pandas column.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+# ---------------------------------------------------------------- chunking
+
+CHUNK_SIZE = 16  # tokens per chunk (sized to the corpus: avg doc ~54 tokens)
+CHUNK_STRIDE = 12  # tokens between chunk starts (overlap = 4)
+
+
+def chunk_batch(
+    df: pd.DataFrame, chunk_size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> pd.DataFrame:
+    """Fixed-size token windows with overlap (context-window prep /
+    RAG chunking). Sliding-window plan: starts at 0, stride apart;
+    a doc with n <= chunk_size tokens is one chunk; otherwise
+    ceil((n - chunk_size) / stride) + 1 chunks so the last window
+    always reaches the end of the doc.
+
+    Chunk text is carved by char offsets (cumsum of token lengths),
+    not token re-joins: one split per doc, one substring per chunk.
+    """
+    out_id, out_cid, out_ntok, out_text = [], [], [], []
+    for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+        toks = text.split(" ")
+        n = len(toks)
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        # starts[i] = char offset where token i begins; starts[n]-1 = len(text)+...
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens + 1, out=starts[1:])
+        n_chunks = 1 if n <= chunk_size else -(-(n - chunk_size) // stride) + 1
+        for c in range(n_chunks):
+            s = c * stride
+            e = min(s + chunk_size, n)
+            out_id.append(doc_id)
+            out_cid.append(c)
+            out_ntok.append(e - s)
+            out_text.append(text[starts[s] : starts[e] - 1])
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(out_id, dtype="int64"),
+            "chunk_id": pd.Series(out_cid, dtype="int64"),
+            "n_chunk_tokens": pd.Series(out_ntok, dtype="int64"),
+            "chunk_text": pd.Series(out_text, dtype="object"),
+        }
+    )
+
+
+def chunk_documents(
+    docs: "ray.data.Dataset", chunk_size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> "ray.data.Dataset":
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        return chunk_batch(df, chunk_size, stride)
+
+    return docs.map_batches(chunks, batch_format="pandas")
+
+
+# ---------------------------------------------------- deterministic splits
+
+SPLIT_MULT = 2654435761  # Knuth multiplicative hash constant (2^32 * phi)
+SPLIT_MOD = 1 << 32
+TRAIN_BOUND = 80  # bucket < 80 -> train
+VAL_BOUND = 90  # 80 <= bucket < 90 -> val; else test
+
+
+def split_bucket(doc_id: np.ndarray) -> np.ndarray:
+    """bucket in [0, 100) = (doc_id * SPLIT_MULT) % 2^32 % 100.
+
+    Computed in uint64 so the multiply wraps mod 2^64; because
+    2^32 | 2^64 the result mod 2^32 equals exact integer arithmetic —
+    the DuckDB twin states the same value via HUGEINT.
+    """
+    h = doc_id.astype(np.uint64) * np.uint64(SPLIT_MULT)
+    return ((h % np.uint64(SPLIT_MOD)) % np.uint64(100)).astype(np.int64)
+
+
+def split_batch(df: pd.DataFrame) -> pd.DataFrame:
+    b = split_bucket(df["doc_id"].to_numpy())
+    split = np.where(b < TRAIN_BOUND, "train", np.where(b < VAL_BOUND, "val", "test"))
+    n_spaces = df["text"].str.count(" ").to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "split": split,
+            "n_tokens": n_spaces + 1,
+        }
+    )
+
+
+# ------------------------------------------------------- decontamination
+
+NGRAM = 3
+
+
+def _explode_grams(df: pd.DataFrame, n: int = NGRAM) -> pd.DataFrame:
+    """(doc_id, gram) rows — per-doc DISTINCT word-n-grams, vectorized
+    by one explode: tokens with positions, grams built by shifted
+    concatenation inside each doc."""
+    toks = df["text"].str.split(" ")
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]) if len(df) else np.array([], dtype=object)
+    doc_ids = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), counts)
+    # gram starting at i is valid when tokens i, i+1, i+2 share a doc
+    if len(flat) >= n:
+        same = doc_ids[: len(doc_ids) - n + 1] == doc_ids[n - 1 :]
+        idx = np.nonzero(same)[0]
+        # pandas object-dtype concat is a C loop (np.char is ~10x slower)
+        grams = pd.Series(flat[idx], dtype=object)
+        for k in range(1, n):
+            grams = grams + " " + pd.Series(flat[idx + k], dtype=object)
+        g = pd.DataFrame({"doc_id": doc_ids[idx], "gram": grams.to_numpy()})
+    else:
+        g = pd.DataFrame({"doc_id": np.array([], dtype=np.int64), "gram": np.array([], dtype=object)})
+    return g.drop_duplicates(ignore_index=True)
+
+
+def eval_gram_set(docs: "ray.data.Dataset") -> np.ndarray:
+    """Distinct word-3-grams of the eval (test-split) docs, built
+    distributedly and collected once — the SMALL side by contract."""
+
+    def eval_grams(df: pd.DataFrame) -> pd.DataFrame:
+        b = split_bucket(df["doc_id"].to_numpy())
+        return _explode_grams(df[b >= VAL_BOUND])[["gram"]]
+
+    grams = docs.map_batches(eval_grams, batch_format="pandas").unique("gram")
+    return np.sort(np.array(list(grams), dtype=object))
+
+
+class ContaminationScorer:
+    """Actor-pool stage: per train doc, how many of its distinct
+    word-3-grams appear in ANY eval doc (membership against the
+    broadcast sorted eval-gram array — one object-store read per
+    actor, np.isin per batch)."""
+
+    def __init__(self, eval_grams_ref, bar: float = 0.5):
+        self.eval_grams = (
+            ray.get(eval_grams_ref)
+            if isinstance(eval_grams_ref, ray.ObjectRef)
+            else eval_grams_ref
+        )
+        self.bar = bar
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        b = split_bucket(df["doc_id"].to_numpy())
+        g = _explode_grams(df[b < TRAIN_BOUND])
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_hit": pd.Series([], dtype="int64"),
+                    "contaminated": pd.Series([], dtype="bool"),
+                }
+            )
+        hit = np.isin(g["gram"].to_numpy(), self.eval_grams)
+        agg = (
+            pd.DataFrame({"doc_id": g["doc_id"], "hit": hit})
+            .groupby("doc_id", sort=False)
+            .agg(n_grams=("hit", "size"), n_hit=("hit", "sum"))
+            .reset_index()
+        )
+        agg["n_grams"] = agg["n_grams"].astype("int64")
+        agg["n_hit"] = agg["n_hit"].astype("int64")
+        agg["contaminated"] = agg["n_hit"] >= self.bar * agg["n_grams"]
+        return agg
+
+
+def decontaminate(docs: "ray.data.Dataset", bar: float = 0.5) -> "ray.data.Dataset":
+    """Train/eval n-gram decontamination: eval = the deterministic
+    test split, train = the train split; a train doc is contaminated
+    when >= ``bar`` of its distinct 3-grams appear in the eval set.
+    ``docs`` is consumed twice (eval build + train scan) — pass a
+    materialized Dataset when the upstream is expensive."""
+    grams_ref = ray.put(eval_gram_set(docs))
+    return docs.map_batches(
+        ContaminationScorer,
+        fn_constructor_args=(grams_ref, bar),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+# ------------------------------------------------------------ PII scanning
+
+EMAIL_RE = r"[a-z0-9-]+@[a-z0-9.-]+"
+PHONE_RE = r"555-[0-9]{4}"
+REDACTION = "[PII]"
+
+
+def inject_pii_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic PII planting (the corpus has none): every 7th doc
+    gains an email token, every 11th a phone token — mirrored exactly
+    by the SQL twin so the scanner's output is hash-checkable."""
+    out = df.copy()
+    ids = out["doc_id"].to_numpy()
+    email = np.where(
+        ids % 7 == 0,
+        pd.Series(ids).map(lambda i: f" contact-{i}@example.com").to_numpy(dtype=object),
+        "",
+    )
+    phone = np.where(
+        ids % 11 == 0,
+        pd.Series(ids).map(lambda i: f" call 555-{i % 10000:04d}").to_numpy(dtype=object),
+        "",
+    )
+    out["text"] = out["text"].to_numpy(dtype=object) + email + phone
+    return out
+
+
+class PiiScanner:
+    """Actor-pool stage: compiled regexes live in the actor; per batch
+    counts matches and measures the redacted text (email pass then
+    phone pass, same order as the SQL twin)."""
+
+    def __init__(self):
+        self.email = re.compile(EMAIL_RE)
+        self.phone = re.compile(PHONE_RE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        n_emails = text.str.count(EMAIL_RE).astype("int64")
+        n_phones = text.str.count(PHONE_RE).astype("int64")
+        clean = text.str.replace(EMAIL_RE, REDACTION, regex=True).str.replace(
+            PHONE_RE, REDACTION, regex=True
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_emails": n_emails,
+                "n_phones": n_phones,
+                "clean_chars": clean.str.len().astype("int64"),
+            }
+        )
+
+
+def pii_scan(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    return docs.map_batches(inject_pii_batch, batch_format="pandas").map_batches(
+        PiiScanner, batch_format="pandas", concurrency=(1, 8)
+    )

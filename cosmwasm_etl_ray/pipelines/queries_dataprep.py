@@ -1,0 +1,202 @@
+"""Data-preparation operators as queries(): chunking, deterministic
+splits, decontamination, PII scan. Every query has a full-value DuckDB
+oracle twin (same column names; the twins restate the hash / gram /
+regex semantics in plain SQL).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+
+from cosmwasm_etl_ray.functions.dataprep import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    EMAIL_RE,
+    PHONE_RE,
+    REDACTION,
+    SPLIT_MULT,
+    TRAIN_BOUND,
+    VAL_BOUND,
+    chunk_documents,
+    decontaminate,
+    pii_scan,
+    split_batch,
+)
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def doc_chunks(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding token windows (context-window / RAG chunk prep): pure
+    flat map, one input row -> ceil((n-overlap)/stride) chunk rows,
+    chunk text included so the hash check covers content."""
+    return chunk_documents(_docs(sf_dir))
+
+
+def sample_split(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment by multiplicative hash
+    of doc_id — a pure per-row function, recomputable anywhere in the
+    pipeline instead of joined."""
+    return _docs(sf_dir).map_batches(split_batch, batch_format="pandas")
+
+
+def split_summary(sf_dir: str) -> pd.DataFrame:
+    """Per (lang, split) doc and token counts — the stratification
+    check over the deterministic split (partial agg per batch, tiny
+    final reduce: 4 langs x 3 splits)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = split_batch(df)
+        s["lang"] = df["lang"].to_numpy()
+        return (
+            s.groupby(["lang", "split"], sort=False)
+            .agg(n_docs=("doc_id", "size"), sum_tokens=("n_tokens", "sum"))
+            .reset_index()
+        )
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby(["lang", "split"], sort=True)
+        .agg(n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum"))
+        .reset_index()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_tokens"] = out["sum_tokens"].astype("int64")
+    return out
+
+
+def decontaminate_train(sf_dir: str) -> "ray.data.Dataset":
+    """Train-vs-eval n-gram decontamination: eval = the test split's
+    distinct word-3-grams (small side, built distributedly, broadcast
+    once); a train doc is contaminated when >= 50% of its distinct
+    3-grams appear in the eval set."""
+    return decontaminate(_docs(sf_dir), bar=0.5)
+
+
+def pii_scan_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic PII plant + compiled-regex actor-pool scan and
+    redaction measure."""
+    return pii_scan(_docs(sf_dir))
+
+
+QUERIES = {
+    "doc_chunks": doc_chunks,
+    "sample_split": sample_split,
+    "split_summary": split_summary,
+    "decontaminate_train": decontaminate_train,
+    "pii_scan": pii_scan_docs,
+}
+
+
+# bucket = (doc_id * SPLIT_MULT) % 2^32 % 100, exact via HUGEINT
+_BUCKET = (
+    f"CAST(CAST(doc_id AS HUGEINT) * {SPLIT_MULT} % 4294967296 % 100 AS BIGINT)"
+)
+
+# (doc_id, gram) distinct word-3-grams with the split bucket attached
+_GRAMS_CTE = f"""
+WITH tok AS (
+    SELECT doc_id, {_BUCKET} AS bucket, string_split(text, ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, bucket,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+    FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+    ) s
+)
+"""
+
+ORACLE_SQL = {
+    "doc_chunks": f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t,
+           len(string_split(text, ' ')) AS n_tok
+    FROM documents
+),
+plan AS (
+    SELECT doc_id, t, n_tok,
+           CASE WHEN n_tok <= {CHUNK_SIZE} THEN 1
+                ELSE CAST(ceil((n_tok - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0) AS BIGINT) + 1
+           END AS n_chunks
+    FROM tok
+)
+SELECT doc_id,
+       gs.chunk_id,
+       CAST(least({CHUNK_SIZE}, n_tok - gs.chunk_id * {CHUNK_STRIDE}) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(
+           list_slice(t, gs.chunk_id * {CHUNK_STRIDE} + 1,
+                         gs.chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ')
+           AS chunk_text
+FROM plan, LATERAL (
+    SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+) gs
+""",
+    "sample_split": f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET} < {TRAIN_BOUND} THEN 'train'
+            WHEN {_BUCKET} < {VAL_BOUND} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens
+FROM documents
+""",
+    "split_summary": f"""
+SELECT lang,
+       CASE WHEN {_BUCKET} < {TRAIN_BOUND} THEN 'train'
+            WHEN {_BUCKET} < {VAL_BOUND} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+           AS sum_tokens
+FROM documents
+GROUP BY 1, 2
+""",
+    "decontaminate_train": _GRAMS_CTE
+    + f"""
+, eval_grams AS (
+    SELECT DISTINCT gram FROM grams WHERE bucket >= {VAL_BOUND}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gram IN (SELECT gram FROM eval_grams)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       sum(CASE WHEN gram IN (SELECT gram FROM eval_grams)
+                THEN 1 ELSE 0 END) >= 0.5 * count(*) AS contaminated
+FROM grams
+WHERE bucket < {TRAIN_BOUND}
+GROUP BY doc_id
+""",
+    "pii_scan": f"""
+WITH aug AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact-' || doc_id || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(length(
+           regexp_replace(
+               regexp_replace(text, '{EMAIL_RE}', '{REDACTION}', 'g'),
+               '{PHONE_RE}', '{REDACTION}', 'g')
+       ) AS BIGINT) AS clean_chars
+FROM aug
+""",
+}

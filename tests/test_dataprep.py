@@ -1,0 +1,163 @@
+"""Data-prep operator family: chunking, deterministic splits,
+decontamination, PII scan — unit semantics plus the oracle-shape
+invariants the driver gate relies on."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from cosmwasm_etl_ray.functions.dataprep import (
+    ContaminationScorer,
+    PiiScanner,
+    chunk_batch,
+    eval_gram_set,
+    inject_pii_batch,
+    split_batch,
+    split_bucket,
+)
+from cosmwasm_etl_ray.pipelines.queries_dataprep import (
+    doc_chunks,
+    decontaminate_train,
+    sample_split,
+)
+
+
+def _df(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "text": texts})
+
+
+# ------------------------------------------------------------- chunking
+
+
+def test_chunk_short_doc_single_chunk():
+    out = chunk_batch(_df(["a b c"]), chunk_size=4, stride=3)
+    assert len(out) == 1
+    assert out.loc[0, "chunk_text"] == "a b c"
+    assert out.loc[0, "n_chunk_tokens"] == 3
+
+
+def test_chunk_windows_cover_and_overlap():
+    toks = [f"t{i}" for i in range(10)]
+    out = chunk_batch(_df([" ".join(toks)]), chunk_size=4, stride=3)
+    # starts 0,3,6 then the last window must reach the end: ceil(6/3)+1 = 3
+    assert list(out["chunk_id"]) == [0, 1, 2]
+    assert out.loc[0, "chunk_text"] == "t0 t1 t2 t3"
+    assert out.loc[1, "chunk_text"] == "t3 t4 t5 t6"
+    assert out.loc[2, "chunk_text"] == "t6 t7 t8 t9"
+    # reassembling chunk texts with stride-overlap dedup gives the doc back
+    assert out.loc[2, "n_chunk_tokens"] == 4
+
+
+def test_chunk_exact_boundary_no_empty_tail():
+    # n == chunk_size + stride: exactly 2 chunks, no empty third
+    toks = [f"w{i}" for i in range(7)]
+    out = chunk_batch(_df([" ".join(toks)]), chunk_size=4, stride=3)
+    assert list(out["chunk_id"]) == [0, 1]
+    assert out.loc[1, "chunk_text"] == "w3 w4 w5 w6"
+
+
+def test_chunk_offsets_match_token_join():
+    # char-offset slicing must equal ' '.join of the token window
+    texts = ["alpha bb c dddd ee fff gg", "x", ""]
+    out = chunk_batch(_df(texts), chunk_size=3, stride=2)
+    for _, r in out.iterrows():
+        toks = texts[int(r["doc_id"])].split(" ")
+        s = int(r["chunk_id"]) * 2
+        assert r["chunk_text"] == " ".join(toks[s : s + 3])
+
+
+# ---------------------------------------------------------------- splits
+
+
+def test_split_bucket_is_deterministic_and_exact():
+    ids = np.array([0, 1, 2, 12345, 10**9], dtype=np.int64)
+    b = split_bucket(ids)
+    expect = [(int(i) * 2654435761) % (2**32) % 100 for i in ids]
+    assert list(b) == expect
+
+
+def test_split_batch_assignment_bounds():
+    df = _df(["a b"] * 200, ids=list(range(200)))
+    out = split_batch(df)
+    assert set(out["split"]) <= {"train", "val", "test"}
+    frac_train = (out["split"] == "train").mean()
+    assert 0.6 < frac_train < 0.95  # ~0.8 by construction
+    assert (out["n_tokens"] == 2).all()
+
+
+# ------------------------------------------------------- decontamination
+
+
+def test_contamination_scorer_counts_distinct_gram_hits():
+    # train doc 0: grams {a b c, b c d}; eval grams contain 'a b c' only
+    eval_grams = np.sort(np.array(["a b c"], dtype=object))
+    # choose an id that lands in the train bucket
+    tid = next(i for i in range(100) if split_bucket(np.array([i]))[0] < 80)
+    scorer = ContaminationScorer(eval_grams, bar=0.5)
+    out = scorer(_df(["a b c d"], ids=[tid]))
+    assert len(out) == 1
+    assert out.loc[0, "n_grams"] == 2
+    assert out.loc[0, "n_hit"] == 1
+    assert bool(out.loc[0, "contaminated"])  # 1 >= 0.5 * 2
+
+
+def test_contamination_gramless_and_eval_rows_dropped():
+    tid = next(i for i in range(100) if split_bucket(np.array([i]))[0] < 80)
+    eid = next(i for i in range(100) if split_bucket(np.array([i]))[0] >= 90)
+    scorer = ContaminationScorer(np.array(["x y z"], dtype=object), bar=0.5)
+    # 2-token doc has no 3-grams; eval doc is excluded from scoring
+    out = scorer(_df(["a b", "x y z x y z"], ids=[tid, eid]))
+    assert len(out) == 0
+
+
+def test_eval_gram_set_distributed(ray_session):
+    eid = next(i for i in range(100) if split_bucket(np.array([i]))[0] >= 90)
+    tid = next(i for i in range(100) if split_bucket(np.array([i]))[0] < 80)
+    ds = ray.data.from_pandas(_df(["p q r s", "train only text"], ids=[eid, tid]))
+    grams = eval_gram_set(ds)
+    assert list(grams) == ["p q r", "q r s"]
+
+
+# ------------------------------------------------------------------ PII
+
+
+def test_pii_inject_and_scan_roundtrip():
+    # id 0: both email (0%7==0) and phone (0%11==0); id 1: neither
+    df = inject_pii_batch(_df(["hello world", "plain doc"], ids=[0, 1]))
+    assert "contact-0@example.com" in df.loc[0, "text"]
+    assert "555-0000" in df.loc[0, "text"]
+    assert df.loc[1, "text"] == "plain doc"
+    out = PiiScanner()(df)
+    assert out.loc[0, "n_emails"] == 1
+    assert out.loc[0, "n_phones"] == 1
+    assert out.loc[1, "n_emails"] == 0
+    # redaction replaced both matches with [PII]
+    clean = len("hello world contact-0@example.com call 555-0000".replace(
+        "contact-0@example.com", "[PII]").replace("555-0000", "[PII]"))
+    assert out.loc[0, "clean_chars"] == clean
+
+
+# ------------------------------------------- end-to-end over testdata
+
+
+def test_dataprep_queries_end_to_end(ray_session, sf_dir):
+    chunks = doc_chunks(sf_dir).to_pandas()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet").to_pandas()
+    assert chunks["doc_id"].nunique() == len(docs)
+    # every doc's token count is recoverable from its chunk plan
+    g = chunks.groupby("doc_id")
+    n_chunks = g.size()
+    last_tok = g["n_chunk_tokens"].last()
+    n_tok = docs.set_index("doc_id")["text"].str.count(" ") + 1
+    recovered = (n_chunks - 1) * 12 + last_tok
+    assert (recovered == n_tok.reindex(recovered.index)).all()
+
+    splits = sample_split(sf_dir).to_pandas()
+    assert len(splits) == len(docs)
+
+    cont = decontaminate_train(sf_dir).to_pandas()
+    train_ids = splits.loc[splits["split"] == "train", "doc_id"]
+    with_grams = n_tok.reindex(train_ids).ge(3)
+    assert len(cont) == int(with_grams.sum())
+    assert (cont["n_hit"] <= cont["n_grams"]).all()
