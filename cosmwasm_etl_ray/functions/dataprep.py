@@ -279,3 +279,97 @@ def pii_scan(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(inject_pii_batch, batch_format="pandas").map_batches(
         PiiScanner, batch_format="pandas", concurrency=(1, 8)
     )
+
+
+# ----------------------------------------------------------- vocabulary
+
+TOPK_VOCAB = 50
+
+
+def vocab_topk(docs: "ray.data.Dataset", k: int = TOPK_VOCAB) -> pd.DataFrame:
+    """Global token frequencies, top-k (vocabulary building / BPE seed
+    counts). The classic explode + combine shape: per-batch
+    ``value_counts`` collapses each block to one row per distinct
+    token BEFORE any exchange (the same partial-agg discipline as the
+    replay combiner), the per-token reduce shuffles by token, and
+    only per-block top-k survivors reach the driver for the final cut.
+    Ties break token-ascending (mirrored by the SQL twin)."""
+    from cosmwasm_etl_ray.functions.agg import grouped_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame(
+            {"token": counts.index.to_numpy(dtype=object), "n": counts.to_numpy()}
+        )
+
+    totals = grouped_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        keys=["token"],
+        spec={"n": ("n", "sum")},
+        final="shuffle",  # vocab cardinality is corpus-scale
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"], ascending=[False, True]).head(k)
+
+    cand = totals.map_batches(block_topk, batch_format="pandas").to_pandas()
+    out = (
+        cand.sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+# ------------------------------------------------------ sequence packing
+
+PACK_CAPACITY = 128  # token budget per packed sequence
+PACK_SHARDS = 64
+
+
+def pack_sequences(
+    docs: "ray.data.Dataset",
+    capacity: int = PACK_CAPACITY,
+    shards: int = PACK_SHARDS,
+) -> "ray.data.Dataset":
+    """Greedy sequence packing (context-window fill for training):
+    docs shard by ``doc_id % shards``; within a shard, docs are walked
+    in doc_id order and appended to the current pack unless they would
+    overflow ``capacity``, which closes it (an oversized doc gets a
+    pack of its own). The walk is inherently serial PER SHARD — the
+    shard count is the parallelism knob, and pack ids are
+    shard-local, so the layout is deterministic and cluster-size
+    independent (same discipline as the replay's fixed P partitions)."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "shard": (df["doc_id"] % shards).astype("int64"),
+                "n_tokens": df["text"].str.count(" ").astype("int64") + 1,
+            }
+        )
+        return out
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        ntok = g["n_tokens"].to_numpy()
+        pack = np.zeros(len(g), dtype=np.int64)
+        pid, fill = 0, 0
+        first = True
+        for i, n in enumerate(ntok):
+            if not first and fill + n > capacity:
+                pid += 1
+                fill = 0
+            pack[i] = pid
+            fill += n
+            first = False
+        g["pack_id"] = pack
+        return g[["doc_id", "shard", "pack_id", "n_tokens"]]
+
+    return (
+        docs.map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(pack_shard, batch_format="pandas")
+    )

@@ -14,15 +14,20 @@ from cosmwasm_etl_ray.functions.dataprep import (
     CHUNK_SIZE,
     CHUNK_STRIDE,
     EMAIL_RE,
+    PACK_CAPACITY,
+    PACK_SHARDS,
     PHONE_RE,
     REDACTION,
     SPLIT_MULT,
+    TOPK_VOCAB,
     TRAIN_BOUND,
     VAL_BOUND,
     chunk_documents,
     decontaminate,
+    pack_sequences,
     pii_scan,
     split_batch,
+    vocab_topk,
 )
 
 
@@ -88,12 +93,27 @@ def pii_scan_docs(sf_dir: str) -> "ray.data.Dataset":
     return pii_scan(_docs(sf_dir))
 
 
+def vocab_topk_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-k global token frequencies (vocab building): per-block
+    value_counts combiner -> token-keyed shuffle reduce -> per-block
+    top-k -> tiny driver cut."""
+    return vocab_topk(_docs(sf_dir))
+
+
+def pack_sequences_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Greedy context-window packing: serial walk per doc_id-shard,
+    shard-local pack ids (cluster-size-independent layout)."""
+    return pack_sequences(_docs(sf_dir))
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
     "sample_split": sample_split,
     "split_summary": split_summary,
     "decontaminate_train": decontaminate_train,
     "pii_scan": pii_scan_docs,
+    "vocab_topk": vocab_topk_docs,
+    "pack_sequences": pack_sequences_docs,
 }
 
 
@@ -177,6 +197,39 @@ SELECT doc_id,
 FROM grams
 WHERE bucket < {TRAIN_BOUND}
 GROUP BY doc_id
+""",
+    "vocab_topk": f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {TOPK_VOCAB}
+""",
+    # the greedy per-shard walk restated as a recursive CTE: one row
+    # per shard advances per step, carrying (pack_id, fill) — the
+    # transition is exactly the engine's "overflow closes the pack"
+    "pack_sequences": f"""
+WITH RECURSIVE docs AS (
+    SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+               AS n_tokens,
+           row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                              ORDER BY doc_id) AS rn
+    FROM documents
+),
+walk AS (
+    SELECT shard, rn, doc_id, n_tokens,
+           CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+    FROM docs WHERE rn = 1
+    UNION ALL
+    SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+           CASE WHEN w.fill + d.n_tokens > {PACK_CAPACITY}
+                THEN w.pack_id + 1 ELSE w.pack_id END,
+           CASE WHEN w.fill + d.n_tokens > {PACK_CAPACITY}
+                THEN d.n_tokens ELSE w.fill + d.n_tokens END
+    FROM walk w JOIN docs d ON d.shard = w.shard AND d.rn = w.rn + 1
+)
+SELECT doc_id, shard, pack_id, n_tokens FROM walk
 """,
     "pii_scan": f"""
 WITH aug AS (

@@ -161,3 +161,42 @@ def test_dataprep_queries_end_to_end(ray_session, sf_dir):
     with_grams = n_tok.reindex(train_ids).ge(3)
     assert len(cont) == int(with_grams.sum())
     assert (cont["n_hit"] <= cont["n_grams"]).all()
+
+
+# -------------------------------------------------- vocab + packing
+
+
+def test_vocab_topk_counts_and_tiebreak(ray_session):
+    ds = ray.data.from_pandas(_df(["b a a", "b c", "c b"]))
+    from cosmwasm_etl_ray.functions.dataprep import vocab_topk
+
+    out = vocab_topk(ds, k=2)
+    # counts: a=2, b=3, c=2 -> top2 = b(3), then tie a/c broken asc -> a
+    assert list(out["token"]) == ["b", "a"]
+    assert list(out["n"]) == [3, 2]
+
+
+def test_pack_sequences_greedy_overflow(ray_session):
+    from cosmwasm_etl_ray.functions.dataprep import pack_sequences
+
+    # one shard (shards=1): docs of 3,3,3 tokens, capacity 7:
+    # pack0 = [d0(3), d1(3)] (fill 6), d2 overflows -> pack1
+    ds = ray.data.from_pandas(_df(["a b c", "d e f", "g h i"]))
+    out = pack_sequences(ds, capacity=7, shards=1).to_pandas().sort_values("doc_id")
+    assert list(out["pack_id"]) == [0, 0, 1]
+    # oversized doc gets its own pack
+    ds2 = ray.data.from_pandas(_df(["a b", " ".join(["w"] * 10), "c d"]))
+    out2 = pack_sequences(ds2, capacity=5, shards=1).to_pandas().sort_values("doc_id")
+    assert list(out2["pack_id"]) == [0, 1, 2]
+
+
+def test_pack_sequences_respects_capacity(ray_session, sf_dir):
+    from cosmwasm_etl_ray.functions.dataprep import pack_sequences
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = pack_sequences(docs).to_pandas()
+    fills = out.groupby(["shard", "pack_id"])["n_tokens"].sum()
+    singles = out.groupby(["shard", "pack_id"])["n_tokens"].size()
+    # a pack over capacity must be a single oversized doc
+    assert ((fills <= 128) | (singles == 1)).all()
