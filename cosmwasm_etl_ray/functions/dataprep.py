@@ -27,8 +27,8 @@ Scale notes (the design constraints, per op):
   thousands of docs even when the train side is 100 TB) — its distinct
   gram set is built distributedly, collected once, ``ray.put`` once,
   and every scoring task reads the same object-store copy. The train
-  side streams: explode → per-doc distinct → sorted-array membership
-  (np.isin) → segment sum. No shuffle on the big side.
+  side streams: explode → per-doc distinct → hash-table membership
+  (pandas isin) → segment sum. No shuffle on the big side.
 - ``PiiScanner``: actor-pool stage — regexes compile once per actor in
   ``__init__``; per batch it's C-regex over a pandas column.
 """
@@ -162,17 +162,21 @@ def eval_gram_set(docs: "ray.data.Dataset") -> np.ndarray:
 
     def eval_grams(df: pd.DataFrame) -> pd.DataFrame:
         b = split_bucket(df["doc_id"].to_numpy())
-        return _explode_grams(df[b >= VAL_BOUND])[["gram"]]
+        g = _explode_grams(df[b >= VAL_BOUND])[["gram"]]
+        return g.drop_duplicates(ignore_index=True)  # per-block distinct
 
-    grams = docs.map_batches(eval_grams, batch_format="pandas").unique("gram")
-    return np.sort(np.array(list(grams), dtype=object))
+    # the eval side is small by contract: per-block distincts stream to
+    # the driver and dedupe there — no Aggregate shuffle for a side
+    # that fits in one broadcast object
+    grams = docs.map_batches(eval_grams, batch_format="pandas").to_pandas()
+    return np.sort(grams["gram"].drop_duplicates().to_numpy(dtype=object))
 
 
 class ContaminationScorer:
     """Actor-pool stage: per train doc, how many of its distinct
     word-3-grams appear in ANY eval doc (membership against the
-    broadcast sorted eval-gram array — one object-store read per
-    actor, np.isin per batch)."""
+    broadcast eval-gram array — one object-store read per actor, a
+    C hash-table isin per batch)."""
 
     def __init__(self, eval_grams_ref, bar: float = 0.5):
         self.eval_grams = (
@@ -194,7 +198,8 @@ class ContaminationScorer:
                     "contaminated": pd.Series([], dtype="bool"),
                 }
             )
-        hit = np.isin(g["gram"].to_numpy(), self.eval_grams)
+        # pandas isin = C hash table; np.isin on object strings is O(n*m)
+        hit = g["gram"].isin(self.eval_grams).to_numpy()
         agg = (
             pd.DataFrame({"doc_id": g["doc_id"], "hit": hit})
             .groupby("doc_id", sort=False)
