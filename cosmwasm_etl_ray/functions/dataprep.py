@@ -286,6 +286,110 @@ def pii_scan(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+# ------------------------------------------------------- corpus cleaning
+
+MIN_TOKENS = 20
+MIN_STOP_RATIO = 0.02
+DUP_PREFIX = 20
+
+
+class CorpusAnnotator:
+    """Actor-pool stage: one pass annotates every doc with the signals
+    the cleaning rules consume — token count, stopword ratio, predicted
+    language (the LangId profiles live in the actor), and the exact-dup
+    prefix key. One batch in, one batch out; the dup GROUP decision
+    needs a key-wide view and happens downstream."""
+
+    def __init__(self):
+        from cosmwasm_etl_ray.functions.text import STOPWORDS, LangId
+
+        self.lang = LangId()
+        self.stops = list(STOPWORDS)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.split(" ")
+        n_tok = toks.str.len().astype("int64")
+        exploded = toks.explode()
+        stop_n = (
+            exploded.isin(self.stops)
+            .groupby(level=0)
+            .sum()
+            .reindex(df.index, fill_value=0)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "key20": df["text"].str.slice(0, DUP_PREFIX),
+                "n_tok": n_tok,
+                "stop_ratio": stop_n / n_tok,
+                "lang_pred": self.lang(df)["lang_pred"].to_numpy(),
+            }
+        )
+
+
+def corpus_filter(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The composed cleaning pass a pretraining pipeline runs before
+    tokenization: per-doc keep/drop with the FIRST failing rule as the
+    reason — too_short (< MIN_TOKENS), non_english (LangId), low_quality
+    (stopword ratio < MIN_STOP_RATIO), exact_dup (not the min-doc_id
+    representative of its 20-char-prefix group).
+
+    Shape: one annotator pass (actor pool), a min-per-key reduce for
+    the dup winners (map-side partial -> key-sharded fold), and a
+    partitioned hash join of the two — no driver materialization, no
+    per-key groups."""
+    from cosmwasm_etl_ray.functions.agg import grouped_agg
+    from cosmwasm_etl_ray.functions.joins import hash_join
+
+    ann = docs.map_batches(
+        CorpusAnnotator, batch_format="pandas", concurrency=(1, 8)
+    ).materialize()  # two consumers below: the join probe and the winners
+
+    winners = grouped_agg(
+        ann,
+        keys=["key20"],
+        spec={"keep_doc_id": ("doc_id", "min")},
+        final="shuffle",  # prefix-key cardinality is corpus-scale
+    )
+
+    joined = hash_join(
+        ann,
+        winners,
+        on="key20",
+        left_cols={
+            "doc_id": "int64",
+            "key20": "object",
+            "n_tok": "int64",
+            "stop_ratio": "float64",
+            "lang_pred": "object",
+        },
+        right_cols={"key20": "object", "keep_doc_id": "int64"},
+    )
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        reason = np.select(
+            [
+                df["n_tok"].to_numpy() < MIN_TOKENS,
+                df["lang_pred"].to_numpy(dtype=object) != "en",
+                df["stop_ratio"].to_numpy() < MIN_STOP_RATIO,
+                df["doc_id"].to_numpy() != df["keep_doc_id"].to_numpy(),
+            ],
+            ["too_short", "non_english", "low_quality", "exact_dup"],
+            default="ok",
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "keep": reason == "ok",
+                "reason": reason,
+            }
+        )
+
+    return joined.map_batches(decide, batch_format="pandas")
+
+
 # ----------------------------------------------------------- vocabulary
 
 TOPK_VOCAB = 50

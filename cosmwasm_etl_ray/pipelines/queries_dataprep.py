@@ -23,6 +23,7 @@ from cosmwasm_etl_ray.functions.dataprep import (
     TRAIN_BOUND,
     VAL_BOUND,
     chunk_documents,
+    corpus_filter,
     decontaminate,
     pack_sequences,
     pii_scan,
@@ -106,8 +107,15 @@ def pack_sequences_docs(sf_dir: str) -> "ray.data.Dataset":
     return pack_sequences(_docs(sf_dir))
 
 
+def corpus_filter_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Composed cleaning pass: keep/drop + first-failing-rule reason
+    (length, language, quality, exact-dup representative)."""
+    return corpus_filter(_docs(sf_dir))
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
+    "corpus_filter": corpus_filter_docs,
     "sample_split": sample_split,
     "split_summary": split_summary,
     "decontaminate_train": decontaminate_train,
@@ -198,6 +206,37 @@ FROM grams
 WHERE bucket < {TRAIN_BOUND}
 GROUP BY doc_id
 """,
+    "corpus_filter": """
+WITH q AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           CAST(len(list_filter(string_split(text, ' '),
+                    x -> list_contains(['the','a','of','to','and'], x)))
+               AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+           substr(text, 1, 20) AS key20
+    FROM documents
+),
+l AS (
+    {LANG_SQL}
+),
+w AS (
+    SELECT key20, min(doc_id) AS keep_doc_id FROM q GROUP BY key20
+)
+SELECT doc_id,
+       reason = 'ok' AS keep,
+       reason
+FROM (
+    SELECT q.doc_id,
+           CASE WHEN q.n_tok < 20 THEN 'too_short'
+                WHEN l.lang_pred <> 'en' THEN 'non_english'
+                WHEN q.stop_ratio < 0.02 THEN 'low_quality'
+                WHEN q.doc_id <> w.keep_doc_id THEN 'exact_dup'
+                ELSE 'ok' END AS reason
+    FROM q
+    JOIN l USING (doc_id)
+    JOIN w USING (key20)
+) v
+""",
     "vocab_topk": f"""
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -253,3 +292,11 @@ SELECT doc_id,
 FROM aug
 """,
 }
+
+# splice the shared LangId CASE expression (the same profiles the
+# engine's actor compiles) into the corpus_filter twin
+from cosmwasm_etl_ray.pipelines.queries_textml import _lang_case_sql  # noqa: E402
+
+ORACLE_SQL["corpus_filter"] = ORACLE_SQL["corpus_filter"].replace(
+    "{LANG_SQL}", _lang_case_sql().strip()
+)

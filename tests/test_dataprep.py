@@ -200,3 +200,24 @@ def test_pack_sequences_respects_capacity(ray_session, sf_dir):
     singles = out.groupby(["shard", "pack_id"])["n_tokens"].size()
     # a pack over capacity must be a single oversized doc
     assert ((fills <= 128) | (singles == 1)).all()
+
+
+def test_corpus_filter_reasons(ray_session, sf_dir):
+    from cosmwasm_etl_ray.pipelines.queries_dataprep import corpus_filter_docs
+
+    out = corpus_filter_docs(sf_dir).to_pandas()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet").to_pandas()
+    assert len(out) == len(docs)
+    assert set(out["reason"]) <= {"ok", "too_short", "non_english",
+                                  "low_quality", "exact_dup"}
+    assert (out["keep"] == (out["reason"] == "ok")).all()
+    # first-rule-wins: every too_short doc really is < 20 tokens
+    n_tok = docs.set_index("doc_id")["text"].str.count(" ") + 1
+    short = out.loc[out["reason"] == "too_short", "doc_id"]
+    assert (n_tok.reindex(short) < 20).all()
+    # exact_dup rows are never the min doc_id of their prefix group
+    key20 = docs.set_index("doc_id")["text"].str.slice(0, 20)
+    dup = out.loc[out["reason"] == "exact_dup", "doc_id"]
+    for d in dup:
+        grp = key20[key20 == key20.loc[d]].index
+        assert d != grp.min()
