@@ -90,6 +90,13 @@ class EngineConfig:
     # the crossover is documented in BASELINE.md.
     merge_exchange: str = "streaming"
 
+    # PriceTask exchange: "direct" = raw-task exchange exploiting the
+    # state files' existing (repo,path)-hash partitioning (state side
+    # of the J6 join needs NO shuffle); "dataset" = the hash_join +
+    # sharded_map_groups Dataset shape. Semantics identical — pinned
+    # by tests/test_price_router.py::test_price_direct_matches_dataset.
+    price_exchange: str = "direct"
+
 
 DEFAULT_CONFIG = EngineConfig()
 

@@ -310,6 +310,13 @@ class PriceTask:
         return done
 
     def process_epoch(self, epoch: int, manifest: dict) -> None:
+        if getattr(self.cfg, "price_exchange", "dataset") == "direct":
+            from cosmwasm_etl_ray.pipelines.price_direct import process_epoch_direct
+
+            return process_epoch_direct(self, epoch, manifest)
+        return self._process_epoch_dataset(epoch, manifest)
+
+    def _process_epoch_dataset(self, epoch: int, manifest: dict) -> None:
         from cosmwasm_etl_ray.pipelines.aggregator import _epoch_source_files
 
         carry: dict = {"repo_chars": {}, "base_curve": [], "edges_key": None}
@@ -448,7 +455,8 @@ class PriceTask:
         self._finish(epoch, out_ds, new_carry, epoch_for_routes=epoch)
 
     def _finish(self, epoch: int, out, carry: dict,
-                epoch_for_routes: int | None = None) -> None:
+                epoch_for_routes: int | None = None,
+                parts_dir: str | None = None) -> None:
         import shutil
 
         # ST4: rebuild routes only when the edge set changed
@@ -472,12 +480,15 @@ class PriceTask:
         os.replace(tmp, self._carry_path(epoch))
 
         # the output DIRECTORY rename is the commit marker (cursor):
-        # write distributed into a tmp dir, then swap into place
+        # write distributed into a tmp dir, then swap into place.
+        # ``parts_dir``: the direct exchange's tasks already wrote
+        # their parts into a tmp dir — adopt it instead of re-writing
         outdir = self._out(epoch)
-        tmpdir = f"{outdir}.tmp.{os.getpid()}"
-        shutil.rmtree(tmpdir, ignore_errors=True)
-        if out is not None:
-            out.write_parquet(tmpdir)
+        tmpdir = parts_dir or f"{outdir}.tmp.{os.getpid()}"
+        if parts_dir is None:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+            if out is not None:
+                out.write_parquet(tmpdir)
         # an all-empty output writes no files (and no dir) — the epoch
         # marker must exist regardless
         os.makedirs(tmpdir, exist_ok=True)

@@ -163,3 +163,29 @@ def test_price_task_crash_resume(replayed):
     resumed = PriceTask(store, CFG, base=BASE)
     assert resumed.run() == [last]  # exactly the lost epoch reruns
     pd.testing.assert_frame_equal(resumed.view(), full)
+
+
+def test_price_direct_matches_dataset(replayed, tmp_path):
+    """The raw-task direct exchange and the Dataset (hash_join +
+    sharded_map_groups) shape must produce identical per-event output,
+    carries, and routes for every epoch."""
+    log, store = replayed
+    outs = {}
+    for mode in ("direct", "dataset"):
+        cfg = EngineConfig(
+            num_partitions=8, epoch_max_events=15_000, batch_size=4096,
+            price_exchange=mode,
+        )
+        s2 = StateStore(str(store.root))
+        task = PriceTask.__new__(PriceTask)
+        task.store, task.cfg, task.base = s2, cfg, BASE
+        task.root = str(tmp_path / f"price_{mode}")
+        os.makedirs(task.root, exist_ok=True)
+        task.run()
+        outs[mode] = (
+            task.view().sort_values(["commit", "repo"], kind="stable")
+            .reset_index(drop=True),
+            task.latest_routes(),
+        )
+    pd.testing.assert_frame_equal(outs["direct"][0], outs["dataset"][0])
+    pd.testing.assert_frame_equal(outs["direct"][1], outs["dataset"][1])
