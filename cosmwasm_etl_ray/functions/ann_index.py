@@ -42,11 +42,10 @@ def build_ivf_index(
     train_cap: int = 4096,
 ) -> dict:
     """Index a (vec_id, embedding) dataset. Returns the sidecar meta."""
+    from cosmwasm_etl_ray.functions.similarity import train_sample
+
     n = db.count()
-    frac = min(1.0, train_cap / max(n, 1))
-    sample_df = db.random_sample(frac, seed=seed).to_pandas()
-    if len(sample_df) < n_lists:
-        sample_df = db.limit(max(n_lists, 1)).to_pandas()
+    sample_df = train_sample(db, train_cap, seed, min_rows=n_lists)
     sample = _normalize(np.array(sample_df["embedding"].tolist()))
     centroids = _kmeans_lite(sample, n_lists, seed=seed)
     cref = ray.put(centroids)

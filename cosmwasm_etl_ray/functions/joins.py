@@ -48,6 +48,42 @@ def broadcast_join(
     return large.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
 
 
+def _merge_sides(
+    lhs: pd.DataFrame,
+    rhs: pd.DataFrame,
+    on: list[str],
+    how: str,
+    suffixes: tuple[str, str],
+    right_names: list[str],
+    left_fold,
+    right_fold,
+) -> pd.DataFrame:
+    """One bucket's merge — shared by the Dataset shape and the direct
+    exchange so the two paths cannot drift semantically."""
+    if right_fold is not None and not rhs.empty:
+        rhs = right_fold(rhs)
+    if left_fold is not None and not lhs.empty:
+        lhs = left_fold(lhs)
+    if lhs.empty:
+        return pd.DataFrame()
+    if rhs.empty:
+        if how == "inner":
+            return pd.DataFrame()
+        if how == "left":
+            # pad right columns with pandas-merge suffix semantics:
+            # a name on both sides becomes x_l/x_r here too, so
+            # empty and non-empty buckets emit ONE schema and left
+            # data is never silently overwritten by the padding
+            overlap = (set(right_names) & set(lhs.columns)) - set(on)
+            lhs = lhs.rename(columns={c: c + suffixes[0] for c in overlap})
+            for c in right_names:
+                if c not in on:
+                    lhs[c + suffixes[1] if c in overlap else c] = np.nan
+            return lhs
+        raise NotImplementedError(f"hash_join how={how!r} on empty side")
+    return lhs.merge(rhs, on=on, how=how, suffixes=suffixes)
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -59,10 +95,20 @@ def hash_join(
     left_fold=None,
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
+    exchange: str = "direct",
 ) -> "ray.data.Dataset":
-    """Partitioned hash join: tag sides, union, bucket by key hash,
-    merge per bucket. Skewed keys should be pre-aggregated or salted by
-    the caller; the bucket count B is independent of cluster size.
+    """Partitioned hash join. Skewed keys should be pre-aggregated or
+    salted by the caller; the bucket count B is independent of cluster
+    size.
+
+    ``exchange="direct"`` (default): each side's blocks are drained on
+    the driver (refs only) and split by key-hash bucket with raw tasks
+    (num_returns=B); one raw task per bucket merges its splits — no
+    tagged union, no groupby shuffle, no executor ramp, and each side
+    keeps its own dtypes (the union path must canonicalize because its
+    null-padding widens them). ``exchange="dataset"`` keeps the
+    portable shape: tag sides, union, groupby(bucket), merge per group
+    — semantics pinned equal by tests/test_hash_join_dtypes.py.
 
     ``right_fold(df) -> df`` / ``left_fold(df) -> df``, if given,
     reduce that side's rows inside each bucket before the merge.
@@ -73,6 +119,11 @@ def hash_join(
     second shuffle.
     """
     on = [on] if isinstance(on, str) else on
+    if exchange == "direct":
+        return _hash_join_direct(
+            left, right, on, num_buckets, how, suffixes,
+            right_fold, left_fold, left_cols, right_cols,
+        )
     # Each side's column set (and pandas dtypes), taken from the
     # dataset schemas ONCE. (Inferring by all-null content per bucket
     # used to drop genuinely nullable columns that happened to be
@@ -108,30 +159,135 @@ def hash_join(
             g.loc[g["_side"] == "R", [c for c in right_names if c in g.columns]],
             right_types,
         )
-        if right_fold is not None and not rhs.empty:
-            rhs = right_fold(rhs)
-        if left_fold is not None and not lhs.empty:
-            lhs = left_fold(lhs)
-        if lhs.empty:
-            return pd.DataFrame()
-        if rhs.empty:
-            if how == "inner":
-                return pd.DataFrame()
-            if how == "left":
-                # pad right columns with pandas-merge suffix semantics:
-                # a name on both sides becomes x_l/x_r here too, so
-                # empty and non-empty buckets emit ONE schema and left
-                # data is never silently overwritten by the padding
-                overlap = (set(right_names) & set(lhs.columns)) - set(on)
-                lhs = lhs.rename(columns={c: c + suffixes[0] for c in overlap})
-                for c in right_names:
-                    if c not in on:
-                        lhs[c + suffixes[1] if c in overlap else c] = np.nan
-                return lhs
-            raise NotImplementedError(f"hash_join how={how!r} on empty side")
-        return lhs.merge(rhs, on=on, how=how, suffixes=suffixes)
+        return _merge_sides(
+            lhs, rhs, on, how, suffixes, right_names, left_fold, right_fold
+        )
 
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+# ------------------------------------------------- direct-exchange join
+
+
+def _as_table(b):
+    """Ray blocks are pa.Table OR pd.DataFrame depending on how the
+    upstream produced them — normalize to Arrow."""
+    if isinstance(b, pd.DataFrame):
+        return pa.Table.from_pandas(b, preserve_index=False)
+    return b
+
+
+def _hj_split_blocks(B: int, on: list[str], *blocks):
+    """Raw task: concat a run of one side's blocks, bucket by the
+    canonical key hash, split (num_returns=B; None for empty)."""
+    tabs = [t for t in (_as_table(b) for b in blocks if b is not None) if t.num_rows]
+    if not tabs:
+        return tuple([None] * B)
+    t = pa.concat_tables(tabs, promote_options="default")
+    cols = [_canon_key_str(t[c]) for c in on]
+    bucket = (stable_hash64(*cols) % np.uint64(B)).astype(np.int32)
+    order = np.argsort(bucket, kind="stable")
+    st = t.take(pa.array(order))
+    s = bucket[order]
+    bounds = np.searchsorted(s, np.arange(B + 1))
+    return tuple(
+        st.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        if bounds[i + 1] > bounds[i]
+        else None
+        for i in range(B)
+    )
+
+
+def _hj_join_bucket(
+    n_left: int, on, how, suffixes, right_names, left_fold, right_fold, *splits
+):
+    """Raw task: merge one bucket's left and right splits. Sides never
+    union here, so each keeps its own dtypes end-to-end. Returns
+    (n_rows, table) as two objects so the driver can keep the table in
+    the object store and fetch only the count."""
+    lt = [t for t in splits[:n_left] if t is not None]
+    rt = [t for t in splits[n_left:] if t is not None]
+    lhs = (
+        pa.concat_tables(lt, promote_options="default").to_pandas()
+        if lt
+        else pd.DataFrame()
+    )
+    rhs = (
+        pa.concat_tables(rt, promote_options="default").to_pandas()
+        if rt
+        else pd.DataFrame()
+    )
+    out = _merge_sides(
+        lhs, rhs, on, how, suffixes, right_names, left_fold, right_fold
+    )
+    if out is None or not len(out):
+        return 0, None
+    return len(out), pa.Table.from_pandas(out, preserve_index=False)
+
+
+_HJ_REMOTES: dict = {}
+
+
+def _drain_block_refs(ds: "ray.data.Dataset") -> list:
+    """Execute a Dataset and collect its block ObjectRefs (refs only —
+    blocks stay in the object store)."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend([br[0] for br in bundle.blocks])
+    return refs
+
+
+def _hash_join_direct(
+    left, right, on, B, how, suffixes, right_fold, left_fold, left_cols, right_cols
+):
+    right_names = list(right_cols) if right_cols is not None else None
+    if right_names is None:
+        # only the left-join empty-bucket padding needs right names
+        right_names = _side_spec(right, right_cols)[0] if how == "left" else []
+
+    split = _HJ_REMOTES.get(("split", B))
+    if split is None:
+        split = ray.remote(num_returns=B)(_hj_split_blocks)
+        _HJ_REMOTES[("split", B)] = split
+    joinb = _HJ_REMOTES.get("join")
+    if joinb is None:
+        joinb = ray.remote(num_returns=2)(_hj_join_bucket)
+        _HJ_REMOTES["join"] = joinb
+
+    ncpu = int(ray.cluster_resources().get("CPU", 32))
+    per_bucket: list[list] = [[] for _ in range(B)]
+    for side_idx, ds in enumerate((left, right)):
+        blocks = _drain_block_refs(ds)
+        # group block refs into <= 2*NCPU split tasks (in-flight refs
+        # per side are tasks x B — the raylet degrades past ~4k small
+        # objects, same bound as the replay's direct exchange)
+        n_tasks = max(1, min(len(blocks), 2 * ncpu))
+        chunks = np.array_split(np.arange(len(blocks)), n_tasks) if blocks else []
+        for idx in chunks:
+            if not len(idx):
+                continue
+            refs = split.remote(B, on, *[blocks[i] for i in idx])
+            if B == 1:
+                refs = [refs]
+            for b, r in enumerate(refs):
+                per_bucket[b].append((side_idx, r))
+
+    count_refs, table_refs = [], []
+    for b in range(B):
+        entries = per_bucket[b]
+        lrefs = [r for s, r in entries if s == 0]
+        rrefs = [r for s, r in entries if s == 1]
+        nref, tref = joinb.remote(
+            len(lrefs), on, how, suffixes, right_names,
+            left_fold, right_fold, *lrefs, *rrefs,
+        )
+        count_refs.append(nref)
+        table_refs.append(tref)
+    counts = ray.get(count_refs)  # ints only — tables stay remote
+    keep = [t for n, t in zip(counts, table_refs) if n]
+    if not keep:
+        return ray.data.from_pandas(pd.DataFrame())
+    return ray.data.from_arrow_refs(keep)
 
 
 def _side_spec(ds, cols) -> tuple[list[str], dict]:

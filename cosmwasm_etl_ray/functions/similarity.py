@@ -29,6 +29,36 @@ def _embedding_matrix(batch: pd.DataFrame) -> np.ndarray:
     return np.array(batch["embedding"].tolist(), dtype=np.float64)
 
 
+def train_sample(
+    db: "ray.data.Dataset", cap: int, seed: int, min_rows: int = 1
+) -> pd.DataFrame:
+    """Bounded DETERMINISTIC training sample: keep rows whose
+    seed-salted multiplicative hash of vec_id falls below cap/n — a
+    pure per-row predicate, so the sampled set is independent of block
+    layout, task boundaries, and cluster load. (Ray's ``random_sample``
+    draws per task: the same seed returned different sets when the box
+    was under contention, which once flipped IVF centroids between a
+    persistent-index build and its in-memory twin mid-test.) Runs
+    distributed; only the ≤cap sample lands on the driver."""
+    import pyarrow as pa
+
+    n = db.count()
+    if n <= max(cap, min_rows):
+        return db.to_pandas()
+    thresh = np.uint64(int((1 << 32) * min(1.0, cap / n)))
+    mult = np.uint64(2654435761 + 2 * seed)  # stays odd: bijective mod 2^64
+
+    def keep(t: "pa.Table") -> "pa.Table":
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * mult) % np.uint64(1 << 32)
+        return t.filter(pa.array(h < thresh))
+
+    out = db.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if len(out) < min_rows:  # tiny-corpus fallback
+        out = db.limit(max(min_rows, 1)).to_pandas()
+    return out
+
+
 def brute_force_topk(
     db: "ray.data.Dataset", queries_df: pd.DataFrame, k: int = 10
 ) -> "ray.data.Dataset":
@@ -157,15 +187,11 @@ def ivf_topk(
     n_probe closest lists — candidate work ≈ n_probe/n_lists of brute
     force; same exact-cosine final rank.
 
-    The quantizer trains on a bounded ``random_sample`` of the corpus
-    (never the full dataset on the driver): a few thousand vectors are
-    plenty for a coarse k-means at any corpus size."""
+    The quantizer trains on a bounded deterministic sample of the
+    corpus (never the full dataset on the driver): a few thousand
+    vectors are plenty for a coarse k-means at any corpus size."""
     train_cap = max(4096, 256 * n_lists)
-    n = db.count()
-    frac = min(1.0, train_cap / max(n, 1))
-    sample_df = db.random_sample(frac, seed=seed).to_pandas()
-    if len(sample_df) < n_lists:  # tiny-corpus fallback
-        sample_df = db.limit(max(n_lists, 1)).to_pandas()
+    sample_df = train_sample(db, train_cap, seed, min_rows=n_lists)
     sample = _normalize(np.array(sample_df["embedding"].tolist()))
     centroids = _kmeans_lite(sample, n_lists, seed=seed)
     Q = _normalize(np.array(queries_df["embedding"].tolist()))

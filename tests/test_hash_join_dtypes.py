@@ -56,3 +56,56 @@ def test_left_join_empty_right_bucket_pads_columns(ray_session):
     ).to_pandas()
     assert len(out) == 10
     assert out["w"].isna().all()  # right side absent → padded, rows kept
+
+
+def test_hash_join_direct_matches_dataset(ray_session):
+    """Inner and left joins (incl. empty-right buckets, name collisions,
+    folds) must be identical between the direct raw-task exchange and
+    the tagged-union Dataset shape."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 200, 1000),
+            "v": rng.integers(0, 10, 1000),
+            "x": [f"l{i}" for i in range(1000)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 120, 300),  # keys 120-199 miss -> empty rhs rows
+            "w": rng.integers(0, 5, 300),
+            "x": [f"r{i}" for i in range(300)],  # collides with left's x
+        }
+    )
+
+    def run(how, exchange, right_fold=None):
+        out = hash_join(
+            ray.data.from_pandas(left.copy()),
+            ray.data.from_pandas(right.copy()),
+            on="k",
+            how=how,
+            num_buckets=8,
+            right_fold=right_fold,
+            left_cols={"k": "int64", "v": "int64", "x": "object"},
+            right_cols={"k": "int64", "w": "int64", "x": "object"},
+            exchange=exchange,
+        ).to_pandas()
+        return (
+            out.sort_values(out.columns.tolist(), kind="stable")
+            .reset_index(drop=True)
+        )
+
+    for how in ("inner", "left"):
+        a = run(how, "direct")
+        b = run(how, "dataset")
+        assert sorted(a.columns) == sorted(b.columns)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+    fold = lambda df: df.groupby("k", as_index=False).agg(
+        w=("w", "max"), x=("x", "min")
+    )
+    a = run("inner", "direct", right_fold=fold)
+    b = run("inner", "dataset", right_fold=fold)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
