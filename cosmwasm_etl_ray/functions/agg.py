@@ -27,7 +27,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
+import ray
 import ray.data
 
 from cosmwasm_etl_ray.functions.hashing import stable_hash64
@@ -40,6 +42,97 @@ def _key_shard(df: pd.DataFrame, keys: list[str], shards: int) -> np.ndarray:
     return (stable_hash64(*cols) % np.uint64(shards)).astype(np.int32)
 
 
+# --------------------------------------------- direct shard exchange
+
+_SHARD_REMOTES: dict = {}
+
+
+def _shard_split_blocks(n: int, keys: list[str], *blocks):
+    """Raw task: concat a run of blocks, split by key-hash shard
+    (num_returns=n; None for empty shards). Hashing mirrors
+    ``_key_shard`` so the two exchange shapes co-locate identically."""
+    from cosmwasm_etl_ray.functions.joins import _as_table
+
+    tabs = [t for t in (_as_table(b) for b in blocks if b is not None) if t.num_rows]
+    if not tabs:
+        return tuple([None] * n)
+    t = pa.concat_tables(tabs, promote_options="default")
+    cols = [
+        np.asarray(t[k].to_numpy(zero_copy_only=False)).astype("U") for k in keys
+    ]
+    shard = (stable_hash64(*cols) % np.uint64(n)).astype(np.int32)
+    order = np.argsort(shard, kind="stable")
+    st = t.take(pa.array(order))
+    s = shard[order]
+    bounds = np.searchsorted(s, np.arange(n + 1))
+    return tuple(
+        st.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        if bounds[i + 1] > bounds[i]
+        else None
+        for i in range(n)
+    )
+
+
+def _shard_apply(fn, *splits):
+    """Raw task: one shard's rows through ``fn``; returns (n_rows,
+    table) so the driver fetches only counts."""
+    tabs = [t for t in splits if t is not None]
+    if not tabs:
+        return 0, None
+    out = fn(pa.concat_tables(tabs, promote_options="default").to_pandas())
+    if out is None or not len(out):
+        return 0, None
+    return len(out), pa.Table.from_pandas(out, preserve_index=False)
+
+
+def shard_exchange(
+    ds: "ray.data.Dataset", keys: list[str], fn, shards: int
+) -> "ray.data.Dataset":
+    """The direct raw-task form of shard-by-key-hash → apply-per-shard
+    (the engine's third use of the exchange pattern, after the replay
+    merge and hash_join): block refs drain on the driver, split tasks
+    bucket them (grouped ≤ 2×NCPU so in-flight refs stay bounded), one
+    task per shard runs ``fn`` — no groupby shuffle, no executor ramp."""
+    from cosmwasm_etl_ray.functions.joins import _drain_block_refs
+
+    split = _SHARD_REMOTES.get(("split", shards))
+    if split is None:
+        split = ray.remote(num_returns=shards)(_shard_split_blocks)
+        _SHARD_REMOTES[("split", shards)] = split
+    apply_t = _SHARD_REMOTES.get("apply")
+    if apply_t is None:
+        apply_t = ray.remote(num_returns=2)(_shard_apply)
+        _SHARD_REMOTES["apply"] = apply_t
+
+    blocks = _drain_block_refs(ds)
+    ncpu = int(ray.cluster_resources().get("CPU", 32))
+    n_tasks = max(1, min(len(blocks), 2 * ncpu))
+    per_shard: list[list] = [[] for _ in range(shards)]
+    chunks = np.array_split(np.arange(len(blocks)), n_tasks) if blocks else []
+    for idx in chunks:
+        if not len(idx):
+            continue
+        refs = split.remote(shards, keys, *[blocks[i] for i in idx])
+        if shards == 1:
+            refs = [refs]
+        for s, r in enumerate(refs):
+            per_shard[s].append(r)
+
+    fn_ref = ray.put(fn)  # ship the callable once, not per shard task
+    count_refs, table_refs = [], []
+    for s in range(shards):
+        if not per_shard[s]:
+            continue
+        nref, tref = apply_t.remote(fn_ref, *per_shard[s])
+        count_refs.append(nref)
+        table_refs.append(tref)
+    counts = ray.get(count_refs)
+    keep = [t for n, t in zip(counts, table_refs) if n]
+    if not keep:
+        return ray.data.from_pandas(pd.DataFrame())
+    return ray.data.from_arrow_refs(keep)
+
+
 def grouped_agg(
     ds: "ray.data.Dataset",
     keys: list[str],
@@ -48,6 +141,7 @@ def grouped_agg(
     final: str = "driver",
     shards: int = 64,
     driver_limit: int = 200_000,
+    exchange: str = "direct",
 ):
     """spec: output_col → (source_col, op) with op ∈ sum|count|min|max|mean.
     final="driver" returns a pandas DataFrame (small by contract);
@@ -114,6 +208,9 @@ def grouped_agg(
     # shuffle mode: shard partials by key hash; each shard holds ALL
     # partials of its keys, so the within-shard reduce is global —
     # nothing high-cardinality ever lands on the driver
+    if exchange == "direct":
+        return shard_exchange(partial_ds, keys, reduce_partials, shards)
+
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_ashard"] = _key_shard(df, keys, shards)
@@ -134,13 +231,19 @@ def sharded_map_groups(
     keys: list[str],
     fn,
     shards: int = 64,
+    exchange: str = "direct",
 ) -> "ray.data.Dataset":
     """Coarse-sharded per-key processing. ``groupby(key).map_groups``
     with 10k+ tiny keys pays one task + one pandas frame per key —
     pure overhead. Here rows shard by key hash (a key's rows land in
     exactly one shard) and ``fn`` receives a whole shard once; fn must
     handle ALL its keys vectorized (sort + groupby-transform), which
-    preserves per-key semantics at ~shards tasks total."""
+    preserves per-key semantics at ~shards tasks total.
+
+    exchange="direct" (default) runs the shard exchange as raw tasks
+    (see ``shard_exchange``); "dataset" keeps the groupby shape."""
+    if exchange == "direct":
+        return shard_exchange(ds, keys, fn, shards)
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -165,6 +268,7 @@ def stats_with_distinct(
     distinct_name: str,
     shards: int = 64,
     batch_size: int = 65536,
+    exchange: str = "direct",
 ) -> "ray.data.Dataset":
     """Grouped counts/sums PLUS an exact count-distinct in ONE shuffle
     (the pair_stats_30m shape: volume sums + count(distinct hash),
@@ -187,7 +291,8 @@ def stats_with_distinct(
         d = df[keys + [distinct_col]].drop_duplicates()
         d = d.assign(_kind="d", **{m: 0 for m in measure_cols})
         out = pd.concat([c, d[c.columns]], ignore_index=True)
-        out["_ashard"] = _key_shard(out, keys, shards)
+        if exchange != "direct":
+            out["_ashard"] = _key_shard(out, keys, shards)
         return out
 
     def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -203,8 +308,9 @@ def stats_with_distinct(
         out[distinct_name] = out[distinct_name].fillna(0).astype("int64")
         return out
 
-    return (
-        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-        .groupby("_ashard")
-        .map_groups(reduce_shard, batch_format="pandas")
+    tagged = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    if exchange == "direct":
+        return shard_exchange(tagged, keys, reduce_shard, shards)
+    return tagged.groupby("_ashard").map_groups(
+        reduce_shard, batch_format="pandas"
     )

@@ -109,3 +109,62 @@ def test_grouped_agg_driver_mode_enforces_cardinality_bound():
     ds = ray.data.from_pandas(df).repartition(8)
     with pytest.raises(ValueError, match="final='shuffle'"):
         grouped_agg(ds, ["k"], {"sum_x": ("x", "sum")}, driver_limit=1000)
+
+
+def test_shard_exchange_matches_dataset_shape(ray_session):
+    """sharded_map_groups and grouped_agg(final='shuffle') must emit the
+    same row sets through the direct raw-task exchange and the groupby
+    Dataset shape."""
+    import numpy as np
+    from cosmwasm_etl_ray.functions.agg import grouped_agg, sharded_map_groups
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "k": [f"key_{i}" for i in rng.integers(0, 500, 4000)],
+            "v": rng.integers(0, 100, 4000),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+
+    def per_shard(g):
+        g = g.sort_values(["k", "v"], kind="stable")
+        g["rt"] = g.groupby("k", sort=False)["v"].cumsum()
+        return g
+
+    for run in (
+        lambda ex: sharded_map_groups(ds, ["k"], per_shard, shards=8, exchange=ex),
+        lambda ex: grouped_agg(
+            ds, ["k"], {"s": ("v", "sum"), "m": ("v", "mean")},
+            final="shuffle", shards=8, exchange=ex,
+        ),
+    ):
+        a = run("direct").to_pandas()
+        b = run("dataset").to_pandas()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        b = b[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_stats_with_distinct_exchange_equal(ray_session):
+    import numpy as np
+    from cosmwasm_etl_ray.functions.agg import stats_with_distinct
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "w": rng.integers(0, 20, 3000).astype(str),
+            "v": rng.integers(0, 50, 3000),
+            "u": rng.integers(0, 30, 3000),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    outs = {}
+    for ex in ("direct", "dataset"):
+        o = stats_with_distinct(
+            ds, ["w"], {"sv": ("v", "sum")}, "u", "nu", shards=8, exchange=ex
+        ).to_pandas()
+        cols = sorted(o.columns)
+        outs[ex] = o[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs["direct"], outs["dataset"])
