@@ -485,6 +485,13 @@ class PriceTask:
         # their parts into a tmp dir — adopt it instead of re-writing
         outdir = self._out(epoch)
         tmpdir = parts_dir or f"{outdir}.tmp.{os.getpid()}"
+        # a crashed PRIOR run leaves an orphan tmp dir under its old
+        # pid — sweep any stale tmp for this epoch before writing
+        import glob as _glob
+
+        for stale in _glob.glob(f"{outdir}.tmp.*"):
+            if stale != tmpdir:
+                shutil.rmtree(stale, ignore_errors=True)
         if parts_dir is None:
             shutil.rmtree(tmpdir, ignore_errors=True)
             if out is not None:
