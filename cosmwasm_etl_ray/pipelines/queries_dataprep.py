@@ -1,7 +1,10 @@
-"""Data-preparation operators as queries(): chunking, deterministic
-splits, decontamination, PII scan. Every query has a full-value DuckDB
-oracle twin (same column names; the twins restate the hash / gram /
-regex semantics in plain SQL).
+"""Data-preparation operators as queries(): sliding-window chunking,
+deterministic hash splits + stratification summary, train-vs-eval
+n-gram decontamination, PII scan/redaction, top-k vocabulary, greedy
+sequence packing, and the composed corpus_filter cleaning pass. Every
+query has a full-value DuckDB oracle twin (same column names; the
+twins restate the hash / gram / regex / recursive-walk semantics in
+plain SQL).
 """
 
 from __future__ import annotations
