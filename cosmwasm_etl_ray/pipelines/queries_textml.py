@@ -324,6 +324,22 @@ def media_meta(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_resize(sf_dir: str) -> "ray.data.Dataset":
+    """Resize stage through the oracle gate: synthesize binary media,
+    nearest-neighbor byte resize in the actor-pool FakeResizer, emit
+    the resized payload's length + sha256 — the SQL twin rebuilds the
+    identical subsample index math over the deterministic payload."""
+    from cosmwasm_etl_ray.stages.multimodal import FakeResizer, synthesize_media
+
+    media = synthesize_media(_docs(sf_dir))
+    return media.map_batches(
+        FakeResizer, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    ).map_batches(
+        lambda t: t.select(["media_id", "resized_len", "resized_sha256"]),
+        batch_format="pyarrow",
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -396,6 +412,7 @@ QUERIES = {
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "media_meta": media_meta,
+    "media_resize": media_resize,
 }
 
 from cosmwasm_etl_ray.functions.text import FP_BASE, FP_MOD, FP_WINDOW, LangId
@@ -506,6 +523,22 @@ SELECT doc_id AS media_id,
        CAST(3 * octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST((doc_id % 24 + 1 + 7) // 8 AS BIGINT) AS n_sampled_frames
 FROM documents
+""",
+    # nearest-neighbor byte subsample: out[i] = payload[(i*n)//256]
+    # (ASCII corpus: chars == bytes, the same assumption media_meta
+    # already leans on for sha256 over the repeated text)
+    "media_resize": """
+SELECT media_id,
+       CAST(length(r) AS BIGINT) AS resized_len,
+       sha256(r) AS resized_sha256
+FROM (
+    SELECT doc_id AS media_id,
+           array_to_string(list_transform(range(0, 256),
+               i -> substring(p, CAST(i * n // 256 AS BIGINT) + 1, 1)), '') AS r
+    FROM (SELECT doc_id, repeat(text, 3) AS p,
+                 length(repeat(text, 3)) AS n
+          FROM documents)
+)
 """,
 }
 

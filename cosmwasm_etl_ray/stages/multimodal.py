@@ -127,6 +127,39 @@ class FrameSampler:
         )
 
 
+class FakeResizer:
+    """Resize plumbing: 1-D nearest-neighbor byte subsample to a fixed
+    target length (the stand-in for a W×H pixel resize — same actor
+    signature, batch sizing, and binary output layout a real kernel
+    would use). out[i] = payload[(i·n)//m]; payloads shorter than the
+    target repeat bytes, exactly like nearest-neighbor upscaling."""
+
+    def __init__(self, target_len: int = 256):
+        self.m = target_len
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        outs, shas, lens = [], [], []
+        for buf in t["payload"]:
+            raw = bytes(buf.as_py())
+            n = len(raw)
+            if n == 0:
+                out = b""
+            else:
+                idx = (np.arange(self.m, dtype=np.int64) * n) // self.m
+                out = np.frombuffer(raw, dtype=np.uint8)[idx].tobytes()
+            outs.append(out)
+            shas.append(hashlib.sha256(out).hexdigest())
+            lens.append(len(out))
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "resized": pa.array(outs, type=pa.large_binary()),
+                "resized_len": pa.array(lens, type=pa.int64()),
+                "resized_sha256": pa.array(shas, type=pa.string()),
+            }
+        )
+
+
 def media_features(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """The full multimodal plumbing pipeline: synthesize → decode
     (actor pool, small batches for wide binary rows) → features."""

@@ -56,3 +56,28 @@ def test_frame_sampler_layout(sf_dir):
         nf = meta.loc[mid, "n_frames"]
         assert row["count"] == (nf + 7) // 8
         assert row["max"] <= nf - 1 or nf <= 8
+
+
+def test_fake_resizer_nearest_neighbor():
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from cosmwasm_etl_ray.stages.multimodal import FakeResizer
+
+    r = FakeResizer(target_len=4)
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], type=pa.int64()),
+            "payload": pa.array([b"abcdefgh", b"xy", b""], type=pa.large_binary()),
+        }
+    )
+    out = r(t)
+    # downscale: indices (i*8)//4 = 0,2,4,6 -> 'aceg'
+    assert out["resized"][0].as_py() == b"aceg"
+    # upscale: indices (i*2)//4 = 0,0,1,1 -> 'xxyy'
+    assert out["resized"][1].as_py() == b"xxyy"
+    assert out["resized"][2].as_py() == b""
+    assert out["resized_len"].to_pylist() == [4, 4, 0]
+    assert out["resized_sha256"][0].as_py() == hashlib.sha256(b"aceg").hexdigest()
