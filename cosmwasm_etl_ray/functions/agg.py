@@ -47,20 +47,33 @@ def _key_shard(df: pd.DataFrame, keys: list[str], shards: int) -> np.ndarray:
 _SHARD_REMOTES: dict = {}
 
 
-def _shard_split_blocks(n: int, keys: list[str], *blocks):
-    """Raw task: concat a run of blocks, split by key-hash shard
-    (num_returns=n; None for empty shards). Hashing mirrors
-    ``_key_shard`` so the two exchange shapes co-locate identically."""
+def _shard_split_blocks(n: int, keys: list[str], by_column: bool, *blocks):
+    """Raw task: concat a run of blocks, split by shard (num_returns=n;
+    None for empty shards). ``by_column=False``: shard = key-hash,
+    mirroring ``_key_shard`` so the two exchange shapes co-locate
+    identically. ``by_column=True``: keys[0] IS the precomputed integer
+    shard column (taken mod n for safety)."""
     from cosmwasm_etl_ray.functions.joins import _as_table
 
     tabs = [t for t in (_as_table(b) for b in blocks if b is not None) if t.num_rows]
     if not tabs:
-        return tuple([None] * n)
+        # num_returns=1 delivers the whole return as ONE value — a
+        # 1-tuple would arrive as a tuple, not a table
+        return None if n == 1 else tuple([None] * n)
     t = pa.concat_tables(tabs, promote_options="default")
-    cols = [
-        np.asarray(t[k].to_numpy(zero_copy_only=False)).astype("U") for k in keys
-    ]
-    shard = (stable_hash64(*cols) % np.uint64(n)).astype(np.int32)
+    if n == 1:
+        return t
+    if by_column:
+        shard = (
+            t[keys[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+            % n
+        ).astype(np.int32)
+    else:
+        cols = [
+            np.asarray(t[k].to_numpy(zero_copy_only=False)).astype("U")
+            for k in keys
+        ]
+        shard = (stable_hash64(*cols) % np.uint64(n)).astype(np.int32)
     order = np.argsort(shard, kind="stable")
     st = t.take(pa.array(order))
     s = shard[order]
@@ -86,14 +99,30 @@ def _shard_apply(fn, *splits):
 
 
 def shard_exchange(
-    ds: "ray.data.Dataset", keys: list[str], fn, shards: int
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    fn,
+    shards: int,
+    by_column: bool = False,
 ) -> "ray.data.Dataset":
     """The direct raw-task form of shard-by-key-hash → apply-per-shard
     (the engine's third use of the exchange pattern, after the replay
     merge and hash_join): block refs drain on the driver, split tasks
     bucket them (grouped ≤ 2×NCPU so in-flight refs stay bounded), one
-    task per shard runs ``fn`` — no groupby shuffle, no executor ramp."""
+    task per shard runs ``fn`` — no groupby shuffle, no executor ramp.
+
+    ``by_column=True``: keys[0] is an already-computed integer shard
+    column (the raw-task twin of
+    map_batches(add_shard).groupby(col).map_groups(fn)); ``fn`` sees
+    the frame WITHOUT that column, like the groupby shape's drop."""
     from cosmwasm_etl_ray.functions.joins import _drain_block_refs
+
+    if by_column:
+        col = keys[0]
+        inner = fn
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:  # noqa: F811
+            return inner(df.drop(columns=[col]))
 
     split = _SHARD_REMOTES.get(("split", shards))
     if split is None:
@@ -112,7 +141,7 @@ def shard_exchange(
     for idx in chunks:
         if not len(idx):
             continue
-        refs = split.remote(shards, keys, *[blocks[i] for i in idx])
+        refs = split.remote(shards, keys, by_column, *[blocks[i] for i in idx])
         if shards == 1:
             refs = [refs]
         for s, r in enumerate(refs):

@@ -463,6 +463,8 @@ def pack_sequences(
 
     def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id").reset_index(drop=True)
+        # the exchange strips the shard column; recompute (pure fn of id)
+        g["shard"] = (g["doc_id"] % shards).astype("int64")
         ntok = g["n_tokens"].to_numpy()
         pack = np.zeros(len(g), dtype=np.int64)
         pid, fill = 0, 0
@@ -477,8 +479,9 @@ def pack_sequences(
         g["pack_id"] = pack
         return g[["doc_id", "shard", "pack_id", "n_tokens"]]
 
-    return (
-        docs.map_batches(add_shard, batch_format="pandas")
-        .groupby("shard")
-        .map_groups(pack_shard, batch_format="pandas")
+    from cosmwasm_etl_ray.functions.agg import shard_exchange
+
+    return shard_exchange(
+        docs.map_batches(add_shard, batch_format="pandas"),
+        ["shard"], pack_shard, shards, by_column=True,
     )

@@ -122,12 +122,13 @@ def dedup_pairs_dataset(pairs: "ray.data.Dataset", shards: int = 64) -> "ray.dat
         return df
 
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pshard"])
+        return g.drop_duplicates(["doc_a", "doc_b"])
 
-    return (
-        pairs.map_batches(add_shard, batch_format="pandas")
-        .groupby("_pshard")
-        .map_groups(uniq, batch_format="pandas")
+    from cosmwasm_etl_ray.functions.agg import shard_exchange
+
+    return shard_exchange(
+        pairs.map_batches(add_shard, batch_format="pandas"),
+        ["_pshard"], uniq, shards, by_column=True,
     )
 
 
@@ -164,10 +165,11 @@ def candidate_pairs_from_buckets(
             {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
         ).drop_duplicates()
 
-    cands = (
-        bucketed.map_batches(add_shard, batch_format="pandas")
-        .groupby("_shard")
-        .map_groups(pairs_in_shard, batch_format="pandas")
+    from cosmwasm_etl_ray.functions.agg import shard_exchange
+
+    cands = shard_exchange(
+        bucketed.map_batches(add_shard, batch_format="pandas"),
+        ["_shard"], pairs_in_shard, shards, by_column=True,
     )
     if not dedup:
         return cands
@@ -352,9 +354,9 @@ def simhash_dedup_pairs(
             }
         ).drop_duplicates(["doc_a", "doc_b"])
 
-    all_pairs = melted.groupby("_shard").map_groups(
-        pairs_in_shard, batch_format="pandas"
-    )
+    from cosmwasm_etl_ray.functions.agg import shard_exchange
+
+    all_pairs = shard_exchange(melted, ["_shard"], pairs_in_shard, 256, by_column=True)
     return dedup_pairs_dataset(all_pairs)
 
 

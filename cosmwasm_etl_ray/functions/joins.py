@@ -182,8 +182,11 @@ def _hj_split_blocks(B: int, on: list[str], *blocks):
     canonical key hash, split (num_returns=B; None for empty)."""
     tabs = [t for t in (_as_table(b) for b in blocks if b is not None) if t.num_rows]
     if not tabs:
-        return tuple([None] * B)
+        # num_returns=1 delivers the return as ONE value, not a 1-tuple
+        return None if B == 1 else tuple([None] * B)
     t = pa.concat_tables(tabs, promote_options="default")
+    if B == 1:
+        return t
     cols = [_canon_key_str(t[c]) for c in on]
     bucket = (stable_hash64(*cols) % np.uint64(B)).astype(np.int32)
     order = np.argsort(bucket, kind="stable")

@@ -56,7 +56,10 @@ def _split_table_by_shard(t: pa.Table, shard: np.ndarray, n: int):
     """Slice a table into n sub-tables by a precomputed shard id
     (single argsort + zero-copy slices; None for empty shards)."""
     if t.num_rows == 0:
-        return tuple([None] * n)
+        # num_returns=1 delivers the return as ONE value, not a 1-tuple
+        return None if n == 1 else tuple([None] * n)
+    if n == 1:
+        return t
     order = np.argsort(shard, kind="stable")
     st = t.take(pa.array(order))
     s = shard[order]

@@ -135,19 +135,19 @@ def cdc_first_seen(sf_dir: str) -> pd.DataFrame:
         return df
 
     def final_first(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.sort_values("commit", kind="stable")
-            .drop_duplicates(["repo", "path"], keep="first")
-            .drop(columns=["_ashard"])
+        return g.sort_values("commit", kind="stable").drop_duplicates(
+            ["repo", "path"], keep="first"
         )
 
     # per-batch argmin partial → key-hash shard → per-shard vectorized
     # final fold: the full key space never reduces on the driver
-    return (
-        changes_from_documents(sf_dir)
-        .map_batches(partial_first, batch_format="pandas")
-        .groupby("_ashard")
-        .map_groups(final_first, batch_format="pandas")
+    from cosmwasm_etl_ray.functions.agg import shard_exchange
+
+    return shard_exchange(
+        changes_from_documents(sf_dir).map_batches(
+            partial_first, batch_format="pandas"
+        ),
+        ["_ashard"], final_first, 64, by_column=True,
     )
 
 
