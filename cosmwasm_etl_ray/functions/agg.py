@@ -53,12 +53,11 @@ def _shard_split_blocks(n: int, keys: list[str], by_column: bool, *blocks):
     mirroring ``_key_shard`` so the two exchange shapes co-locate
     identically. ``by_column=True``: keys[0] IS the precomputed integer
     shard column (taken mod n for safety)."""
+    from cosmwasm_etl_ray.functions.hashing import split_table_by_shard
     from cosmwasm_etl_ray.functions.joins import _as_table
 
     tabs = [t for t in (_as_table(b) for b in blocks if b is not None) if t.num_rows]
     if not tabs:
-        # num_returns=1 delivers the whole return as ONE value — a
-        # 1-tuple would arrive as a tuple, not a table
         return None if n == 1 else tuple([None] * n)
     t = pa.concat_tables(tabs, promote_options="default")
     if n == 1:
@@ -74,16 +73,7 @@ def _shard_split_blocks(n: int, keys: list[str], by_column: bool, *blocks):
             for k in keys
         ]
         shard = (stable_hash64(*cols) % np.uint64(n)).astype(np.int32)
-    order = np.argsort(shard, kind="stable")
-    st = t.take(pa.array(order))
-    s = shard[order]
-    bounds = np.searchsorted(s, np.arange(n + 1))
-    return tuple(
-        st.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-        if bounds[i + 1] > bounds[i]
-        else None
-        for i in range(n)
-    )
+    return split_table_by_shard(t, shard, n)
 
 
 def _shard_apply(fn, *splits):
@@ -135,7 +125,10 @@ def shard_exchange(
 
     blocks = _drain_block_refs(ds)
     ncpu = int(ray.cluster_resources().get("CPU", 32))
-    n_tasks = max(1, min(len(blocks), 2 * ncpu))
+    # bound in-flight refs: split tasks × shards ≤ ~4k (the raylet
+    # degrades past ~4k small objects — BASELINE.md); at shards=256
+    # that caps split tasks at 16, not 2×NCPU
+    n_tasks = max(1, min(len(blocks), 2 * ncpu, max(1, 4096 // shards)))
     per_shard: list[list] = [[] for _ in range(shards)]
     chunks = np.array_split(np.arange(len(blocks)), n_tasks) if blocks else []
     for idx in chunks:

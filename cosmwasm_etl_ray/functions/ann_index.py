@@ -45,7 +45,7 @@ def build_ivf_index(
     from cosmwasm_etl_ray.functions.similarity import train_sample
 
     n = db.count()
-    sample_df = train_sample(db, train_cap, seed, min_rows=n_lists)
+    sample_df = train_sample(db, train_cap, seed, min_rows=n_lists, n=n)
     sample = _normalize(np.array(sample_df["embedding"].tolist()))
     centroids = _kmeans_lite(sample, n_lists, seed=seed)
     cref = ray.put(centroids)

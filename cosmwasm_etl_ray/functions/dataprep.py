@@ -179,11 +179,15 @@ class ContaminationScorer:
     C hash-table isin per batch)."""
 
     def __init__(self, eval_grams_ref, bar: float = 0.5):
-        self.eval_grams = (
+        grams = (
             ray.get(eval_grams_ref)
             if isinstance(eval_grams_ref, ray.ObjectRef)
             else eval_grams_ref
         )
+        # pd.Index caches its hash engine: the table over the eval
+        # grams builds ONCE per actor, not once per batch (Series.isin
+        # would rehash all m grams on every call)
+        self.eval_idx = pd.Index(grams)
         self.bar = bar
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -198,8 +202,9 @@ class ContaminationScorer:
                     "contaminated": pd.Series([], dtype="bool"),
                 }
             )
-        # pandas isin = C hash table; np.isin on object strings is O(n*m)
-        hit = g["gram"].isin(self.eval_grams).to_numpy()
+        # cached-Index lookup = C hash probe per gram; np.isin on
+        # object strings is an O(n*m) scan
+        hit = self.eval_idx.get_indexer(g["gram"].to_numpy()) >= 0
         agg = (
             pd.DataFrame({"doc_id": g["doc_id"], "hit": hit})
             .groupby("doc_id", sort=False)

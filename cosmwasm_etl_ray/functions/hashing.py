@@ -53,3 +53,30 @@ def stable_hash64(*cols: np.ndarray) -> np.ndarray:
 
 def assign_partition(repo: np.ndarray, path: np.ndarray, num_partitions: int) -> np.ndarray:
     return (stable_hash64(repo, path) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def split_table_by_shard(t, shard, n: int):
+    """Slice an Arrow table into n sub-tables by a precomputed shard id
+    array (single stable argsort + zero-copy slices; None for empty
+    shards). THE shared splitter for every direct raw-task exchange
+    (replay pid split, hash_join buckets, shard_exchange, price):
+    num_returns=1 delivers a task's return as ONE value, so n == 1
+    returns the bare table (or None), never a 1-tuple.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if t is None or t.num_rows == 0:
+        return None if n == 1 else tuple([None] * n)
+    if n == 1:
+        return t
+    order = np.argsort(shard, kind="stable")
+    st = t.take(pa.array(order))
+    s = shard[order]
+    bounds = np.searchsorted(s, np.arange(n + 1))
+    return tuple(
+        st.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        if bounds[i + 1] > bounds[i]
+        else None
+        for i in range(n)
+    )

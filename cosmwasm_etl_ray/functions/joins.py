@@ -177,28 +177,24 @@ def _as_table(b):
     return b
 
 
-def _hj_split_blocks(B: int, on: list[str], *blocks):
-    """Raw task: concat a run of one side's blocks, bucket by the
-    canonical key hash, split (num_returns=B; None for empty)."""
+def _hj_split_blocks(B: int, on: list[str], names: list[str] | None, *blocks):
+    """Raw task: concat a run of one side's blocks, project to the
+    side's declared columns (the same projection the Dataset shape
+    applies per bucket), bucket by the canonical key hash, split
+    (num_returns=B; None for empty)."""
+    from cosmwasm_etl_ray.functions.hashing import split_table_by_shard
+
     tabs = [t for t in (_as_table(b) for b in blocks if b is not None) if t.num_rows]
     if not tabs:
-        # num_returns=1 delivers the return as ONE value, not a 1-tuple
         return None if B == 1 else tuple([None] * B)
     t = pa.concat_tables(tabs, promote_options="default")
+    if names:
+        t = t.select([c for c in names if c in t.column_names])
     if B == 1:
         return t
     cols = [_canon_key_str(t[c]) for c in on]
     bucket = (stable_hash64(*cols) % np.uint64(B)).astype(np.int32)
-    order = np.argsort(bucket, kind="stable")
-    st = t.take(pa.array(order))
-    s = bucket[order]
-    bounds = np.searchsorted(s, np.arange(B + 1))
-    return tuple(
-        st.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-        if bounds[i + 1] > bounds[i]
-        else None
-        for i in range(B)
-    )
+    return split_table_by_shard(t, bucket, B)
 
 
 def _hj_join_bucket(
@@ -243,10 +239,15 @@ def _drain_block_refs(ds: "ray.data.Dataset") -> list:
 def _hash_join_direct(
     left, right, on, B, how, suffixes, right_fold, left_fold, left_cols, right_cols
 ):
+    # project each side to its declared columns inside the split tasks
+    # (the Dataset shape projects per bucket) so both exchanges emit
+    # the same output schema
+    left_names = list(left_cols) if left_cols is not None else None
     right_names = list(right_cols) if right_cols is not None else None
-    if right_names is None:
+    pad_names = right_names
+    if pad_names is None:
         # only the left-join empty-bucket padding needs right names
-        right_names = _side_spec(right, right_cols)[0] if how == "left" else []
+        pad_names = _side_spec(right, right_cols)[0] if how == "left" else []
 
     split = _HJ_REMOTES.get(("split", B))
     if split is None:
@@ -257,19 +258,32 @@ def _hash_join_direct(
         joinb = ray.remote(num_returns=2)(_hj_join_bucket)
         _HJ_REMOTES["join"] = joinb
 
+    # drain BOTH upstream pipelines concurrently (each side executes
+    # on its own thread; serial drains would make the join's wall time
+    # the SUM of two independent scans)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cosmwasm_etl_ray.compat import ensure_thread_safe_lazy_imports
+
+    ensure_thread_safe_lazy_imports()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lblocks_f = pool.submit(_drain_block_refs, left)
+        rblocks_f = pool.submit(_drain_block_refs, right)
+        side_blocks = [lblocks_f.result(), rblocks_f.result()]
+
     ncpu = int(ray.cluster_resources().get("CPU", 32))
     per_bucket: list[list] = [[] for _ in range(B)]
-    for side_idx, ds in enumerate((left, right)):
-        blocks = _drain_block_refs(ds)
-        # group block refs into <= 2*NCPU split tasks (in-flight refs
-        # per side are tasks x B — the raylet degrades past ~4k small
-        # objects, same bound as the replay's direct exchange)
-        n_tasks = max(1, min(len(blocks), 2 * ncpu))
+    for side_idx, blocks in enumerate(side_blocks):
+        # bound in-flight refs: split tasks × B ≤ ~4k per side (the
+        # raylet degrades past ~4k small objects, same bound as the
+        # replay's direct exchange)
+        n_tasks = max(1, min(len(blocks), 2 * ncpu, max(1, 4096 // B)))
+        names = left_names if side_idx == 0 else right_names
         chunks = np.array_split(np.arange(len(blocks)), n_tasks) if blocks else []
         for idx in chunks:
             if not len(idx):
                 continue
-            refs = split.remote(B, on, *[blocks[i] for i in idx])
+            refs = split.remote(B, on, names, *[blocks[i] for i in idx])
             if B == 1:
                 refs = [refs]
             for b, r in enumerate(refs):
@@ -280,8 +294,12 @@ def _hash_join_direct(
         entries = per_bucket[b]
         lrefs = [r for s, r in entries if s == 0]
         rrefs = [r for s, r in entries if s == 1]
+        if not lrefs:  # no left rows can ever reach this bucket
+            continue
+        if how == "inner" and not rrefs:
+            continue
         nref, tref = joinb.remote(
-            len(lrefs), on, how, suffixes, right_names,
+            len(lrefs), on, how, suffixes, pad_names,
             left_fold, right_fold, *lrefs, *rrefs,
         )
         count_refs.append(nref)

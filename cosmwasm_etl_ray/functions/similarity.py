@@ -30,7 +30,7 @@ def _embedding_matrix(batch: pd.DataFrame) -> np.ndarray:
 
 
 def train_sample(
-    db: "ray.data.Dataset", cap: int, seed: int, min_rows: int = 1
+    db: "ray.data.Dataset", cap: int, seed: int, min_rows: int = 1, n: int | None = None
 ) -> pd.DataFrame:
     """Bounded DETERMINISTIC training sample: keep rows whose
     seed-salted multiplicative hash of vec_id falls below cap/n — a
@@ -39,12 +39,21 @@ def train_sample(
     draws per task: the same seed returned different sets when the box
     was under contention, which once flipped IVF centroids between a
     persistent-index build and its in-memory twin mid-test.) Runs
-    distributed; only the ≤cap sample lands on the driver."""
+    distributed; only the ≤cap sample lands on the driver.
+
+    The returned frame is SORTED by vec_id: k-means seeds centroids by
+    row POSITION (`X[rng.choice(len(X))]`), so the sample's order must
+    be as layout-independent as its membership — `to_pandas()` row
+    order follows block arrival, which varies run to run."""
     import pyarrow as pa
 
-    n = db.count()
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("vec_id", kind="stable").reset_index(drop=True)
+
+    if n is None:  # caller may pass a known count to skip re-executing db
+        n = db.count()
     if n <= max(cap, min_rows):
-        return db.to_pandas()
+        return canon(db.to_pandas())
     thresh = np.uint64(int((1 << 32) * min(1.0, cap / n)))
     mult = np.uint64(2654435761 + 2 * seed)  # stays odd: bijective mod 2^64
 
@@ -56,7 +65,7 @@ def train_sample(
     out = db.map_batches(keep, batch_format="pyarrow").to_pandas()
     if len(out) < min_rows:  # tiny-corpus fallback
         out = db.limit(max(min_rows, 1)).to_pandas()
-    return out
+    return canon(out)
 
 
 def brute_force_topk(

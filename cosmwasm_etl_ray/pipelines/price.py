@@ -486,12 +486,18 @@ class PriceTask:
         outdir = self._out(epoch)
         tmpdir = parts_dir or f"{outdir}.tmp.{os.getpid()}"
         # a crashed PRIOR run leaves an orphan tmp dir under its old
-        # pid — sweep any stale tmp for this epoch before writing
+        # pid — sweep stale tmps for this epoch, but ONLY those whose
+        # writer is dead (deleting a LIVE pid's tmp would break the
+        # concurrent-writer safety the pid suffix exists for)
         import glob as _glob
 
         for stale in _glob.glob(f"{outdir}.tmp.*"):
-            if stale != tmpdir:
-                shutil.rmtree(stale, ignore_errors=True)
+            if stale == tmpdir:
+                continue
+            owner = stale.rsplit(".", 1)[-1]
+            if owner.isdigit() and os.path.exists(f"/proc/{owner}"):
+                continue  # writer still alive — leave its tmp alone
+            shutil.rmtree(stale, ignore_errors=True)
         if parts_dir is None:
             shutil.rmtree(tmpdir, ignore_errors=True)
             if out is not None:

@@ -52,24 +52,7 @@ _REMOTE_CACHE: dict = {}
 PRICE_REPO_SHARDS = 32  # matches the Dataset path's sharded_map_groups
 
 
-def _split_table_by_shard(t: pa.Table, shard: np.ndarray, n: int):
-    """Slice a table into n sub-tables by a precomputed shard id
-    (single argsort + zero-copy slices; None for empty shards)."""
-    if t.num_rows == 0:
-        # num_returns=1 delivers the return as ONE value, not a 1-tuple
-        return None if n == 1 else tuple([None] * n)
-    if n == 1:
-        return t
-    order = np.argsort(shard, kind="stable")
-    st = t.take(pa.array(order))
-    s = shard[order]
-    bounds = np.searchsorted(s, np.arange(n + 1))
-    return tuple(
-        st.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-        if bounds[i + 1] > bounds[i]
-        else None
-        for i in range(n)
-    )
+from cosmwasm_etl_ray.functions.hashing import split_table_by_shard as _split_table_by_shard
 
 
 def _repo_shard(repo: np.ndarray, n: int) -> np.ndarray:
@@ -119,8 +102,12 @@ def _price_join_pid(S: int, state_file: str | None, *event_splits):
     prev = ev.groupby(["repo", "path"], sort=False)["new_len"].shift(1)
     prev = prev.fillna(ev["state_len"].fillna(0)).astype("int64")
     ev["delta"] = ev["new_len"] - prev
+    # path rides along so the cumsum shard can break intra-(repo,
+    # commit) ties in PATH order — the same tie order the Dataset
+    # shape's (repo, path, commit)-then-(repo, commit)-stable sorts
+    # produce (pid-concat order would differ on multi-path commits)
     out = pa.Table.from_pandas(
-        ev[["repo", "commit", "delta"]], preserve_index=False
+        ev[["repo", "path", "commit", "delta"]], preserve_index=False
     )
     return _split_table_by_shard(
         out, _repo_shard(ev["repo"].to_numpy(), S), S
@@ -150,12 +137,17 @@ def _price_cumsum_shard(carry_chars: dict, *delta_splits):
     delta = t["delta"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
     rc, runiq = pd.factorize(repo, sort=True)
+    pk = pd.factorize(
+        t["path"].to_numpy(zero_copy_only=False), sort=True
+    )[0]
     lens = pc.utf8_length(t["commit"]).to_numpy()
     if n == 0 or lens.min() == lens.max():
         ck = pc.cast(t["commit"], pa.int64()).to_numpy(zero_copy_only=False)
     else:
         ck = commit  # object keys: Python compares, correct but slow
-    order = np.lexsort((ck, rc))
+    # ties within (repo, commit) break by path — matching the Dataset
+    # shape's stable re-sort over (repo, path, commit)-ordered rows
+    order = np.lexsort((pk, ck, rc))
 
     rcs = rc[order]
     cum = np.cumsum(delta[order])
@@ -239,6 +231,16 @@ def process_epoch_direct(task, epoch: int, manifest: dict) -> None:
 
     S = PRICE_REPO_SHARDS
     P = task.cfg.num_partitions
+    # the per-pid join reads state partition file p DIRECTLY, which is
+    # only correct when events split by the SAME modulus the store was
+    # built with — refuse a mismatch exactly like the replay does
+    committed_p = manifest.get("num_partitions")
+    if committed_p is not None and committed_p != P:
+        raise ValueError(
+            f"store was built with num_partitions={committed_p}; "
+            f"config asks for {P} — the direct price exchange would "
+            f"join against the wrong state partitions, refusing"
+        )
 
     carry: dict = {"repo_chars": {}, "base_curve": [], "edges_key": None}
     if epoch > 0 and os.path.exists(task._carry_path(epoch - 1)):

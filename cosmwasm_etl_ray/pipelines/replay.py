@@ -46,21 +46,12 @@ def _split_block_by_pid(t: "pa.Table", num_partitions: int):
     one sub-table per pid (single argsort + zero-copy take + slices).
     Returns a ``num_returns=P`` tuple; empty pids return None so the
     object store holds a tiny marker, not an empty table."""
-    import numpy as np
+    from cosmwasm_etl_ray.functions.hashing import split_table_by_shard
 
-    P = num_partitions
-    if t.num_rows == 0:
-        return tuple([None] * P)
-    pid = t["pid"].to_numpy(zero_copy_only=False)
-    order = np.argsort(pid, kind="stable")
-    st = t.take(pa.array(order))
-    spid = pid[order]
-    bounds = np.searchsorted(spid, np.arange(P + 1))
-    out = []
-    for p in range(P):
-        lo, hi = int(bounds[p]), int(bounds[p + 1])
-        out.append(st.slice(lo, hi - lo) if hi > lo else None)
-    return tuple(out)
+    pid = (
+        t["pid"].to_numpy(zero_copy_only=False) if t.num_rows else None
+    )
+    return split_table_by_shard(t, pid, num_partitions)
 
 
 def _merge_pid_parts(merge: MergeWithState, *parts):
