@@ -219,6 +219,37 @@ def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def dedup_minhash_indexed(sf_dir: str) -> pd.DataFrame:
+    """Recall contract over the PERSISTENT MinHash band-bucket index
+    (functions/sketch_index.py): candidates come from the persisted
+    hive-partitioned buckets (same permutations, seed 7), the exact
+    Jaccard verify is the same distributed two-join pass — the
+    sketch-once/dedup-many serving shape under the gate, like
+    ann_*_indexed for the ANN family."""
+    import tempfile
+
+    from cosmwasm_etl_ray.functions.dedup import verify_pairs_jaccard
+    from cosmwasm_etl_ray.functions.sketch_index import (
+        build_minhash_index,
+        index_candidate_pairs,
+    )
+
+    key = (sf_dir, "minhash")
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="cwel_minhash_idx_")
+        build_minhash_index(augmented_docs(sf_dir), d)
+        _INDEX_CACHE[key] = d
+    cands = index_candidate_pairs(_INDEX_CACHE[key])
+    p = verify_pairs_jaccard(
+        cands, augmented_docs(sf_dir), threshold=0.5
+    ).to_pandas()
+    found = set(zip(p["doc_a"], p["doc_b"]))
+    return _banded_recall(
+        sf_dir,
+        lambda t: [(a, b) in found for a, b in zip(t["doc_a"], t["doc_b"])],
+    )
+
+
 def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     """SimHash recall contract per true-jaccard band (see above)."""
     p = simhash_pairs(sf_dir).to_pandas()
@@ -460,6 +491,7 @@ QUERIES = {
     "lang_id": lang_id,
     "text_features": text_features,
     "dedup_minhash": dedup_minhash,
+    "dedup_minhash_indexed": dedup_minhash_indexed,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
@@ -657,5 +689,6 @@ GROUP BY 1
 """
 
 ORACLE_SQL["dedup_minhash"] = _BANDED_RECALL_SQL
+ORACLE_SQL["dedup_minhash_indexed"] = _BANDED_RECALL_SQL
 ORACLE_SQL["dedup_simhash"] = _BANDED_RECALL_SQL
 ORACLE_SQL["dedup_clusters"] = _BANDED_RECALL_SQL
