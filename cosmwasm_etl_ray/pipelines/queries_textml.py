@@ -250,6 +250,46 @@ def dedup_minhash_indexed(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def dedup_increment_probe(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL dedup — the recurring-ingest money path: the base
+    corpus is indexed once; only the increment (the perturbed +10^6
+    copies) is sketched; the bucket read is path-pruned to the
+    increment's band hashes; candidates verify with the same exact
+    Jaccard. The planted pairs are exactly the increment-vs-corpus
+    near-dups, so the recall contract matches dedup_minhash's bands."""
+    import tempfile
+
+    from cosmwasm_etl_ray.functions.dedup import verify_pairs_jaccard
+    from cosmwasm_etl_ray.functions.sketch_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    key = (sf_dir, "minhash_base")
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="cwel_minhash_base_idx_")
+        build_minhash_index(_docs(sf_dir), d)
+        _INDEX_CACHE[key] = d
+
+    increment = augmented_docs(sf_dir).filter(expr="doc_id >= 1000000")
+    cands = probe_minhash_index(_INDEX_CACHE[key], increment)
+
+    def as_pair(df: pd.DataFrame) -> pd.DataFrame:
+        # canonical orientation: indexed (base) id is doc_a, new is doc_b
+        return pd.DataFrame({"doc_a": df["doc_indexed"], "doc_b": df["doc_new"]})
+
+    p = verify_pairs_jaccard(
+        cands.map_batches(as_pair, batch_format="pandas"),
+        augmented_docs(sf_dir),
+        threshold=0.5,
+    ).to_pandas()
+    found = set(zip(p["doc_a"], p["doc_b"]))
+    return _banded_recall(
+        sf_dir,
+        lambda t: [(a, b) in found for a, b in zip(t["doc_a"], t["doc_b"])],
+    )
+
+
 def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     """SimHash recall contract per true-jaccard band (see above)."""
     p = simhash_pairs(sf_dir).to_pandas()
@@ -492,6 +532,7 @@ QUERIES = {
     "text_features": text_features,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_indexed": dedup_minhash_indexed,
+    "dedup_increment_probe": dedup_increment_probe,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
@@ -690,5 +731,6 @@ GROUP BY 1
 
 ORACLE_SQL["dedup_minhash"] = _BANDED_RECALL_SQL
 ORACLE_SQL["dedup_minhash_indexed"] = _BANDED_RECALL_SQL
+ORACLE_SQL["dedup_increment_probe"] = _BANDED_RECALL_SQL
 ORACLE_SQL["dedup_simhash"] = _BANDED_RECALL_SQL
 ORACLE_SQL["dedup_clusters"] = _BANDED_RECALL_SQL
