@@ -52,6 +52,11 @@ def _k_of(d: np.ndarray) -> np.ndarray:
 
 def expand_documents_batch(batch: pa.Table) -> pa.Table:
     """documents batch → change-event rows (vectorized numpy expansion)."""
+    if batch.num_rows == 0:  # empty block: emit the schema, not ends[-1]
+        empty = pa.array([], type=pa.string())
+        return pa.table(
+            {c: empty for c in ("repo", "path", "commit", "lang", "content", "op")}
+        )
     d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     text = np.asarray(batch["text"].to_pylist(), dtype=object)
     lang = np.asarray(batch["lang"].to_pylist(), dtype=object)

@@ -56,6 +56,7 @@ def tail_changes(
     errors = 0
     ticks = 0
     applied_epochs = 0
+    derived_pending = False
     validations = 0
     validation_mismatches = 0
     validation_exceptions = 0
@@ -66,12 +67,23 @@ def tail_changes(
             if until_files is not None:
                 files = files[:until_files]
             manifests = replay_files(files, store, cfg)
-            if run_derived and manifests:
+            # count + schedule IMMEDIATELY after the commits land: if a
+            # later step in this tick raises transiently, the next
+            # tick's replay_files returns [] for the already-committed
+            # epochs — derived work and the epoch count must not be
+            # lost with it
+            applied_epochs += len(manifests)
+            if manifests:
+                derived_pending = True
+            if run_derived and derived_pending:
                 run_all_tasks(store, cfg)
+                derived_pending = False
             latest = store.latest_epoch()
+            # gated by the epoch INTERVAL, not this tick's manifests —
+            # a validation skipped by a transient error re-arms on the
+            # next tick (validated_through only advances on success)
             if (
                 run_validation
-                and manifests
                 and cfg.validation_interval_epochs
                 and latest is not None
                 and (latest + 1) // cfg.validation_interval_epochs
@@ -100,7 +112,6 @@ def tail_changes(
             continue
 
         ticks += 1
-        applied_epochs += len(manifests)
         caught_up = until_files is not None and len(files) >= until_files
         if manifests:
             idle = 0

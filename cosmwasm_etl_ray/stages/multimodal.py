@@ -113,6 +113,13 @@ class FrameSampler:
         self.stride = stride
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty block: emit the schema, not ends[-1]
+            return pa.table(
+                {
+                    "media_id": pa.array([], type=pa.int64()),
+                    "frame_index": pa.array([], type=pa.int32()),
+                }
+            )
         ids = t["media_id"].to_numpy(zero_copy_only=False)
         nf = t["n_frames"].to_numpy(zero_copy_only=False)
         counts = (nf + self.stride - 1) // self.stride

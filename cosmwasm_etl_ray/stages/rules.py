@@ -101,7 +101,11 @@ class Rule:
             m = fn(batch)
             out = m if out is None else pc.and_(out, m)
         if out is None:  # no items: matches everything
-            out = pa.chunked_array([pa.array([True] * batch.num_rows)])
+            # explicit bool type: pa.array([]) infers NULL type and
+            # pc.invert/and_ have no null kernel (0-row batches crash)
+            out = pa.chunked_array(
+                [pa.array([True] * batch.num_rows, type=pa.bool_())]
+            )
         return out
 
 
@@ -126,7 +130,8 @@ class RuleSet:
 
     def classify(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        assigned = pa.chunked_array([pa.array([False] * n)])
+        # explicit bool type — see mask(): 0 rows would infer null
+        assigned = pa.chunked_array([pa.array([False] * n, type=pa.bool_())])
         rule_type = pa.chunked_array([pa.array([""] * n, type=pa.string())])
         for rule in self.rules:
             m = pc.and_(rule.mask(batch), pc.invert(assigned))

@@ -71,6 +71,10 @@ def salted_final_state(
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             if df.empty:
+                # match the non-empty branch's schema exactly (it drops
+                # 'valid') — mixed block schemas make downstream group
+                # columns layout-dependent
+                df = df.drop(columns=[c for c in ("valid",) if c in df.columns])
                 df["salt"] = pd.Series(dtype="int32")
                 return df
             df = df[df["valid"]].drop(columns=["valid"])

@@ -49,9 +49,12 @@ def independent_state(files: list[str], cfg: EngineConfig) -> "ray.data.Dataset"
     )
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [c for c in g.columns if c not in ("valid", "pid", "op")]
         g = g[g["valid"]]
         if g.empty:
-            return pd.DataFrame()
+            # keep the non-empty branch's exact column set — a
+            # zero-column frame makes block schemas layout-dependent
+            return g[out_cols]
         idx = g.groupby(["repo", "path"], sort=False)["commit"].idxmax()
         last = g.loc[idx]
         last = last[last["op"] != "delete"]

@@ -33,7 +33,15 @@ class VersionedNormalizer:
         parts = []
         for i, (lo, fn) in enumerate(self.versions):
             hi = self.versions[i + 1][0] if i + 1 < len(self.versions) else None
-            mask = pc.greater_equal(commit, pa.scalar(lo))
+            if i == 0:
+                # the first era implicitly starts at '' (class contract):
+                # no lower bound, or rows below versions[0].from_commit
+                # would match NO era and silently vanish
+                mask = pa.chunked_array(
+                    [pa.array([True] * t.num_rows, type=pa.bool_())]
+                )
+            else:
+                mask = pc.greater_equal(commit, pa.scalar(lo))
             if hi is not None:
                 mask = pc.and_(mask, pc.less(commit, pa.scalar(hi)))
             sl = t.filter(mask)

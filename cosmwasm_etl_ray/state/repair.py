@@ -50,7 +50,18 @@ def diff_state_vs_snapshot(
     from cosmwasm_etl_ray.functions.joins import _null_series, _side_spec
 
     snap_names, snap_types = _side_spec(snapshot, None)
-    state_names, state_types = _side_spec(state, None)
+    # the state spec comes from ONE partition file's parquet footer —
+    # ds.schema() on the lazy read_state pipeline would execute part of
+    # it (CLAUDE.md), only to be re-executed by the union below
+    import pyarrow.parquet as _pq
+
+    from cosmwasm_etl_ray.stages.merge import OP_COL
+
+    f0 = next(iter(store.partition_files().values()))
+    empty_state = _pq.read_schema(f0).empty_table().to_pandas()
+    drop_cols = (OP_COL, "pid", "key64")
+    state_names = [c for c in empty_state.columns if c not in drop_cols]
+    state_types = {c: empty_state.dtypes[c] for c in state_names}
     all_cols = list(dict.fromkeys(list(snap_names) + list(state_names)))
     all_types = {**state_types, **snap_types}
 
@@ -118,15 +129,41 @@ def diff_and_repair(
     if diff.empty:
         return counts
 
-    # one repair commit above everything live on either side — the
-    # checkpoint-height analogue; LWW makes the repair rows win
-    partial_max = read_state(store).map_batches(
-        lambda df: pd.DataFrame({"m": [df["commit"].max()]} if len(df) else {"m": []}),
-        batch_format="pandas",
-    ).to_pandas()
-    max_state = str(partial_max["m"].max()) if len(partial_max) else "0"
-    max_snap = str(diff.get("commit", pd.Series(["0"])).fillna("0").max())
-    repair_commit = str(int(max(max_state, max_snap)) + 1).zfill(COMMIT_WIDTH)
+    # one repair commit above everything on either side — the
+    # checkpoint-height analogue; LWW makes the repair rows win. The
+    # max must include TOMBSTONES (read_state drops them, but a
+    # tombstone's commit still participates in the LWW fold — a repair
+    # insert stamped below a live tombstone would lose and the store
+    # would never reconverge), so scan the raw partition files pruned
+    # to the commit column; compare NUMERICALLY, never lexicographic
+    # (a caller-supplied snapshot may carry unpadded commits).
+    files = list(store.partition_files().values())
+    raw_max = (
+        ray.data.read_parquet(files, columns=["commit"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"m": [pd.to_numeric(df["commit"], errors="coerce").max()]}
+                if len(df)
+                else {"m": []}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    max_state = (
+        int(raw_max["m"].max()) if len(raw_max) and raw_max["m"].notna().any() else 0
+    )
+    snap_commits = pd.to_numeric(
+        diff.get("commit", pd.Series(dtype="object")), errors="coerce"
+    )
+    max_snap = int(snap_commits.max()) if snap_commits.notna().any() else 0
+    next_commit = max(max_state, max_snap) + 1
+    if len(str(next_commit)) > COMMIT_WIDTH:
+        # a wider commit would break lexicographic==numeric ordering
+        raise ValueError(
+            f"repair commit {next_commit} exceeds COMMIT_WIDTH={COMMIT_WIDTH}"
+        )
+    repair_commit = str(next_commit).zfill(COMMIT_WIDTH)
 
     events = diff.rename(columns={"repair_op": "op"}).copy()
     events["commit"] = repair_commit

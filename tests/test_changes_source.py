@@ -38,3 +38,22 @@ def test_expansion_properties(sf_dir):
     # hot keys exist (salting/combiner test fodder)
     per_key = df.groupby(["repo", "path"]).size()
     assert per_key.max() >= 46
+
+
+def test_expand_documents_empty_batch():
+    """A 0-row documents block expands to a 0-row change table with the
+    full schema (the vectorized expansion indexes ends[-1])."""
+    import pyarrow as pa
+
+    from cosmwasm_etl_ray.sources.changes import expand_documents_batch
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+        }
+    )
+    out = expand_documents_batch(empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["repo", "path", "commit", "lang", "content", "op"]

@@ -81,3 +81,21 @@ def test_fake_resizer_nearest_neighbor():
     assert out["resized"][2].as_py() == b""
     assert out["resized_len"].to_pylist() == [4, 4, 0]
     assert out["resized_sha256"][0].as_py() == hashlib.sha256(b"aceg").hexdigest()
+
+
+def test_frame_sampler_empty_batch():
+    """An empty media block (e.g. a kind-filter leaving nothing) must
+    emit the (media_id, frame_index) schema, not crash on ends[-1]."""
+    import pyarrow as pa
+
+    from cosmwasm_etl_ray.stages.multimodal import FrameSampler
+
+    empty = pa.table(
+        {
+            "media_id": pa.array([], type=pa.int64()),
+            "n_frames": pa.array([], type=pa.int64()),
+        }
+    )
+    out = FrameSampler()(empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["media_id", "frame_index"]

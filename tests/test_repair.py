@@ -96,3 +96,61 @@ def test_corruption_classified_and_repaired(replayed):
         __import__("ray").data.from_pandas(snapshot.reset_index(drop=True)),
     )
     assert again.empty
+
+
+def test_repair_wins_over_live_tombstone(replayed):
+    """The repair commit must exceed TOMBSTONE commits too: read_state
+    drops tombstones, but a tombstone still participates in the LWW
+    fold — a repair insert stamped below it would lose and the store
+    would never reconverge."""
+    import numpy as np
+    import ray
+
+    from cosmwasm_etl_ray.pipelines.replay import apply_epoch
+    from cosmwasm_etl_ray.sources.changes import COMMIT_WIDTH
+
+    log, store = replayed
+    snapshot = read_state(store).to_pandas()  # trusted checkpoint
+
+    # raw max commit over the partition files (tombstones included)
+    raw_max = max(
+        pq.read_table(p, columns=["commit"])["commit"].to_pandas().max()
+        for p in store.partition_files().values()
+    )
+    # delete one live key at a commit ABOVE everything
+    victim = snapshot.iloc[0]
+    tomb_commit = str(int(raw_max) + 1).zfill(COMMIT_WIDTH)
+    del_ev = pd.DataFrame(
+        {
+            "repo": [victim["repo"]],
+            "path": [victim["path"]],
+            "commit": [tomb_commit],
+            "lang": [""],
+            "content": [""],
+            "op": ["delete"],
+        }
+    )
+    apply_epoch(
+        ray.data.from_pandas(del_ev),
+        store,
+        (store.latest_epoch() or 0) + 1,
+        CFG,
+        offset_range=("tomb", "tomb"),
+        input_rows=1,
+    )
+    gone = read_state(store).to_pandas()
+    assert (
+        len(gone.merge(victim.to_frame().T[["repo", "path"]], on=["repo", "path"]))
+        == 0
+    )
+
+    res = diff_and_repair(store, snapshot, CFG)
+    assert res["n_insert"] == 1
+
+    after = read_state(store).to_pandas()
+    back = after.merge(
+        victim.to_frame().T[["repo", "path"]], on=["repo", "path"]
+    )
+    assert len(back) == 1 and back["content"].iloc[0] == victim["content"]
+    # and the repair row's commit really is above the tombstone
+    assert back["commit"].iloc[0] > tomb_commit

@@ -154,3 +154,16 @@ def test_versioned_rulesets_compose():
     out = vn(batch).to_pandas().sort_values("commit")
     assert out["op"].tolist() == ["update", "update", "delete", "delete"]
     assert out["valid"].all()
+
+
+def test_classify_empty_batch():
+    """0-row batches must classify cleanly: pa.array([]) without an
+    explicit type infers NULL and pc.invert/and_ have no null kernel."""
+    empty = _tricky_batch().slice(0, 0)
+    out = default_cdc_rules().classify(empty)
+    assert out.num_rows == 0
+    assert "valid" in out.column_names and "rule_type" in out.column_names
+    # item-less rules (match-everything mask) on the empty batch too
+    rs = RuleSet([Rule("all", {})])
+    out2 = rs.classify(empty)
+    assert out2.num_rows == 0 and out2["valid"].type == pa.bool_()

@@ -164,3 +164,43 @@ def test_tail_runs_periodic_validation(tmp_path):
     assert summary["validations"] >= 1
     assert summary["validation_mismatches"] == 0
     assert glob.glob(os.path.join(store.root, "snapshots", "*.parquet"))
+
+
+def test_tail_derived_and_count_survive_transient_error(tmp_path):
+    """A transient failure AFTER replay_files commits its epochs must
+    not lose those epochs' derived tick or their applied count: the
+    next tick re-runs the pending derived work even though replay_files
+    returns [] for the already-committed epochs."""
+    import cosmwasm_etl_ray.sources.tail as tailmod
+
+    log = generate_change_stream(
+        str(tmp_path / "log"),
+        GeneratorConfig(seed=41, n_keys=200, n_events=20_000, events_per_file=5_000,
+                        malformed_frac=0.0, evolve_at_frac=None),
+    )
+    store = StateStore(str(tmp_path / "store"))
+
+    class Boom(Exception):
+        pass
+
+    orig = tailmod.run_all_tasks
+    calls = {"n": 0}
+
+    def flaky_derived(store, cfg):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Boom("transient")
+        return orig(store, cfg)
+
+    tailmod.run_all_tasks = flaky_derived
+    try:
+        summary = tail_changes(
+            str(tmp_path / "log"), store, CFG,
+            max_idle_polls=2, err_tolerance=2, sleep=lambda _: None,
+        )
+    finally:
+        tailmod.run_all_tasks = orig
+
+    assert calls["n"] >= 2  # the failed tick re-armed, then succeeded
+    assert summary["applied_epochs"] == 2  # counted at commit, not after derived
+    assert WindowStatsTask(store, CFG).cursor() == store.latest_epoch()

@@ -193,3 +193,35 @@ def test_validation_exception_flow_auto_excepts(tmp_path):
     assert bad2.empty and n_new2 == 0
     # idempotent: the table still holds exactly the one key
     assert load_exceptions(store) == {key}
+
+
+def test_versioned_first_era_implicit_lower_bound():
+    """The first era starts at '' by contract even when its declared
+    from_commit is higher — rows below it must flow through era 1, not
+    silently vanish (no era's mask would match them otherwise)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cosmwasm_etl_ray.stages.versioned import VersionedNormalizer
+
+    def lower(t):
+        return t.set_column(
+            t.schema.get_field_index("lang"), "lang", pc.utf8_lower(t["lang"])
+        )
+
+    def upper(t):
+        return t.set_column(
+            t.schema.get_field_index("lang"), "lang", pc.utf8_upper(t["lang"])
+        )
+
+    # first era DECLARED at 5 — rows 1..4 still belong to it
+    vn = VersionedNormalizer([("0000000005", lower), ("0000000007", upper)])
+    t = pa.table(
+        {
+            "commit": pa.array([f"{i:010d}" for i in range(1, 9)]),
+            "lang": pa.array(["Go"] * 8),
+        }
+    )
+    out = vn(t).to_pandas().sort_values("commit")
+    assert len(out) == 8  # nothing dropped
+    assert out["lang"].tolist() == ["go"] * 6 + ["GO"] * 2
