@@ -30,7 +30,11 @@ import os
 import sys
 
 
+_RAY_OWNED = False  # did the CLI start this session, or join one?
+
+
 def _init_ray():
+    global _RAY_OWNED
     import ray
 
     if not ray.is_initialized():
@@ -40,9 +44,22 @@ def _init_ray():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        _RAY_OWNED = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+
+def _shutdown_ray():
+    """Tear down ONLY a session this CLI started — a host process that
+    already held Ray (ray job submit, an embedding caller) keeps its
+    session (the 'driver owns the session' rule, applied symmetrically)."""
+    global _RAY_OWNED
+    if _RAY_OWNED:
+        import ray
+
+        ray.shutdown()
+        _RAY_OWNED = False
 
 
 def main(argv=None) -> int:
@@ -135,7 +152,7 @@ def main(argv=None) -> int:
                 "live_keys": int(live),
             }))
         finally:
-            ray.shutdown()
+            _shutdown_ray()
         return 0
 
     store = StateStore(args.store)
@@ -165,7 +182,7 @@ def main(argv=None) -> int:
             )
             print(json.dumps(res))
         finally:
-            ray.shutdown()
+            _shutdown_ray()
         return 0
 
     if args.cmd == "quarantine":
@@ -190,7 +207,7 @@ def main(argv=None) -> int:
                  "counts": m["counts"] if m else None}
             ))
         finally:
-            ray.shutdown()
+            _shutdown_ray()
         return 0
 
     if args.cmd == "bootstrap":
@@ -208,7 +225,7 @@ def main(argv=None) -> int:
             )
             print(json.dumps({"epoch": m["epoch"], "counts": m["counts"]}))
         finally:
-            ray.shutdown()
+            _shutdown_ray()
         return 0
 
     if args.cmd == "transfer-parse":
@@ -230,7 +247,7 @@ def main(argv=None) -> int:
                 "rows": int(pipe.ledger().count()),
             }))
         finally:
-            ray.shutdown()
+            _shutdown_ray()
         return 0
 
     if args.cmd == "export":
@@ -244,7 +261,7 @@ def main(argv=None) -> int:
             n = len(glob.glob(os.path.join(args.out, "*.parquet")))
             print(json.dumps({"out": args.out, "files": n}))
         finally:
-            ray.shutdown()
+            _shutdown_ray()
         return 0
 
     cfg = EngineConfig(
@@ -277,7 +294,7 @@ def main(argv=None) -> int:
             print(json.dumps({"mismatches": len(bad)}))
             return 1 if len(bad) else 0
     finally:
-        ray.shutdown()
+        _shutdown_ray()
     return 0
 
 

@@ -44,6 +44,10 @@ def build_ivf_index(
     """Index a (vec_id, embedding) dataset. Returns the sidecar meta."""
     from cosmwasm_etl_ray.functions.similarity import train_sample
 
+    # the build consumes db three times (count, train sample, assign +
+    # write); a lazy upstream would re-execute per pass — materialize
+    # once (blocks spill to the object store's disk at scale)
+    db = db.materialize()
     n = db.count()
     sample_df = train_sample(db, train_cap, seed, min_rows=n_lists, n=n)
     sample = _normalize(np.array(sample_df["embedding"].tolist()))
@@ -79,6 +83,21 @@ def build_ivf_index(
     return meta
 
 
+def _empty_topk() -> "ray.data.Dataset":
+    """Zero-neighbor result with the (query_id, neighbor_id, rank)
+    schema — read_parquet([]) raises, so empty probe sets short-circuit
+    here (probe_minhash_index guards the same way)."""
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+    )
+
+
 def query_ivf_index(
     index_dir: str,
     queries_df: pd.DataFrame,
@@ -108,6 +127,8 @@ def query_ivf_index(
             _glob.glob(os.path.join(index_dir, f"list_id={l}", "*.parquet"))
         )
     ]
+    if not probe_files:  # every probed list empty: zero neighbors,
+        return _empty_topk()  # like the in-memory twin — not a crash
     lists = ray.data.read_parquet(probe_files)
     ref = ray.put((qids, Q, qprobe))
 
@@ -168,6 +189,9 @@ def build_lsh_index(
         new dir + pointer swap, like the state manifests)
     """
     rng = np.random.default_rng(seed)
+    # three consumers below (dim probe, bucket write, vector write) —
+    # materialize once instead of re-executing a lazy upstream per pass
+    db = db.materialize()
     # peek one row for the dimension (cheap; schema-only would not
     # carry the list length)
     dim = len(db.limit(1).to_pandas()["embedding"].iloc[0])
@@ -251,6 +275,8 @@ def query_lsh_index(
             _glob.glob(os.path.join(index_dir, "buckets", f"tb={tb}", "*.parquet"))
         )
     ]
+    if not probe_files:  # no corpus vector shares any query bucket
+        return _empty_topk()
     mref = ray.put(tb_to_q)
 
     class Expand:

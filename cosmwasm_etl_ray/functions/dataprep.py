@@ -270,10 +270,13 @@ class PiiScanner:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         text = df["text"]
-        n_emails = text.str.count(EMAIL_RE).astype("int64")
-        n_phones = text.str.count(PHONE_RE).astype("int64")
-        clean = text.str.replace(EMAIL_RE, REDACTION, regex=True).str.replace(
-            PHONE_RE, REDACTION, regex=True
+        # the COMPILED patterns from __init__ (pandas accepts them) —
+        # passing the raw strings would recompile via the re cache per
+        # call and leave the actor state unused
+        n_emails = text.str.count(self.email).astype("int64")
+        n_phones = text.str.count(self.phone).astype("int64")
+        clean = text.str.replace(self.email, REDACTION, regex=True).str.replace(
+            self.phone, REDACTION, regex=True
         )
         return pd.DataFrame(
             {

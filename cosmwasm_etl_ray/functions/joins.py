@@ -55,6 +55,7 @@ def _merge_sides(
     how: str,
     suffixes: tuple[str, str],
     right_names: list[str],
+    right_types: dict,
     left_fold,
     right_fold,
 ) -> pd.DataFrame:
@@ -73,12 +74,16 @@ def _merge_sides(
             # pad right columns with pandas-merge suffix semantics:
             # a name on both sides becomes x_l/x_r here too, so
             # empty and non-empty buckets emit ONE schema and left
-            # data is never silently overwritten by the padding
+            # data is never silently overwritten by the padding.
+            # TYPED nulls, not bare np.nan — a float64 pad on a string
+            # column would make this bucket's block schema diverge
+            # from the non-empty buckets' (the mixed-schema hazard)
             overlap = (set(right_names) & set(lhs.columns)) - set(on)
             lhs = lhs.rename(columns={c: c + suffixes[0] for c in overlap})
             for c in right_names:
                 if c not in on:
-                    lhs[c + suffixes[1] if c in overlap else c] = np.nan
+                    out_c = c + suffixes[1] if c in overlap else c
+                    lhs[out_c] = _null_series(lhs.index, right_types.get(c))
             return lhs
         raise NotImplementedError(f"hash_join how={how!r} on empty side")
     return lhs.merge(rhs, on=on, how=how, suffixes=suffixes)
@@ -160,7 +165,8 @@ def hash_join(
             right_types,
         )
         return _merge_sides(
-            lhs, rhs, on, how, suffixes, right_names, left_fold, right_fold
+            lhs, rhs, on, how, suffixes, right_names, right_types,
+            left_fold, right_fold,
         )
 
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
@@ -198,7 +204,8 @@ def _hj_split_blocks(B: int, on: list[str], names: list[str] | None, *blocks):
 
 
 def _hj_join_bucket(
-    n_left: int, on, how, suffixes, right_names, left_fold, right_fold, *splits
+    n_left: int, on, how, suffixes, right_names, right_types,
+    left_fold, right_fold, *splits,
 ):
     """Raw task: merge one bucket's left and right splits. Sides never
     union here, so each keeps its own dtypes end-to-end. Returns
@@ -217,7 +224,8 @@ def _hj_join_bucket(
         else pd.DataFrame()
     )
     out = _merge_sides(
-        lhs, rhs, on, how, suffixes, right_names, left_fold, right_fold
+        lhs, rhs, on, how, suffixes, right_names, right_types,
+        left_fold, right_fold,
     )
     if out is None or not len(out):
         return 0, None
@@ -245,9 +253,13 @@ def _hash_join_direct(
     left_names = list(left_cols) if left_cols is not None else None
     right_names = list(right_cols) if right_cols is not None else None
     pad_names = right_names
+    pad_types: dict = dict(right_cols) if isinstance(right_cols, dict) else {}
     if pad_names is None:
-        # only the left-join empty-bucket padding needs right names
-        pad_names = _side_spec(right, right_cols)[0] if how == "left" else []
+        # only the left-join empty-bucket padding needs the right spec
+        if how == "left":
+            pad_names, pad_types = _side_spec(right, right_cols)
+        else:
+            pad_names = []
 
     split = _HJ_REMOTES.get(("split", B))
     if split is None:
@@ -299,7 +311,7 @@ def _hash_join_direct(
         if how == "inner" and not rrefs:
             continue
         nref, tref = joinb.remote(
-            len(lrefs), on, how, suffixes, pad_names,
+            len(lrefs), on, how, suffixes, pad_names, pad_types,
             left_fold, right_fold, *lrefs, *rrefs,
         )
         count_refs.append(nref)

@@ -141,7 +141,10 @@ def _epoch_source_files(manifest: dict) -> list[str] | None:
     if not lo or not os.path.exists(os.path.dirname(lo)):
         return None
     d = os.path.dirname(lo)
-    names = sorted(os.listdir(d))
+    # suffix filter: a concurrent writer's tmp+rename in-flight file
+    # ('x.parquet.tmp.<pid>') sorts INSIDE the bare lexical range and
+    # would be read half-written by the derived tick
+    names = sorted(n for n in os.listdir(d) if n.endswith(".parquet"))
     los, his = os.path.basename(lo), os.path.basename(hi)
     return [os.path.join(d, n) for n in names if los <= n <= his]
 
@@ -155,8 +158,17 @@ class WindowStatsTask(DerivedTask):
     def process_epoch(self, epoch: int, manifest: dict) -> None:
         files = _epoch_source_files(manifest)
         if not files:  # e.g. quarantine-replay epochs carry no file range
+            # TYPED empty partial: an untyped empty frame round-trips
+            # parquet as object columns and poisons view()'s concat to
+            # object dtype for every numeric column
             self._commit(epoch, pd.DataFrame(
-                columns=["repo", "window", "n_events", "n_deletes", "content_bytes"]
+                {
+                    "repo": pd.Series(dtype="object"),
+                    "window": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "n_deletes": pd.Series(dtype="int64"),
+                    "content_bytes": pd.Series(dtype="int64"),
+                }
             ))
             return
         self._commit(epoch, _epoch_measures(files, self.cfg, self.window))
@@ -256,8 +268,15 @@ class LangWindowStatsTask(DerivedTask):
     def process_epoch(self, epoch: int, manifest: dict) -> None:
         files = _epoch_source_files(manifest)
         if not files:
+            # typed empty partial — see WindowStatsTask.process_epoch
             self._commit(epoch, pd.DataFrame(
-                columns=["lang", "window", "n_events", "n_deletes", "content_bytes"]
+                {
+                    "lang": pd.Series(dtype="object"),
+                    "window": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "n_deletes": pd.Series(dtype="int64"),
+                    "content_bytes": pd.Series(dtype="int64"),
+                }
             ))
             return
         ds = ray.data.read_parquet(

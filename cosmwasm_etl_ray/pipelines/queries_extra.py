@@ -121,13 +121,24 @@ def events_props_k(sf_dir: str) -> pd.DataFrame:
     ev = _read(sf_dir, "events", ["event_type", "props"])
 
     def extract(t: pa.Table) -> pa.Table:
-        # vectorized C-regex extraction — no per-row json.loads
-        ex = pc.extract_regex(t["props"].combine_chunks(), pattern=r'"k":\s*(?P<k>\d+)')
+        # vectorized C-regex extraction — no per-row json.loads. The
+        # sign is part of the capture and bucketing FLOORS (numpy
+        # floor_divide == DuckDB //; pc.divide truncates toward zero,
+        # wrong for negative k), and rows with no k are excluded here
+        # AND in the SQL twin — pandas groupby would silently drop a
+        # NaN-key group while SQL GROUP BY emits a NULL row.
+        import numpy as np
+
+        ex = pc.extract_regex(
+            t["props"].combine_chunks(), pattern=r'"k":\s*(?P<k>-?\d+)'
+        )
         ks = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        valid = pc.is_valid(ks)
+        kv = ks.filter(valid).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "event_type": t["event_type"],
-                "k_bucket": pc.divide(ks, pa.scalar(10, pa.int64())),
+                "event_type": t["event_type"].combine_chunks().filter(valid),
+                "k_bucket": pa.array(np.floor_divide(kv, 10), type=pa.int64()),
             }
         )
 
@@ -240,6 +251,7 @@ SELECT event_type,
        CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
 GROUP BY event_type, CAST(json_extract(props, '$.k') AS BIGINT) // 10
 """,
 }

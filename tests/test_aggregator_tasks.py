@@ -133,3 +133,44 @@ def test_lang_window_stats_two_dim_key(replayed):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_epoch_source_files_skips_inflight_tmp(tmp_path):
+    """A concurrent writer's 'x.parquet.tmp.<pid>' sorts inside the
+    bare lexical [lo, hi] range — the range scan must take only
+    committed .parquet files."""
+    from cosmwasm_etl_ray.pipelines.aggregator import _epoch_source_files
+
+    d = tmp_path / "log"
+    d.mkdir()
+    for n in ("f001.parquet", "f002.parquet", "f004.parquet"):
+        (d / n).write_bytes(b"x")
+    (d / "f002.parquet.tmp.9912").write_bytes(b"partial")
+    files = _epoch_source_files(
+        {"offset_range": (str(d / "f001.parquet"), str(d / "f004.parquet"))}
+    )
+    assert [f.rsplit("/", 1)[1] for f in files] == [
+        "f001.parquet", "f002.parquet", "f004.parquet"
+    ]
+
+
+def test_empty_epoch_partial_keeps_numeric_dtypes(replayed):
+    """A file-less epoch (quarantine/repair) commits a TYPED empty
+    partial: an object-dtype empty parquet would poison view()'s
+    concat to object for every numeric column."""
+    from cosmwasm_etl_ray.pipelines.aggregator import WindowStatsTask
+
+    log, store = replayed
+    task = WindowStatsTask(store, CFG)
+    task.run()
+    before = task.view()
+    # simulate a quarantine-style epoch with no source-file range
+    fake_epoch = (store.latest_epoch() or 0) + 1000
+    task.process_epoch(fake_epoch, {"offset_range": ("quarantine", "quarantine")})
+    import pandas as pd
+    empty = pd.read_parquet(task._epoch_out(fake_epoch))
+    assert empty.empty
+    for c in ("window", "n_events", "n_deletes", "content_bytes"):
+        assert empty[c].dtype == "int64", (c, empty[c].dtype)
+    merged = pd.concat([empty, before], ignore_index=True)
+    assert merged["n_events"].dtype == "int64"

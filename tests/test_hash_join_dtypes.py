@@ -109,3 +109,28 @@ def test_hash_join_direct_matches_dataset(ray_session):
     a = run("inner", "direct", right_fold=fold)
     b = run("inner", "dataset", right_fold=fold)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_left_join_pad_is_typed_not_nan(ray_session):
+    """Empty-right buckets must pad STRING right columns as object
+    nulls, not float64 NaN — a float pad makes that bucket's block
+    schema diverge from buckets that had right rows (the mixed-schema
+    union hazard, this time inside the join primitive)."""
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(64, dtype=np.int64),
+                      "v": [f"v{i}" for i in range(64)]})
+    )
+    # right rows exist for ONE key only → most buckets are right-empty
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": np.array([3], dtype=np.int64), "w": ["hit"]})
+    )
+    for exchange in ("direct", "dataset"):
+        out = hash_join(
+            left, right, on="k", num_buckets=8, how="left",
+            left_cols={"k": "int64", "v": "object"},
+            right_cols={"k": "int64", "w": "object"},
+            exchange=exchange,
+        ).to_pandas()
+        assert len(out) == 64
+        assert out["w"].dtype == object, (exchange, out["w"].dtype)
+        assert out.loc[out["k"] == 3, "w"].iloc[0] == "hit"
