@@ -371,7 +371,9 @@ def media_meta(sf_dir: str) -> "ray.data.Dataset":
         synthesize_media,
     )
 
-    media = synthesize_media(_docs(sf_dir))
+    # two consumers below (decode branch + frame branch) — materialize
+    # once or the read + binary synthesis executes twice
+    media = synthesize_media(_docs(sf_dir)).materialize()
     feats = media.map_batches(
         FakeDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     ).map_batches(

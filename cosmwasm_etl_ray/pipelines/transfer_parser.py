@@ -55,23 +55,22 @@ LEDGER_COLS = ["tx_id", "log_idx", "pair", "token", "ttype", "amount"]
 
 
 def _split_by_tx_pid(t: pa.Table, P: int) -> list[pa.Table | None]:
-    """Slice a table into one sub-table per tx-hash pid (argsort +
-    zero-copy slices, the replay exchange's split shape)."""
-    if t.num_rows == 0:
-        return [None] * P
+    """Slice a table into one sub-table per tx-hash pid via the SHARED
+    exchange splitter (functions/hashing.split_table_by_shard) —
+    normalized to a P-list here so the caller can zip ledger and
+    quarantine splits regardless of P."""
+    from cosmwasm_etl_ray.functions.hashing import split_table_by_shard
+
     pid = (
-        stable_hash64(t["tx_id"].to_numpy(zero_copy_only=False))
-        % np.uint64(P)
-    ).astype(np.int64)
-    order = np.argsort(pid, kind="stable")
-    st = t.take(pa.array(order))
-    spid = pid[order]
-    bounds = np.searchsorted(spid, np.arange(P + 1))
-    out: list[pa.Table | None] = []
-    for p in range(P):
-        lo, hi = int(bounds[p]), int(bounds[p + 1])
-        out.append(st.slice(lo, hi - lo) if hi > lo else None)
-    return out
+        (
+            stable_hash64(t["tx_id"].to_numpy(zero_copy_only=False))
+            % np.uint64(P)
+        ).astype(np.int64)
+        if t.num_rows
+        else None
+    )
+    parts = split_table_by_shard(t, pid, P)
+    return [parts] if P == 1 else list(parts)
 
 
 def _prep_transfer_shard(
@@ -98,16 +97,19 @@ def _prep_transfer_shard(
         )
     )
     if t.num_rows == 0:
-        return tuple([None] * P)
+        return None if P == 1 else tuple([None] * P)
     decoded = decode_raw_logs_batch(expand_lineitem_batch(t))
     bad = decoded.filter(pc.is_null(decoded["amount_str"]))
     led = TransferMapperFamily()(decoded)
     led_parts = _split_by_tx_pid(led, P)
     bad_parts = _split_by_tx_pid(bad, P)
-    return tuple(
+    pairs = [
         None if lp is None and bp is None else (lp, bp)
         for lp, bp in zip(led_parts, bad_parts)
-    )
+    ]
+    # num_returns=1 delivers the return as ONE value — the bare pair,
+    # never a 1-tuple (the split_table_by_shard contract)
+    return pairs[0] if P == 1 else tuple(pairs)
 
 
 def _finish_transfer_pid(root: str, qdir: str, epoch: int, pid: int, *parts):
@@ -218,7 +220,6 @@ class TransferParserPipeline:
         self.store = StateStore(store_root)
         self.n_epochs = n_epochs
         self.num_partitions = num_partitions
-        self.family = TransferMapperFamily()
 
     # -- planning -----------------------------------------------------
     def plan_epochs(self) -> list[tuple[int, int]]:
@@ -345,7 +346,19 @@ class TransferParserPipeline:
     def ledger(self) -> "ray.data.Dataset":
         files = self.epoch_files()
         if not files:
+            # the REAL ledger dtypes — an all-int64 empty would give
+            # schema-dependent consumers (unions, dtype-checked reads)
+            # a wrong-schema frame
             return ray.data.from_arrow(
-                pa.table({c: pa.array([], pa.int64()) for c in LEDGER_COLS})
+                pa.table(
+                    {
+                        "tx_id": pa.array([], pa.int64()),
+                        "log_idx": pa.array([], pa.int64()),
+                        "pair": pa.array([], pa.string()),
+                        "token": pa.array([], pa.string()),
+                        "ttype": pa.array([], pa.string()),
+                        "amount": pa.array([], pa.int64()),
+                    }
+                )
             )
         return ray.data.read_parquet(files)

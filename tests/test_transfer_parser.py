@@ -153,3 +153,30 @@ def test_epoch_locality_of_elimination(tmp_path):
     pd.testing.assert_frame_equal(
         _sorted(a.ledger().to_pandas()), _sorted(b.ledger().to_pandas())
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_single_partition_exchange(tmp_path):
+    """num_partitions=1 exercises the num_returns=1 contract: Ray
+    delivers the prep task's return as ONE value (the bare (ledger,
+    quarantine) pair), never a 1-tuple — the same ledger must come out."""
+    from cosmwasm_etl_ray.pipelines.queries_transfers import transfer_ledger
+
+    pipe = TransferParserPipeline(
+        SF, str(tmp_path / "store"), n_epochs=2, num_partitions=1
+    )
+    results = pipe.run()
+    assert all(not r["skipped"] for r in results)
+    got = _sorted(pipe.ledger().to_pandas())
+    want = _sorted(transfer_ledger(SF).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_empty_store_ledger_schema(tmp_path):
+    """ledger() before any committed epoch returns the REAL dtypes
+    (string pair/token/ttype), not an all-int64 placeholder."""
+    pipe = TransferParserPipeline(SF, str(tmp_path / "store"), n_epochs=2)
+    sch = pipe.ledger().schema()
+    types = dict(zip(sch.names, [str(t) for t in sch.types]))
+    assert types["pair"] == "string" and types["ttype"] == "string"
+    assert types["tx_id"] == "int64" and types["amount"] == "int64"
