@@ -66,9 +66,9 @@ def build_ivf_index(
             batch["list_assign"] = assign  # survives inside the files
             return batch
 
-    db.map_batches(Assign, batch_format="pandas", concurrency=(1, 8)).write_parquet(
-        index_dir, partition_cols=["list_id"]
-    )
+    _coalesced(
+        db.map_batches(Assign, batch_format="pandas", concurrency=(1, 8)), n
+    ).write_parquet(index_dir, partition_cols=["list_id"])
     meta = {
         "n_lists": int(len(centroids)),
         "dim": int(centroids.shape[1]),
@@ -81,6 +81,16 @@ def build_ivf_index(
         json.dump(meta, f)
     os.replace(tmp, os.path.join(index_dir, "_meta.json"))
     return meta
+
+
+def _coalesced(ds: "ray.data.Dataset", n_rows: int) -> "ray.data.Dataset":
+    """Bound the file count of a hive-partitioned index write: each
+    write task emits one file PER partition value it sees, so T tasks
+    × V values explodes into tiny files (measured: 4011 files for a
+    32k-row LSH bucket table — 9 s of the 13 s probe was file-open
+    overhead). Target ~64k rows per write task; the probe read then
+    opens a handful of files per partition instead of dozens."""
+    return ds.repartition(max(1, min(64, int(n_rows) // 65536)))
 
 
 def _empty_topk() -> "ray.data.Dataset":
@@ -215,10 +225,12 @@ def build_lsh_index(
                 )
             return pd.concat(parts, ignore_index=True)
 
-    db.map_batches(
-        BucketLists, batch_format="pandas", concurrency=(1, 8)
+    n = db.count()
+    _coalesced(
+        db.map_batches(BucketLists, batch_format="pandas", concurrency=(1, 8)),
+        n * n_tables,
     ).write_parquet(os.path.join(index_dir, "buckets"), partition_cols=["tb"])
-    db.write_parquet(os.path.join(index_dir, "vectors"))
+    _coalesced(db, n).write_parquet(os.path.join(index_dir, "vectors"))
 
     meta = {
         "n_planes": n_planes,

@@ -75,9 +75,17 @@ def build_minhash_index(
         "seed": seed,
         "n_shards": n_shards,
     }
-    _bucketed(docs, meta).map_batches(
+    from cosmwasm_etl_ray.functions.ann_index import _coalesced
+
+    bucketed = _bucketed(docs, meta).map_batches(
         _add_bshard(n_shards), batch_format="pandas"
-    ).write_parquet(os.path.join(index_dir, "buckets"), partition_cols=["bshard"])
+    )
+    # bound files-per-partition before the hive write (see _coalesced);
+    # bucket rows = bands per doc, cheaper to count the built table once
+    bucketed = bucketed.materialize()
+    _coalesced(bucketed, bucketed.count()).write_parquet(
+        os.path.join(index_dir, "buckets"), partition_cols=["bshard"]
+    )
     tmp = os.path.join(index_dir, f"_meta.json.tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(meta, f)
