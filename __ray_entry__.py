@@ -20,79 +20,40 @@ def entry() -> Any:
     return cdc_final_state("/root/testdata/sf0.001")
 
 
+_QUERY_MODULES = (
+    "queries_cdc",
+    "queries_relational",
+    "queries_textml",
+    "queries_extra",
+    "queries_transfers",
+    "queries_dataprep",
+)
+
+
+def _merged(attr: str) -> dict:
+    """Union one attr across the query suites. A suite is optional only
+    in the sense that ITS module may be absent — a transitive
+    ImportError inside a present module must surface, or a broken
+    family silently drops out of the gate and it still exits green."""
+    import importlib
+
+    out: dict = {}
+    for modname in _QUERY_MODULES:
+        try:
+            mod = importlib.import_module(f"cosmwasm_etl_ray.pipelines.{modname}")
+        except ModuleNotFoundError as e:
+            if e.name and e.name.endswith(modname):
+                continue  # the suite itself is absent: optional
+            raise  # a dependency inside the suite broke: loud
+        out.update(getattr(mod, attr))
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
-    from cosmwasm_etl_ray.pipelines import queries_cdc
-
-    out: dict[str, Callable[[str], Any]] = {}
-    out.update(queries_cdc.QUERIES)
-    try:
-        from cosmwasm_etl_ray.pipelines import queries_relational
-
-        out.update(queries_relational.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from cosmwasm_etl_ray.pipelines import queries_textml
-
-        out.update(queries_textml.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from cosmwasm_etl_ray.pipelines import queries_extra
-
-        out.update(queries_extra.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from cosmwasm_etl_ray.pipelines import queries_transfers
-
-        out.update(queries_transfers.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from cosmwasm_etl_ray.pipelines import queries_dataprep
-
-        out.update(queries_dataprep.QUERIES)
-    except ImportError:
-        pass
-    return out
+    return _merged("QUERIES")
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query (same column names)."""
-    from cosmwasm_etl_ray.pipelines import queries_cdc
-
-    out: dict[str, str] = {}
-    out.update(queries_cdc.ORACLE_SQL)
-    try:
-        from cosmwasm_etl_ray.pipelines import queries_relational
-
-        out.update(queries_relational.ORACLE_SQL)
-    except ImportError:
-        pass
-    try:
-        from cosmwasm_etl_ray.pipelines import queries_textml
-
-        out.update(queries_textml.ORACLE_SQL)
-    except ImportError:
-        pass
-    try:
-        from cosmwasm_etl_ray.pipelines import queries_extra
-
-        out.update(queries_extra.ORACLE_SQL)
-    except ImportError:
-        pass
-    try:
-        from cosmwasm_etl_ray.pipelines import queries_transfers
-
-        out.update(queries_transfers.ORACLE_SQL)
-    except ImportError:
-        pass
-    try:
-        from cosmwasm_etl_ray.pipelines import queries_dataprep
-
-        out.update(queries_dataprep.ORACLE_SQL)
-    except ImportError:
-        pass
-    return out
+    return _merged("ORACLE_SQL")

@@ -94,6 +94,27 @@ def repo_size_stream(
     return sharded_map_groups(ev, ["repo"], per_shard, shards=shards)
 
 
+def relsize_asof(
+    df: pd.DataFrame, commits: np.ndarray, chars: np.ndarray
+) -> pd.DataFrame:
+    """As-of rel_size against the base curve — THE shared kernel for
+    all three shapes (streaming RelSize, incremental RelSizeEpoch, the
+    direct exchange's part write), so a boundary-semantics change
+    (side='right', the idx>=0 / chars>0 liquidity cutoffs) happens in
+    exactly one place. Rows before the curve starts or at a dry base
+    are dropped (no price is definable)."""
+    idx = (
+        np.searchsorted(commits, df["commit"].to_numpy().astype("U"), side="right")
+        - 1
+    )
+    ok = idx >= 0
+    df = df[ok]
+    b = chars[idx[ok]]
+    df = df[b > 0].copy()
+    df["rel_size"] = df["repo_chars"].to_numpy() / b[b > 0]
+    return df[["repo", "commit", "repo_chars", "rel_size"]]
+
+
 def rel_size_stream(
     changes: "ray.data.Dataset", base: str = BASE_REPO, shards: int = 32
 ) -> "ray.data.Dataset":
@@ -120,13 +141,7 @@ def rel_size_stream(
             self.commits, self.chars = ray.get(curve_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            idx = np.searchsorted(self.commits, df["commit"].to_numpy().astype("U"), side="right") - 1
-            ok = idx >= 0
-            df = df[ok].copy()
-            base_chars = self.chars[idx[ok]]
-            df = df[base_chars > 0].copy()
-            df["rel_size"] = df["repo_chars"].to_numpy() / base_chars[base_chars > 0]
-            return df[["repo", "commit", "repo_chars", "rel_size"]]
+            return relsize_asof(df, self.commits, self.chars)
 
     return sizes.map_batches(RelSize, batch_format="pandas", concurrency=(1, 8))
 
@@ -167,6 +182,34 @@ def repo_lang_graph(state: "ray.data.Dataset") -> tuple[pd.DataFrame, pd.DataFra
         ignore_index=True,
     )
     return edges, sizes
+
+
+def repo_lang_edges(store, epoch: int) -> pd.DataFrame:
+    """Edge set ONLY (repo, lang, n_files) via a CONTENT-FREE pruned
+    read of the state partitions. The per-epoch ST4 change check needs
+    just the edge key — paying for the wide content column every epoch
+    (as repo_lang_graph's sizes side does) made the 'rebuild only on
+    growth' guard more expensive than what it guards."""
+    files = list(store.partition_files(epoch).values())
+    if not files:
+        return pd.DataFrame(columns=["repo", "lang", "n_files"])
+    ds = ray.data.read_parquet(files, columns=["repo", "lang", "op"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["op"], pa.scalar("delete"))))
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "lang": t["lang"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["repo", "lang"],
+        spec={"n_files": ("one", "count")},
+    )
 
 
 def shortest_routes(
@@ -421,15 +464,7 @@ class PriceTask:
                 self.commits, self.chars = ray.get(curve_ref)
 
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                idx = np.searchsorted(
-                    self.commits, df["commit"].to_numpy().astype("U"), side="right"
-                ) - 1
-                ok = idx >= 0
-                df = df[ok]
-                bchars = self.chars[idx[ok]]
-                df = df[bchars > 0].copy()
-                df["rel_size"] = df["repo_chars"].to_numpy() / bchars[bchars > 0]
-                return df[["repo", "commit", "repo_chars", "rel_size"]]
+                return relsize_asof(df, self.commits, self.chars)
 
         out_ds = sizes.map_batches(
             RelSizeEpoch, batch_format="pandas", concurrency=(1, 8)
@@ -459,12 +494,12 @@ class PriceTask:
                 parts_dir: str | None = None) -> None:
         import shutil
 
-        # ST4: rebuild routes only when the edge set changed
+        # ST4: rebuild routes only when the edge set changed. The check
+        # itself is content-free (repo_lang_edges) — the old full
+        # repo_lang_graph scan read the wide content column per epoch
+        # only to discard the sizes half.
         if epoch_for_routes is not None:
-            from cosmwasm_etl_ray.pipelines.replay import read_state
-
-            state = read_state(self.store, epoch)
-            edges, sizes = repo_lang_graph(state)
+            edges = repo_lang_edges(self.store, epoch)
             key = "|".join(sorted(edges["repo"] + ":" + edges["lang"]))
             if key != carry.get("edges_key"):
                 route_base = carry.get("base") or self.base or BASE_REPO
@@ -485,19 +520,26 @@ class PriceTask:
         # their parts into a tmp dir — adopt it instead of re-writing
         outdir = self._out(epoch)
         tmpdir = parts_dir or f"{outdir}.tmp.{os.getpid()}"
-        # a crashed PRIOR run leaves an orphan tmp dir under its old
-        # pid — sweep stale tmps for this epoch, but ONLY those whose
-        # writer is dead (deleting a LIVE pid's tmp would break the
-        # concurrent-writer safety the pid suffix exists for)
+        # a crashed PRIOR run leaves orphan tmps under its old pid —
+        # epoch output dirs AND carry=/routes= sidecar files — sweep
+        # the whole task root, but ONLY tmps whose writer is dead
+        # (deleting a LIVE pid's tmp would break the concurrent-writer
+        # safety the pid suffix exists for)
         import glob as _glob
 
-        for stale in _glob.glob(f"{outdir}.tmp.*"):
+        for stale in _glob.glob(os.path.join(self.root, "*.tmp.*")):
             if stale == tmpdir:
                 continue
             owner = stale.rsplit(".", 1)[-1]
             if owner.isdigit() and os.path.exists(f"/proc/{owner}"):
                 continue  # writer still alive — leave its tmp alone
-            shutil.rmtree(stale, ignore_errors=True)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
+            else:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
         if parts_dir is None:
             shutil.rmtree(tmpdir, ignore_errors=True)
             if out is not None:
@@ -537,11 +579,14 @@ class PriceTask:
 
 
 def _valid_events(t: pa.Table) -> pa.Table:
-    ok = pc.and_(
-        pc.match_substring_regex(t["commit"], r"^[0-9]+$"),
-        pc.is_in(t["op"], value_set=pa.array(["insert", "update", "delete"])),
-    )
-    return t.filter(pc.fill_null(ok, False))
+    """THE replay's validity predicate (stages/normalize._valid_mask),
+    not a local rewrite: the derived task must drop exactly the rows
+    the replay quarantined — a null-repo row that slips through here
+    crashes the dataset path's cumsum int cast and silently seeds the
+    direct path's carry from the wrong repo (factorize code -1)."""
+    from cosmwasm_etl_ray.stages.normalize import _valid_mask
+
+    return t.filter(_valid_mask(t))
 
 
 def _state_lengths(t: pa.Table) -> pa.Table:

@@ -196,18 +196,10 @@ def _price_relsize_write(
     (tmp+rename — a task retry self-overwrites)."""
     if sizes is None:
         return 0
+    from cosmwasm_etl_ray.pipelines.price import relsize_asof
+
     commits, chars = curve
-    df = sizes.to_pandas()
-    idx = (
-        np.searchsorted(commits, df["commit"].to_numpy().astype("U"), side="right")
-        - 1
-    )
-    ok = idx >= 0
-    df = df[ok]
-    b = chars[idx[ok]]
-    df = df[b > 0].copy()
-    df["rel_size"] = df["repo_chars"].to_numpy() / b[b > 0]
-    out = df[["repo", "commit", "repo_chars", "rel_size"]]
+    out = relsize_asof(sizes.to_pandas(), commits, chars)
     part = os.path.join(tmpdir, f"part-{shard_idx:05d}.parquet")
     tmp = f"{part}.tmp.{os.getpid()}"
     out.to_parquet(tmp, index=False)

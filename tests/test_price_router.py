@@ -189,3 +189,27 @@ def test_price_direct_matches_dataset(replayed, tmp_path):
         )
     pd.testing.assert_frame_equal(outs["direct"][0], outs["dataset"][0])
     pd.testing.assert_frame_equal(outs["direct"][1], outs["dataset"][1])
+
+
+def test_valid_events_matches_replay_predicate():
+    """The price task must drop exactly what the replay quarantines:
+    a null-repo row that slips through crashes the dataset path's
+    cumsum int cast and mis-seeds the direct path's carry
+    (factorize code -1 indexes the last real repo)."""
+    import pyarrow as pa
+
+    from cosmwasm_etl_ray.pipelines.price import _valid_events
+    from cosmwasm_etl_ray.stages.normalize import _valid_mask
+
+    t = pa.table(
+        {
+            "repo": ["r", None, "r", "r", "r"],
+            "path": ["p", "p", None, "p", "p"],
+            "commit": ["0001", "0002", "0003", "bad", "0005"],
+            "content": ["a"] * 5,
+            "op": ["insert", "update", "update", "update", "weird"],
+        }
+    )
+    out = _valid_events(t)
+    assert out.num_rows == 1  # only the fully-valid first row
+    assert out.num_rows == _valid_mask(t).to_pandas().sum()

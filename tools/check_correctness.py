@@ -81,6 +81,11 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = 0
+    # a typo'd query name must FAIL, not silently run zero checks
+    unknown = only - set(qs)
+    for name in sorted(unknown):
+        print(f"FAIL {name}: no such query")
+        failures += 1
     for name, fn in qs.items():
         if only and name not in only:
             continue
