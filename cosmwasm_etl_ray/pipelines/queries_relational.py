@@ -109,8 +109,17 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     key set inside the scan), lineitem revenue pre-aggregates per batch,
     and the single hash-partition shuffle both joins and final-reduces.
     Top-k = per-block top-10 candidates, then a tiny driver sort."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    building = np.sort(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy())
+    cust_keys = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    building = np.sort(cust_keys["c_custkey"].to_numpy())
     keys_ref = ray.put(building)
 
     class FilterOrders:
