@@ -129,6 +129,96 @@ def split_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# ------------------------------------------- deterministic global shuffle
+
+SHUFFLE_SEED = 17
+SHUFFLE_BUCKETS = 1024  # power of 2; order-preserving ranges of the hash space
+
+
+def shuffle_hash(doc_id: np.ndarray, seed: int = SHUFFLE_SEED) -> np.ndarray:
+    """Reproducible shuffle key in [0, 2^32): ((id + seed) * Knuth)
+    % 2^32, wrap-exact in uint64 (same discipline as ``split_bucket``
+    — the DuckDB twin states it via HUGEINT). A different seed is a
+    different, equally uniform permutation."""
+    h = (doc_id.astype(np.uint64) + np.uint64(seed)) * np.uint64(SPLIT_MULT)
+    return (h % np.uint64(SPLIT_MOD)).astype(np.int64)
+
+
+def deterministic_shuffle(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    seed: int = SHUFFLE_SEED,
+    buckets: int = SHUFFLE_BUCKETS,
+    shards: int = 64,
+) -> "ray.data.Dataset":
+    """Assign every row its global position 0..N-1 in the reproducible
+    training order ``ORDER BY (shuffle_hash(id, seed), id)`` — the
+    seed-stable replacement for ``Dataset.random_shuffle`` (whose
+    per-task draws shift under load; see functions/similarity.
+    train_sample for the filter-shaped sibling).
+
+    Distributed rank WITHOUT a global sort: the hash's top
+    log2(buckets) bits are an order-preserving range partition, so
+
+        pass 1: per-block bucket histograms -> driver prefix sums
+                (``buckets`` int64s — O(buckets) driver state, fixed)
+        pass 2: shard_exchange by bucket; each bucket lands whole in
+                one task, which sorts it by (hash, id) and emits
+                position = bucket_offset + local_rank
+
+    Two streaming passes over the input (the same I/O a sort-based
+    rank pays for its sample+sort), nothing corpus-sized on the
+    driver, and the output is identical at any cluster size. At 100 TB
+    raise ``buckets`` so a bucket (~N/buckets rows) fits one task's
+    heap; ties are broken by the unique id so the order is total."""
+    if buckets & (buckets - 1):
+        raise ValueError("buckets must be a power of two")
+    shift = 32 - int(buckets).bit_length() + 1  # hash >> shift in [0, buckets)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        b = shuffle_hash(df[id_col].to_numpy(), seed) >> shift
+        bc = np.bincount(b, minlength=buckets)
+        nz = np.flatnonzero(bc)
+        return pd.DataFrame(
+            {"bucket": nz.astype(np.int64), "n": bc[nz].astype(np.int64)}
+        )
+
+    parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    counts = np.zeros(buckets, dtype=np.int64)
+    if len(parts):
+        np.add.at(counts, parts["bucket"].to_numpy(), parts["n"].to_numpy())
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    off_ref = ray.put(offsets)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "_bucket": (shuffle_hash(ids, seed) >> shift).astype(np.int64),
+            }
+        )
+
+    def rank_shard(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        ids = df[id_col].to_numpy().astype(np.int64)
+        h = shuffle_hash(ids, seed)
+        b = (h >> shift).astype(np.int64)  # recomputed: pure fn of id
+        order = np.lexsort((ids, h, b))
+        sb = b[order]
+        run_start = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+        run_id = np.cumsum(np.r_[True, sb[1:] != sb[:-1]]) - 1
+        local = np.arange(len(sb)) - run_start[run_id]
+        return pd.DataFrame({id_col: ids[order], "pos": off[sb] + local})
+
+    from cosmwasm_etl_ray.functions.agg import shard_exchange
+
+    return shard_exchange(
+        ds.map_batches(add_bucket, batch_format="pandas"),
+        ["_bucket"], rank_shard, min(shards, buckets), by_column=True,
+    )
+
+
 # ------------------------------------------------------- decontamination
 
 NGRAM = 3

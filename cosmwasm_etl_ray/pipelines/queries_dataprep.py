@@ -116,8 +116,22 @@ def corpus_filter_docs(sf_dir: str) -> "ray.data.Dataset":
     return corpus_filter(_docs(sf_dir))
 
 
+def shuffle_order(sf_dir: str) -> "ray.data.Dataset":
+    """Reproducible global training order: position 0..N-1 by
+    (shuffle_hash(doc_id, seed), doc_id) — distributed rank via
+    order-preserving hash buckets (histogram pass -> driver prefix
+    offsets -> per-bucket local rank), never a full sort and never
+    ``random_shuffle`` (not reproducible under load)."""
+    from cosmwasm_etl_ray.functions.dataprep import deterministic_shuffle
+
+    return deterministic_shuffle(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    )
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
+    "shuffle_order": shuffle_order,
     "corpus_filter": corpus_filter_docs,
     "sample_split": sample_split,
     "split_summary": split_summary,
@@ -173,6 +187,18 @@ SELECT doc_id,
 FROM plan, LATERAL (
     SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_id
 ) gs
+""",
+    # the shuffle key restated exactly (HUGEINT, wrap-free), position =
+    # dense rank over (key, doc_id) — the engine's bucketed rank must
+    # equal the one-shot window function
+    "shuffle_order": """
+SELECT doc_id,
+       row_number() OVER (
+           ORDER BY CAST(CAST(doc_id + 17 AS HUGEINT) * 2654435761
+                         % 4294967296 AS BIGINT),
+                    doc_id
+       ) - 1 AS pos
+FROM documents
 """,
     "sample_split": f"""
 SELECT doc_id,

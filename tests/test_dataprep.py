@@ -221,3 +221,52 @@ def test_corpus_filter_reasons(ray_session, sf_dir):
     for d in dup:
         grp = key20[key20 == key20.loc[d]].index
         assert d != grp.min()
+
+
+# -------------------------------------------- deterministic global shuffle
+
+
+def test_shuffle_order_is_exact_global_rank(ray_session):
+    from cosmwasm_etl_ray.functions.dataprep import (
+        deterministic_shuffle,
+        shuffle_hash,
+    )
+
+    ids = np.arange(1, 1001, dtype=np.int64) * 3  # gaps: ids need not be dense
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(7)
+    out = deterministic_shuffle(ds, buckets=64, shards=8).to_pandas()
+    # a permutation of 0..N-1
+    assert sorted(out["pos"]) == list(range(len(ids)))
+    # equal to the one-shot rank by (hash, id)
+    h = shuffle_hash(ids)
+    order = np.lexsort((ids, h))
+    expect_pos = np.empty(len(ids), dtype=np.int64)
+    expect_pos[order] = np.arange(len(ids))
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    assert (got["pos"].to_numpy() == expect_pos).all()
+
+
+def test_shuffle_order_param_independent(ray_session):
+    from cosmwasm_etl_ray.functions.dataprep import deterministic_shuffle
+
+    ids = np.arange(500, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    a = deterministic_shuffle(
+        ray.data.from_pandas(df).repartition(3), buckets=32, shards=4
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = deterministic_shuffle(
+        ray.data.from_pandas(df).repartition(11), buckets=256, shards=16
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a["pos"].to_numpy() == b["pos"].to_numpy()).all()
+
+
+def test_shuffle_order_seed_changes_permutation(ray_session):
+    from cosmwasm_etl_ray.functions.dataprep import deterministic_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64)})
+    a = deterministic_shuffle(ray.data.from_pandas(df), seed=17).to_pandas()
+    b = deterministic_shuffle(ray.data.from_pandas(df), seed=18).to_pandas()
+    a = a.sort_values("doc_id")["pos"].to_numpy()
+    b = b.sort_values("doc_id")["pos"].to_numpy()
+    assert sorted(a) == sorted(b)
+    assert (a != b).any()
