@@ -219,6 +219,61 @@ def deterministic_shuffle(
     )
 
 
+# ------------------------------------------------- deterministic mixture
+
+# per-domain epoch weights (the pretraining-mixture knob): weight 2.3
+# means every doc appears twice and 30% of docs (chosen by hash, not
+# RNG) appear a third time — deterministic up/down-sampling
+MIX_WEIGHTS = {"en": 2.25, "de": 1.0, "fr": 0.5, "es": 1.5, "zh": 0.0}
+MIX_SEED = 101
+
+
+def mixture_copies(
+    doc_id: np.ndarray, lang: np.ndarray, weights: dict[str, float]
+) -> np.ndarray:
+    """Copy count per doc: floor(w) everywhere, +1 for the docs whose
+    seeded hash fraction falls under frac(w). The fraction is exact in
+    integer arithmetic — frac_e2(w) is stated in CENTIBUCKETS (w is
+    contractually a multiple of 0.01), compared against hash % 100, so
+    the SQL twin restates it wrap-free via HUGEINT."""
+    w = np.array([weights.get(str(l), 1.0) for l in lang])
+    base = np.floor(w).astype(np.int64)
+    frac_e2 = np.rint((w - base) * 100).astype(np.int64)
+    h = (doc_id.astype(np.uint64) + np.uint64(MIX_SEED)) * np.uint64(SPLIT_MULT)
+    bucket = ((h % np.uint64(SPLIT_MOD)) % np.uint64(100)).astype(np.int64)
+    return base + (bucket < frac_e2)
+
+
+def mixture_expand(
+    docs: "ray.data.Dataset", weights: dict[str, float] | None = None
+) -> "ray.data.Dataset":
+    """Materialize the epoch mixture: one output row per (doc, copy).
+    Pure streaming flat map — copy counts are a per-row function, rows
+    replicate with np.repeat inside the batch, no shuffle, nothing on
+    the driver; downstream the copies get distinct training positions
+    by shuffling on (doc_id, copy_idx). Zero-weight domains drop here,
+    at the read edge, before any downstream stage pays for them."""
+    weights = MIX_WEIGHTS if weights is None else weights
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        n = mixture_copies(
+            df["doc_id"].to_numpy(), df["lang"].to_numpy(), weights
+        )
+        idx = np.repeat(np.arange(len(df)), n)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64)[idx],
+                "lang": df["lang"].to_numpy()[idx],
+            }
+        )
+        # copy_idx = 0..n_i-1 within each doc's replicated run
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        out["copy_idx"] = np.arange(len(out), dtype=np.int64) - starts[idx]
+        return out
+
+    return docs.map_batches(expand, batch_format="pandas")
+
+
 # ------------------------------------------------------- decontamination
 
 NGRAM = 3

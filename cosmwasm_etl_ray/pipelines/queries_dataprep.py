@@ -129,9 +129,24 @@ def shuffle_order(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def mixture_epoch(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic pretraining mixture: per-lang epoch weights,
+    fractional copies resolved by seeded hash (never RNG), one output
+    row per (doc, copy) — a pure streaming flat map, zero-weight
+    domains dropped at the read edge."""
+    from cosmwasm_etl_ray.functions.dataprep import mixture_expand
+
+    return mixture_expand(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+    )
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
     "shuffle_order": shuffle_order,
+    "mixture_epoch": mixture_epoch,
     "corpus_filter": corpus_filter_docs,
     "sample_split": sample_split,
     "split_summary": split_summary,
@@ -187,6 +202,29 @@ SELECT doc_id,
 FROM plan, LATERAL (
     SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_id
 ) gs
+""",
+    # the mixture restated: weights as (base, centibucket frac) VALUES,
+    # +1 copy when the seeded hash bucket < frac, copies unrolled by
+    # generate_series; unknown langs default to weight 1.0 (LEFT JOIN
+    # + COALESCE mirrors the engine's dict .get default)
+    "mixture_epoch": """
+WITH w(lang, base, frac_e2) AS (
+    VALUES ('en', 2, 25), ('de', 1, 0), ('fr', 0, 50),
+           ('es', 1, 50), ('zh', 0, 0)
+),
+n AS (
+    SELECT d.doc_id, d.lang,
+           COALESCE(w.base, 1)
+           + CASE WHEN CAST(CAST(d.doc_id + 101 AS HUGEINT) * 2654435761
+                            % 4294967296 % 100 AS BIGINT)
+                       < COALESCE(w.frac_e2, 0)
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM documents d LEFT JOIN w ON w.lang = d.lang
+)
+SELECT n.doc_id, n.lang, CAST(g.copy_idx AS BIGINT) AS copy_idx
+FROM n, LATERAL (
+    SELECT unnest(generate_series(0, n_copies - 1)) AS copy_idx
+) g
 """,
     # the shuffle key restated exactly (HUGEINT, wrap-free), position =
     # dense rank over (key, doc_id) — the engine's bucketed rank must

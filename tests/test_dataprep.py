@@ -270,3 +270,55 @@ def test_shuffle_order_seed_changes_permutation(ray_session):
     b = b.sort_values("doc_id")["pos"].to_numpy()
     assert sorted(a) == sorted(b)
     assert (a != b).any()
+
+
+# ------------------------------------------------- deterministic mixture
+
+
+def test_mixture_copies_semantics():
+    from cosmwasm_etl_ray.functions.dataprep import mixture_copies
+
+    ids = np.arange(1000, dtype=np.int64)
+    n_en = mixture_copies(ids, np.array(["en"] * 1000, dtype=object),
+                          {"en": 2.25})
+    assert set(np.unique(n_en)) <= {2, 3}
+    assert 0.15 < (n_en == 3).mean() < 0.35  # ~25% get the extra copy
+    n_zh = mixture_copies(ids, np.array(["zh"] * 1000, dtype=object),
+                          {"zh": 0.0})
+    assert (n_zh == 0).all()
+    # unknown lang defaults to weight 1.0 (exactly one copy)
+    n_unk = mixture_copies(ids, np.array(["xx"] * 1000, dtype=object), {})
+    assert (n_unk == 1).all()
+
+
+def test_mixture_expand_copy_indices(ray_session):
+    from cosmwasm_etl_ray.functions.dataprep import (
+        mixture_copies,
+        mixture_expand,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "lang": np.tile(np.array(["en", "de", "fr", "zh"], dtype=object), 50),
+        }
+    )
+    out = (
+        mixture_expand(ray.data.from_pandas(df).repartition(5))
+        .to_pandas()
+        .sort_values(["doc_id", "copy_idx"])
+        .reset_index(drop=True)
+    )
+    # per-doc copy_idx is 0..n-1 and n matches mixture_copies exactly
+    expect = mixture_copies(
+        df["doc_id"].to_numpy(), df["lang"].to_numpy(),
+        __import__("cosmwasm_etl_ray.functions.dataprep",
+                   fromlist=["MIX_WEIGHTS"]).MIX_WEIGHTS,
+    )
+    got_counts = out.groupby("doc_id")["copy_idx"].agg(["size", "min", "max"])
+    nonzero = expect > 0
+    assert (got_counts["size"].to_numpy()
+            == expect[nonzero]).all()
+    assert (got_counts["min"] == 0).all()
+    assert (got_counts["max"].to_numpy() == expect[nonzero] - 1).all()
+    assert not set(df.loc[df["lang"] == "zh", "doc_id"]) & set(out["doc_id"])
