@@ -336,3 +336,42 @@ def stats_with_distinct(
     return tagged.groupby("_ashard").map_groups(
         reduce_shard, batch_format="pandas"
     )
+
+
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_cols: list[str],
+    k: int,
+    ascending: "bool | list[bool]" = True,
+    shards: int = 16,
+) -> "ray.data.Dataset":
+    """Exact top-k rows per group by ``order_cols`` (callers append a
+    unique id as the last order column to make the cut total).
+
+    The combiner discipline: every block keeps at most k rows per
+    group it has seen (``sort_values().groupby().head(k)`` — a pure
+    per-batch contraction), so only candidate rows — <= k x groups per
+    block — reach the exchange; the final per-group cut runs over
+    candidates, never the corpus. At 100 TB the corpus-side pass
+    streams and the exchanged volume is bounded by k x groups x
+    blocks, the same shape as ``vocab_topk``'s count combiner.
+
+    Serves both selection directions: deterministic stratified
+    sampling (k smallest seeded hashes per domain) and per-domain
+    curation (k largest by a quality measure)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (
+            df.sort_values(order_cols, ascending=ascending, kind="stable")
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return partial(g)
+
+    cand = ds.map_batches(partial, batch_format="pandas")
+    return shard_exchange(cand, [group_col], final, shards)

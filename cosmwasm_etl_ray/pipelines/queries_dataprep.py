@@ -143,10 +143,58 @@ def mixture_epoch(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+SAMPLE_SEED = 29
+SAMPLE_K = 40
+TOPK_PER_DOMAIN = 25
+
+
+def stratified_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic k-per-domain sample: the k smallest seeded hashes
+    per lang (a hash-rank reservoir — reproducible, order-free, and a
+    pure combiner: each block keeps <= k rows per lang before the
+    candidates-only exchange)."""
+    from cosmwasm_etl_ray.functions.agg import grouped_topk
+    from cosmwasm_etl_ray.functions.dataprep import shuffle_hash
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": df["lang"].to_numpy(),
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "_h": shuffle_hash(df["doc_id"].to_numpy(), SAMPLE_SEED),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(add_h, batch_format="pandas")
+    out = grouped_topk(ds, "lang", ["_h", "doc_id"], SAMPLE_K)
+    return out.map_batches(
+        lambda df: df[["lang", "doc_id"]], batch_format="pandas"
+    )
+
+
+def domain_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Per-domain curation cut: the k largest docs per lang by
+    (n_chars desc, doc_id asc) — the 'keep the best per domain'
+    selection, same combiner shape as stratified_sample."""
+    from cosmwasm_etl_ray.functions.agg import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return grouped_topk(
+        ds, "lang", ["n_chars", "doc_id"], TOPK_PER_DOMAIN,
+        ascending=[False, True],
+    )
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
     "shuffle_order": shuffle_order,
     "mixture_epoch": mixture_epoch,
+    "stratified_sample": stratified_sample,
+    "domain_topk": domain_topk,
     "corpus_filter": corpus_filter_docs,
     "sample_split": sample_split,
     "split_summary": split_summary,
@@ -202,6 +250,28 @@ SELECT doc_id,
 FROM plan, LATERAL (
     SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_id
 ) gs
+""",
+    # k smallest seeded hashes per lang == row_number over the same key
+    "stratified_sample": f"""
+SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(CAST(doc_id + {SAMPLE_SEED} AS HUGEINT)
+                             * 2654435761 % 4294967296 AS BIGINT),
+                        doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= {SAMPLE_K}
+""",
+    "domain_topk": f"""
+SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= {TOPK_PER_DOMAIN}
 """,
     # the mixture restated: weights as (base, centibucket frac) VALUES,
     # +1 copy when the seeded hash bucket < frac, copies unrolled by

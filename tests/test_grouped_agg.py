@@ -168,3 +168,63 @@ def test_stats_with_distinct_exchange_equal(ray_session):
         cols = sorted(o.columns)
         outs[ex] = o[cols].sort_values(cols, kind="stable").reset_index(drop=True)
     pd.testing.assert_frame_equal(outs["direct"], outs["dataset"])
+
+
+# -------------------------------------------------------- grouped top-k
+
+
+def test_grouped_topk_exact_vs_pandas(ray_session):
+    import numpy as np
+
+    from cosmwasm_etl_ray.functions.agg import grouped_topk
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "v": rng.randint(0, 50, 500).astype("int64"),  # many ties
+            "id": np.arange(500, dtype=np.int64),
+        }
+    )
+    got = (
+        grouped_topk(
+            ray.data.from_pandas(df).repartition(9), "g", ["v", "id"], 7
+        )
+        .to_pandas()
+        .sort_values(["g", "v", "id"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        df.sort_values(["v", "id"])
+        .groupby("g", sort=False)
+        .head(7)
+        .sort_values(["g", "v", "id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "v", "id"]], expect)
+
+
+def test_grouped_topk_descending_and_small_groups(ray_session):
+    import numpy as np
+
+    from cosmwasm_etl_ray.functions.agg import grouped_topk
+
+    df = pd.DataFrame(
+        {
+            "g": ["x"] * 3 + ["y"] * 10,
+            "v": np.arange(13, dtype=np.int64),
+            "id": np.arange(13, dtype=np.int64),
+        }
+    )
+    got = (
+        grouped_topk(
+            ray.data.from_pandas(df).repartition(4), "g", ["v", "id"], 5,
+            ascending=[False, True],
+        )
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    # group x has only 3 rows: all kept; y keeps its 5 largest
+    assert list(got.loc[got["g"] == "x", "v"]) == [0, 1, 2]
+    assert list(got.loc[got["g"] == "y", "v"]) == [8, 9, 10, 11, 12]
