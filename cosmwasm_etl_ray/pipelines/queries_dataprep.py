@@ -189,12 +189,25 @@ def domain_topk(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def domain_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-domain length quantiles (corpus profiling / filter
+    calibration): (group, value)-count combiner -> candidates-only
+    exchange -> integer-exact discrete quantile walk."""
+    from cosmwasm_etl_ray.functions.agg import grouped_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_quantiles(ds, "lang", "n_chars", [50, 90, 99])
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
     "shuffle_order": shuffle_order,
     "mixture_epoch": mixture_epoch,
     "stratified_sample": stratified_sample,
     "domain_topk": domain_topk,
+    "domain_quantiles": domain_quantiles,
     "corpus_filter": corpus_filter_docs,
     "sample_split": sample_split,
     "split_summary": split_summary,
@@ -250,6 +263,13 @@ SELECT doc_id,
 FROM plan, LATERAL (
     SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_id
 ) gs
+""",
+    "domain_quantiles": """
+SELECT lang,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+FROM documents GROUP BY lang
 """,
     # k smallest seeded hashes per lang == row_number over the same key
     "stratified_sample": f"""

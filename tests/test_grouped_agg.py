@@ -228,3 +228,43 @@ def test_grouped_topk_descending_and_small_groups(ray_session):
     # group x has only 3 rows: all kept; y keeps its 5 largest
     assert list(got.loc[got["g"] == "x", "v"]) == [0, 1, 2]
     assert list(got.loc[got["g"] == "y", "v"]) == [8, 9, 10, 11, 12]
+
+
+def test_grouped_quantiles_exact_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+
+    from cosmwasm_etl_ray.functions.agg import grouped_quantiles
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            # a singleton group and heavy ties stress the rank walk
+            "g": np.r_[rng.choice(["a", "b", "c"], 999), ["solo"]],
+            "v": np.r_[rng.randint(0, 40, 999), [7]].astype("int64"),
+        }
+    )
+    got = (
+        grouped_quantiles(
+            ray.data.from_pandas(df).repartition(8), "g", "v", [1, 50, 90, 99]
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    expect = (
+        duckdb.connect()
+        .execute(
+            """
+            SELECT g, CAST(quantile_disc(v, 0.01) AS BIGINT) AS p01,
+                   CAST(quantile_disc(v, 0.50) AS BIGINT) AS p50,
+                   CAST(quantile_disc(v, 0.90) AS BIGINT) AS p90,
+                   CAST(quantile_disc(v, 0.99) AS BIGINT) AS p99
+            FROM df GROUP BY g ORDER BY g
+            """
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(
+        got[["g", "p01", "p50", "p90", "p99"]], expect
+    )
