@@ -93,3 +93,87 @@ def approx_distinct(
         .sort_values("g")
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------ mergeable quantile sketch
+
+QSKETCH_K = 200  # summary points per block per group
+
+
+def qsketch_partial(
+    group: np.ndarray, values: np.ndarray, k: int = QSKETCH_K
+) -> pd.DataFrame:
+    """One batch -> per-group equi-depth summaries: <= k+1 weighted
+    points per group. A block's summary carries at most n_i/(k+1) rank
+    uncertainty, and summed over blocks that is n/(k+1) total — the
+    deterministic mergeable-summary bound (no randomness anywhere, so
+    the merged estimate is partition-invariant up to summary content,
+    and the CONTRACT below is graded on the true measured rank).
+    Small groups (n <= k+1) keep every value: exact."""
+    out_g, out_v, out_w = [], [], []
+    order = np.argsort(group, kind="stable")
+    sg, sv = group[order], values[order]
+    bounds = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+    for i, s in enumerate(bounds):
+        e = bounds[i + 1] if i + 1 < len(bounds) else len(sg)
+        v = np.sort(sv[s:e])
+        n = len(v)
+        if n <= k + 1:
+            pts, w = v, np.ones(n)
+        else:
+            ranks = np.round(np.linspace(0, n - 1, k + 1)).astype(np.int64)
+            pts, w = v[ranks], np.full(k + 1, n / (k + 1.0))
+        out_g.append(np.full(len(pts), sg[s], dtype=object))
+        out_v.append(pts)
+        out_w.append(w)
+    if not out_g:
+        return pd.DataFrame({"g": [], "v": [], "w": pd.Series([], dtype="float64")})
+    return pd.DataFrame(
+        {
+            "g": np.concatenate(out_g),
+            "v": np.concatenate(out_v).astype(np.float64),
+            "w": np.concatenate(out_w),
+        }
+    )
+
+
+def qsketch_estimate(points: pd.DataFrame, qs_e2: list[int]) -> pd.DataFrame:
+    """Merged summary points -> per-group quantile estimates (value at
+    weighted rank q*W in the value-sorted point list)."""
+    rows = []
+    for g, sub in points.groupby("g", sort=False):
+        sub = sub.sort_values("v")
+        cum = sub["w"].cumsum().to_numpy()
+        vals = sub["v"].to_numpy()
+        total = cum[-1]
+        row = {"g": g}
+        for q in qs_e2:
+            i = int(np.searchsorted(cum, q * total / 100.0))
+            row[f"p{q:02d}"] = float(vals[min(i, len(vals) - 1)])
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def grouped_quantile_sketch(
+    ds: "ray.data.Dataset",
+    partial_fn,
+    qs_e2: list[int],
+    shards: int = 8,
+) -> pd.DataFrame:
+    """Distributed mergeable-summary quantiles: ``partial_fn(df) ->
+    (g, v, w)`` summary rows per batch, one candidates-only exchange
+    by group, the tiny estimate fold on merged points. Two streaming
+    passes nowhere — ONE pass; the caller grades the estimate's true
+    rank with its own count pass when it needs a contract."""
+    from cosmwasm_etl_ray.functions.agg import shard_exchange
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return qsketch_estimate(g, qs_e2)
+
+    part = ds.map_batches(partial_fn, batch_format="pandas")
+    return (
+        shard_exchange(part, ["g"], reduce_shard, shards)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )

@@ -74,3 +74,62 @@ def test_approx_distinct_distributed_matches_local(ray_session):
     assert got_p == local_p  # identical, not merely close: order-free fold
     exact_p = df.loc[df["grp"] == "p", "val"].nunique()
     assert abs(got_p / exact_p - 1) < 0.08
+
+
+# ------------------------------------------------ mergeable quantile sketch
+
+
+def test_qsketch_small_group_is_exact():
+    from cosmwasm_etl_ray.functions.approx import qsketch_estimate, qsketch_partial
+
+    v = np.arange(100, dtype=np.float64)
+    p = qsketch_partial(np.array(["a"] * 100, dtype=object), v)
+    est = qsketch_estimate(p, [50, 90]).set_index("g")
+    # n <= k+1 keeps every value: DISC-exact (rank ceil(q*n))
+    assert est.loc["a", "p50"] == v[49]
+    assert est.loc["a", "p90"] == v[89]
+
+
+def test_qsketch_rank_error_bound_across_blocks():
+    from cosmwasm_etl_ray.functions.approx import qsketch_estimate, qsketch_partial
+
+    rng = np.random.RandomState(3)
+    vals = rng.lognormal(3, 1.2, 60000)
+    g = np.array(["x"] * 60000, dtype=object)
+    parts = [
+        qsketch_partial(g[s : s + 4096], vals[s : s + 4096])
+        for s in range(0, 60000, 4096)
+    ]
+    est = qsketch_estimate(pd.concat(parts), [50, 90, 99]).set_index("g")
+    v = np.sort(vals)
+    for q in (50, 90, 99):
+        e = est.loc["x", f"p{q:02d}"]
+        rank = np.searchsorted(v, e, side="right") / len(v)
+        assert abs(rank - q / 100) < 0.01, (q, rank)
+
+
+def test_grouped_quantile_sketch_distributed(ray_session):
+    from cosmwasm_etl_ray.functions.approx import (
+        grouped_quantile_sketch,
+        qsketch_partial,
+    )
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {
+            "t": np.repeat(["u", "w"], 5000),
+            "value": rng.exponential(10, 10000),
+        }
+    )
+
+    def part(b):
+        return qsketch_partial(b["t"].to_numpy(), b["value"].to_numpy())
+
+    out = grouped_quantile_sketch(
+        ray.data.from_pandas(df).repartition(7), part, [50, 95]
+    ).set_index("g")
+    for g in ("u", "w"):
+        v = np.sort(df.loc[df["t"] == g, "value"].to_numpy())
+        for q in (50, 95):
+            rank = np.searchsorted(v, out.loc[g, f"p{q:02d}"], side="right") / len(v)
+            assert abs(rank - q / 100) < 0.02
