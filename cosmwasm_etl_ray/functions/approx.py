@@ -177,3 +177,90 @@ def grouped_quantile_sketch(
         .sort_values("g")
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------- heavy hitters (Misra-Gries)
+
+MG_K = 256  # summary size: catches every key with freq > n/(k+1)
+
+
+def mg_compress(counts: pd.Series, k: int = MG_K) -> pd.Series:
+    """Misra-Gries compression of an exact count vector to <= k
+    entries: subtract the (k+1)-largest count from all, drop the
+    non-positive. Each compression undercounts every key by at most
+    n_batch/(k+1), and summing summaries then re-compressing keeps the
+    TOTAL undercount <= n/(k+1) (the mergeable-summaries bound) — so
+    any key with true frequency > n/(k+1) is guaranteed to survive.
+    The guarantee is a FRACTION of the stream, independent of key
+    cardinality and corpus size."""
+    if len(counts) <= k:
+        return counts
+    v = counts.to_numpy()
+    cut = np.partition(v, len(v) - k - 1)[len(v) - k - 1]
+    out = counts - cut
+    return out[out > 0]
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    key_fn,
+    phi_e4: int,
+    k: int = MG_K,
+) -> pd.DataFrame:
+    """EXACT keys-with-frequency > phi (phi_e4 = fraction in 1e-4
+    units) at any scale: Misra-Gries proposes candidates (<= k+1
+    summary rows leave each block, whatever the key cardinality), one
+    tiny exchange merges the summaries, then a broadcast count pass
+    verifies candidates exactly — sketch proposes, exact pass
+    disposes, so the answer is value-exact while nothing key-space-
+    sized ever shuffles. Requires phi > 1/(k+1) (asserted): below that
+    the sketch can miss a qualifying key.
+
+    This is the scale form of the skew detector: stages/skew.py's
+    per-key count pre-aggregation finds the hot set exactly by paying
+    a key-cardinality shuffle; at corpus-scale cardinality this sketch
+    finds the same hot set for a k-row exchange."""
+    assert phi_e4 * (k + 1) > 10_000, "phi must exceed the sketch bound 1/(k+1)"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = mg_compress(key_fn(df).value_counts(), k)
+        return pd.DataFrame(
+            {"key": c.index.to_numpy(object), "n": c.to_numpy(np.int64),
+             "g": np.zeros(len(c), dtype=np.int64)}
+        )
+
+    def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        c = mg_compress(g.groupby("key", sort=False)["n"].sum(), k)
+        return pd.DataFrame(
+            {"key": c.index.to_numpy(object), "n_est": c.to_numpy(np.int64)}
+        )
+
+    from cosmwasm_etl_ray.functions.agg import shard_exchange
+
+    cand = shard_exchange(
+        ds.map_batches(partial, batch_format="pandas"), ["g"], merge_shard, 1
+    ).to_pandas()
+    cand_ref = ray.put(frozenset(cand["key"]))
+
+    def exact_counts(df: pd.DataFrame) -> pd.DataFrame:
+        keys = key_fn(df)
+        hit = keys[keys.isin(ray.get(cand_ref))]
+        c = hit.value_counts()
+        return pd.DataFrame(
+            {"key": np.r_[c.index.to_numpy(object), ["__total__"]],
+             "n": np.r_[c.to_numpy(np.int64), [len(df)]]}
+        )
+
+    agg = (
+        ds.map_batches(exact_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby("key", sort=False)["n"]
+        .sum()
+    )
+    total = int(agg.pop("__total__"))
+    keep = agg[agg * 10_000 > phi_e4 * total].sort_values(ascending=False)
+    return pd.DataFrame(
+        {"key": keep.index.to_numpy(object),
+         "n_events": keep.to_numpy(np.int64),
+         "share_e4": (keep.to_numpy(np.int64) * 10_000 // max(total, 1))}
+    )

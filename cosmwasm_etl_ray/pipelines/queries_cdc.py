@@ -405,8 +405,28 @@ SELECT repo, path, "commit", lang
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
+def cdc_heavy_repos(sf_dir: str) -> "pd.DataFrame":
+    """Hot-key detection over the change stream — the scale form of
+    stages/skew.py's exact per-key pre-count: a Misra-Gries summary
+    (<= 257 rows leave each block whatever the repo cardinality)
+    proposes candidates, a broadcast count pass verifies them exactly,
+    and the emitted shares are value-exact. phi = 5% of the stream;
+    the generated stream's 'mono' repo (~14%) is the planted hitter."""
+    from cosmwasm_etl_ray.functions.approx import heavy_hitters
+
+    out = heavy_hitters(
+        changes_from_documents(sf_dir).map_batches(
+            lambda t: t.select(["repo"]), batch_format="pyarrow"
+        ),
+        key_fn=lambda df: df["repo"],
+        phi_e4=500,
+    )
+    return out.rename(columns={"key": "repo"})
+
+
 QUERIES = {
     "cdc_final_state": cdc_final_state,
+    "cdc_heavy_repos": cdc_heavy_repos,
     "cdc_state_at": cdc_state_at,
     "cdc_live_counts": cdc_live_counts,
     "cdc_change_stats": cdc_change_stats,
@@ -417,6 +437,17 @@ QUERIES = {
     "cdc_price_routed": cdc_price_routed,
     "cdc_state_join_events": cdc_state_join_events,
 }
+
+ORACLE_SQL["cdc_heavy_repos"] = f"""
+{_PREFIX}
+SELECT repo,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) * 10000 // (SELECT count(*) FROM changes) AS BIGINT)
+           AS share_e4
+FROM changes
+GROUP BY repo
+HAVING count(*) * 10000 > 500 * (SELECT count(*) FROM changes)
+"""
 
 ORACLE_SQL["cdc_state_join_events"] = f"""
 {_PREFIX},

@@ -133,3 +133,50 @@ def test_grouped_quantile_sketch_distributed(ray_session):
         for q in (50, 95):
             rank = np.searchsorted(v, out.loc[g, f"p{q:02d}"], side="right") / len(v)
             assert abs(rank - q / 100) < 0.02
+
+
+# ------------------------------------------------- heavy hitters (MG)
+
+
+def test_mg_compress_keeps_frequent_keys():
+    from cosmwasm_etl_ray.functions.approx import mg_compress
+
+    # 5 heavy keys (100 each) in a sea of 500 singletons
+    c = pd.Series(
+        np.r_[np.full(5, 100), np.ones(500)].astype(np.int64),
+        index=[f"k{i}" for i in range(505)],
+    )
+    out = mg_compress(c, 16)
+    assert len(out) <= 16
+    assert set(f"k{i}" for i in range(5)) <= set(out.index)
+    # undercount per compression <= n/(k+1)
+    n = int(c.sum())
+    assert (c.reindex(out.index) - out).max() <= n / 17
+
+
+def test_heavy_hitters_exact_on_planted_stream(ray_session):
+    from cosmwasm_etl_ray.functions.approx import heavy_hitters
+
+    rng = np.random.RandomState(2)
+    # 20% 'hot', 10% 'warm', rest spread over 5000 cold keys
+    keys = np.r_[
+        np.repeat(["hot"], 8000),
+        np.repeat(["warm"], 4000),
+        rng.choice([f"c{i}" for i in range(5000)], 28000),
+    ]
+    rng.shuffle(keys)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(11)
+    out = heavy_hitters(ds, key_fn=lambda df: df["k"], phi_e4=500)
+    assert list(out["key"]) == ["hot", "warm"]
+    assert list(out["n_events"]) == [8000, 4000]
+    assert list(out["share_e4"]) == [2000, 1000]
+
+
+def test_heavy_hitters_rejects_sub_bound_phi(ray_session):
+    import pytest
+
+    from cosmwasm_etl_ray.functions.approx import heavy_hitters
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ["a", "b"]}))
+    with pytest.raises(AssertionError):
+        heavy_hitters(ds, key_fn=lambda df: df["k"], phi_e4=10, k=256)
