@@ -326,6 +326,80 @@ class LangWindowStatsTask(DerivedTask):
         )
 
 
+class DistinctPathsTask(DerivedTask):
+    """Sketches as DERIVED STATE: per-repo HyperLogLog registers of
+    distinct paths ever seen, folded across epochs. Each epoch commits
+    its own register partial (<= repos x 1024 rows, whatever the epoch
+    size); ``view()`` merges partials by register max — the fold is
+    associative, commutative, and IDEMPOTENT, so a re-run of any epoch
+    (crash recovery, D4 truncate-and-recompute) or a partial overlap
+    changes nothing, and the cumulative estimate is identical at any
+    epoch partitioning. The exactly-once sink discipline the additive
+    tasks need (never double-count a partial) is thus not even load-
+    bearing here; the same file layout is kept for uniformity."""
+
+    name = "distinct_paths"
+
+    def process_epoch(self, epoch: int, manifest: dict) -> None:
+        files = _epoch_source_files(manifest)
+        if not files:
+            self._commit(epoch, pd.DataFrame(
+                {
+                    "g": pd.Series(dtype="object"),
+                    "reg": pd.Series(dtype="int64"),
+                    "rho": pd.Series(dtype="int64"),
+                }
+            ))
+            return
+        from cosmwasm_etl_ray.functions.approx import hll_partial
+        from cosmwasm_etl_ray.functions.hashing import stable_hash64
+
+        ds = ray.data.read_parquet(files, columns=["repo", "path"])
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            return hll_partial(
+                df["repo"].to_numpy(), stable_hash64(df["path"].to_numpy())
+            )
+
+        from cosmwasm_etl_ray.functions.agg import shard_exchange
+
+        # fold per-block partials to one register set per (g, reg)
+        # INSIDE the exchange — the driver receives <= repos x 1024
+        # rows however many blocks the epoch had
+        regs = shard_exchange(
+            ds.map_batches(part, batch_format="pandas"),
+            ["g"],
+            lambda g: g.groupby(["g", "reg"], as_index=False)["rho"].max(),
+            8,
+        ).to_pandas()
+        self._commit(epoch, regs)
+
+    def view(self) -> pd.DataFrame:
+        """Cumulative distinct-path estimate per repo."""
+        from cosmwasm_etl_ray.functions.approx import hll_estimate
+
+        cur = self.cursor()
+        parts = [
+            pd.read_parquet(self._epoch_out(e))
+            for e in range((cur + 1) if cur is not None else 0)
+            if os.path.exists(self._epoch_out(e))
+        ]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return pd.DataFrame()
+        merged = (
+            pd.concat(parts, ignore_index=True)
+            .groupby(["g", "reg"], as_index=False)["rho"]
+            .max()
+        )
+        return (
+            hll_estimate(merged)
+            .rename(columns={"g": "repo", "hll_est": "distinct_paths_est"})
+            .sort_values("repo")
+            .reset_index(drop=True)
+        )
+
+
 def run_all_tasks(
     store, cfg: EngineConfig, concurrent: bool = True
 ) -> dict[str, list[int]]:
@@ -350,10 +424,13 @@ def run_all_tasks(
     price = PriceTask(store, cfg)
     if concurrent:
         ensure_thread_safe_lazy_imports()
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=4) as pool:
             futs = {
                 WindowStatsTask.name: pool.submit(WindowStatsTask(store, cfg).run),
                 RepoHistoryTask.name: pool.submit(RepoHistoryTask(store, cfg).run),
+                DistinctPathsTask.name: pool.submit(
+                    DistinctPathsTask(store, cfg).run
+                ),
                 PriceTask.name: pool.submit(price.run),
             }
             for name, f in futs.items():
@@ -361,6 +438,7 @@ def run_all_tasks(
     else:
         out[WindowStatsTask.name] = WindowStatsTask(store, cfg).run()
         out[RepoHistoryTask.name] = RepoHistoryTask(store, cfg).run()
+        out[DistinctPathsTask.name] = DistinctPathsTask(store, cfg).run()
         out[PriceTask.name] = price.run()
     out[LangWindowStatsTask.name] = LangWindowStatsTask(store, cfg).run(
         parent_cursor=price.cursor()

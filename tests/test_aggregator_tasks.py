@@ -100,7 +100,8 @@ def test_task_never_runs_ahead_of_parent(tmp_path):
     the parent-wait (waitUntilReachingHeight) analogue."""
     store = StateStore(str(tmp_path / "empty"))
     assert run_all_tasks(store, CFG) == {
-        "window_stats": [], "repo_history": [], "price": [], "lang_window_stats": []
+        "window_stats": [], "repo_history": [], "distinct_paths": [],
+        "price": [], "lang_window_stats": [],
     }
 
 
@@ -174,3 +175,50 @@ def test_empty_epoch_partial_keeps_numeric_dtypes(replayed):
         assert empty[c].dtype == "int64", (c, empty[c].dtype)
     merged = pd.concat([empty, before], ignore_index=True)
     assert merged["n_events"].dtype == "int64"
+
+
+# ------------------------------------------- sketch-as-state (HLL task)
+
+
+def test_distinct_paths_task_epoch_fold_equals_oneshot(replayed):
+    import numpy as np
+
+    from cosmwasm_etl_ray.functions.approx import hll_estimate, hll_partial
+    from cosmwasm_etl_ray.functions.hashing import stable_hash64
+    from cosmwasm_etl_ray.pipelines.aggregator import DistinctPathsTask
+
+    log, store = replayed
+    task = DistinctPathsTask(store, CFG)
+    done = task.run()
+    assert done == store.committed_epochs()
+    got = task.view().set_index("repo")["distinct_paths_est"]
+
+    raw = pd.concat(
+        [pd.read_parquet(f) for f in log["files"]], ignore_index=True
+    )
+    p = hll_partial(
+        raw["repo"].to_numpy(), stable_hash64(raw["path"].to_numpy())
+    )
+    merged = p.groupby(["g", "reg"], as_index=False)["rho"].max()
+    oneshot = hll_estimate(merged).set_index("g")["hll_est"]
+    # register fold across epochs == one pass over everything: IDENTICAL
+    assert sorted(got.index) == sorted(oneshot.index)
+    assert (got.reindex(oneshot.index).to_numpy()
+            == oneshot.to_numpy()).all()
+    # and the estimate is actually close to the exact distinct
+    exact = raw.groupby("repo")["path"].nunique()
+    big = exact[exact >= 500]
+    rel = np.abs(got.reindex(big.index).to_numpy() / big.to_numpy() - 1)
+    assert (rel < 0.08).all()
+
+
+def test_distinct_paths_task_reprocess_is_idempotent(replayed):
+    from cosmwasm_etl_ray.pipelines.aggregator import DistinctPathsTask
+
+    _, store = replayed
+    task = DistinctPathsTask(store, CFG)
+    task.run()
+    before = task.view()
+    # crash-recovery shape: re-run an already-committed epoch
+    task.process_epoch(0, store.manifest(0))
+    pd.testing.assert_frame_equal(task.view(), before)
