@@ -54,20 +54,10 @@ def build_ivf_index(
     centroids = _kmeans_lite(sample, n_lists, seed=seed)
     cref = ray.put(centroids)
 
-    class Assign:
-        def __init__(self):
-            self.centroids = ray.get(cref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            X = _normalize(_embedding_matrix(batch))
-            batch = batch.copy()
-            assign = np.argmax(X @ self.centroids.T, axis=1).astype("int32")
-            batch["list_id"] = assign  # hive partition key (lives in the path)
-            batch["list_assign"] = assign  # survives inside the files
-            return batch
-
     _coalesced(
-        db.map_batches(Assign, batch_format="pandas", concurrency=(1, 8)), n
+        db.map_batches(_make_assigner(cref), batch_format="pandas",
+                       concurrency=(1, 8)),
+        n,
     ).write_parquet(index_dir, partition_cols=["list_id"])
     meta = {
         "n_lists": int(len(centroids)),
@@ -76,6 +66,71 @@ def build_ivf_index(
         "n_vectors": int(n),
         "centroids": centroids.tolist(),
     }
+    tmp = os.path.join(index_dir, f"_meta.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "_meta.json"))
+    return meta
+
+
+def _make_assigner(cref):
+    """The shared centroid-assignment stage (build and append must
+    agree bit-for-bit on list routing)."""
+
+    class Assign:
+        def __init__(self):
+            self.centroids = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            X = _normalize(_embedding_matrix(batch))
+            batch = batch.copy()
+            assign = np.argmax(X @ self.centroids.T, axis=1).astype("int32")
+            batch["list_id"] = assign
+            batch["list_assign"] = assign
+            return batch
+
+    return Assign
+
+
+def append_ivf_index(db: "ray.data.Dataset", index_dir: str) -> dict:
+    """Add new vectors to an existing index WITHOUT retraining: assign
+    against the frozen quantizer, write a self-contained increment
+    generation ``inc-<g>/list_id=*/``, then register it in the sidecar.
+    The generation directory is built under a tmp name and renamed
+    whole — the directory-granular form of the engine's tmp+rename
+    discipline — and readers only glob generations the sidecar
+    registers, so a crash anywhere leaves the increment invisible and
+    a re-run (same g) sweeps the stale dir and overwrites. Probe I/O
+    still prunes by list path across base + increments. The trade vs a
+    rebuild: new vectors live in the old centroid geometry, so recall
+    degrades as the appended distribution drifts — the sidecar's
+    n_appended/n_vectors ratio is the rebuild trigger (the same
+    grow-then-rebuild discipline as the reference's route cache,
+    /root/reference/aggregator/router.go:106-143)."""
+    import shutil
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    cref = ray.put(np.array(meta["centroids"], dtype=np.float64))
+
+    db = db.materialize()  # consumed twice: count + assigned write
+    n_new = db.count()
+    gen = int(meta.get("n_increments", 0))
+    final_dir = os.path.join(index_dir, f"inc-{gen}")
+    tmp_dir = f"{final_dir}.tmp.{os.getpid()}"
+    _coalesced(
+        db.map_batches(_make_assigner(cref), batch_format="pandas",
+                       concurrency=(1, 8)),
+        n_new,
+    ).write_parquet(tmp_dir, partition_cols=["list_id"])
+    for stale in (final_dir,):  # uncommitted prior attempt (crash after
+        if os.path.exists(stale):  # rename, before sidecar register)
+            shutil.rmtree(stale)
+    os.replace(tmp_dir, final_dir)
+
+    meta["n_increments"] = gen + 1
+    meta["n_vectors"] = int(meta["n_vectors"]) + int(n_new)
+    meta["n_appended"] = int(meta.get("n_appended", 0)) + int(n_new)
     tmp = os.path.join(index_dir, f"_meta.json.tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -130,11 +185,18 @@ def query_ivf_index(
     # PATH-level pruning: only the probed lists' files are read
     import glob as _glob
 
+    # base generation + every REGISTERED increment (inc dirs not in the
+    # sidecar are invisible — crash-safe by construction)
+    roots = [index_dir] + [
+        os.path.join(index_dir, f"inc-{g}")
+        for g in range(int(meta.get("n_increments", 0)))
+    ]
     probe_files = [
         f
+        for r in roots
         for l in needed
         for f in sorted(
-            _glob.glob(os.path.join(index_dir, f"list_id={l}", "*.parquet"))
+            _glob.glob(os.path.join(r, f"list_id={l}", "*.parquet"))
         )
     ]
     if not probe_files:  # every probed list empty: zero neighbors,

@@ -512,6 +512,47 @@ def ann_ivf_indexed(sf_dir: str) -> pd.DataFrame:
     return _ann_contract(sf_dir, approx, bar=3)
 
 
+def ann_ivf_appended(sf_dir: str) -> pd.DataFrame:
+    """Recall contract over an INCREMENTALLY GROWN IVF index: the base
+    generation is built (and its quantizer trained) on only the odd
+    half of the corpus, the even half is appended against the frozen
+    centroids (functions/ann_index.append_ivf_index — directory-
+    granular tmp+rename, sidecar-registered generations), and queries
+    must still clear the same bar as the fresh-built index — the
+    serving-path guarantee that incremental ingest doesn't silently
+    rot recall (measured 7-9/10 at sf0.01, green at sf0.1 too; bar 3)."""
+    import pyarrow.compute as pc
+
+    from cosmwasm_etl_ray.functions.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    key = (sf_dir, "ivf_appended")
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        qdf, db = _split_queries_db(sf_dir)
+
+        def _half(par):
+            def f(t):
+                return t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 1), par))
+
+            return f
+
+        d = tempfile.mkdtemp(prefix="cwel_ivf_app_")
+        build_ivf_index(
+            db.map_batches(_half(1), batch_format="pyarrow"), d,
+            n_lists=16, seed=11,
+        )
+        append_ivf_index(db.map_batches(_half(0), batch_format="pyarrow"), d)
+        _INDEX_CACHE[key] = d
+    qdf, _ = _split_queries_db(sf_dir)
+    approx = query_ivf_index(_INDEX_CACHE[key], qdf, k=10, n_probe=8).to_pandas()
+    return _ann_contract(sf_dir, approx, bar=3)
+
+
 def ann_lsh_indexed(sf_dir: str) -> pd.DataFrame:
     """Recall contract over the PERSISTENT LSH tables (same planes as
     ann_lsh; candidates resolve via a distributed hash join against
@@ -542,6 +583,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_lsh_indexed": ann_lsh_indexed,
     "ann_ivf_indexed": ann_ivf_indexed,
+    "ann_ivf_appended": ann_ivf_appended,
     "media_meta": media_meta,
     "media_resize": media_resize,
 }
@@ -649,6 +691,10 @@ SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_returned, true AS recall_ok
 FROM embeddings WHERE vec_id < 5
 """,
     "ann_ivf_indexed": """
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_returned, true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+""",
+    "ann_ivf_appended": """
 SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_returned, true AS recall_ok
 FROM embeddings WHERE vec_id < 5
 """,

@@ -87,3 +87,50 @@ def test_minhash_index_increment_probe(tmp_path, sf_dir):
     assert hits / n_docs >= 0.8, f"increment-probe recall {hits / n_docs}"
     # pruning is real: the probe plan reads shard dirs, not the corpus
     assert len(glob.glob(os.path.join(idx, "buckets", "bshard=*"))) == 64
+
+
+# ---------------------------------------------- IVF incremental append
+
+
+def test_ivf_append_covers_all_vectors_and_is_crash_safe(tmp_path, sf_dir):
+    import json
+
+    import pyarrow.compute as pc
+
+    from cosmwasm_etl_ray.functions.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    qdf, db = _split_queries_db(sf_dir)
+
+    def half(par):
+        def f(t):
+            return t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 1), par))
+
+        return f
+
+    d = str(tmp_path / "idx")
+    build_ivf_index(db.map_batches(half(1), batch_format="pyarrow"), d,
+                    n_lists=8, seed=11)
+    base_meta = json.load(open(os.path.join(d, "_meta.json")))
+
+    # an UNREGISTERED increment directory is invisible to queries
+    os.makedirs(os.path.join(d, "inc-0", "list_id=0"), exist_ok=True)
+    pre = query_ivf_index(d, qdf, k=10, n_probe=8).to_pandas()
+    even_ids = set(
+        db.map_batches(half(0), batch_format="pyarrow")
+        .to_pandas()["vec_id"]
+    )
+    assert not (set(pre["neighbor_id"]) & even_ids)
+
+    # real append: the stale dir is swept, the generation registers
+    meta = append_ivf_index(db.map_batches(half(0), batch_format="pyarrow"), d)
+    assert meta["n_increments"] == 1
+    assert meta["n_vectors"] == base_meta["n_vectors"] + len(even_ids)
+    post = query_ivf_index(d, qdf, k=10, n_probe=8).to_pandas()
+    # appended vectors are now reachable neighbors
+    assert set(post["neighbor_id"]) & even_ids
+    # and every query still returns a full k
+    assert (post.groupby("query_id").size() == 10).all()
