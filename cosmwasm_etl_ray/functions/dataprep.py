@@ -638,3 +638,58 @@ def pack_sequences(
         docs.map_batches(add_shard, batch_format="pandas"),
         ["shard"], pack_shard, shards, by_column=True,
     )
+
+
+# --------------------------------------- content-defined chunking (CDC)
+
+CDC_DIV = 8  # boundary when token hash % DIV == 0 -> ~DIV-token chunks
+CDC_POW_N = 48  # modular power table length (char positions wrap past it)
+
+
+def _cdc_pows() -> np.ndarray:
+    from cosmwasm_etl_ray.functions.text import FP_BASE, FP_MOD
+
+    return np.array(
+        [pow(FP_BASE, j, FP_MOD) for j in range(CDC_POW_N)], dtype=np.int64
+    )
+
+
+def cdc_chunk_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Content-defined chunk boundaries: a chunk ENDS at every token
+    whose codepoint-polynomial hash (mod the 31-bit prime, positions
+    wrapping past CDC_POW_N — restated verbatim in the SQL twin) is
+    divisible by CDC_DIV. Unlike fixed-stride chunk_batch, inserting
+    text into a document only re-chunks the window around the edit —
+    every boundary downstream of unchanged content stays put, which is
+    what makes chunk-level dedup survive document revisions (the same
+    reason the replay keys on content-stable (repo, path))."""
+    from cosmwasm_etl_ray.functions.text import FP_MOD
+
+    pows = _cdc_pows()
+    rows_id, rows_cid, rows_txt, rows_n = [], [], [], []
+    for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+        toks = str(text).split(" ")
+        th = np.empty(len(toks), dtype=np.int64)
+        for i, w in enumerate(toks):
+            codes = np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
+            th[i] = int(
+                (codes.astype(np.int64)
+                 * pows[np.arange(len(codes)) % CDC_POW_N]).sum() % FP_MOD
+            ) if len(codes) else 0
+        bound = th % CDC_DIV == 0
+        cid = np.zeros(len(toks), dtype=np.int64)
+        cid[1:] = np.cumsum(bound[:-1])
+        for c in np.unique(cid):
+            m = cid == c
+            rows_id.append(doc_id)
+            rows_cid.append(int(c))
+            rows_txt.append(" ".join(np.array(toks, dtype=object)[m]))
+            rows_n.append(int(m.sum()))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(rows_id, dtype="int64"),
+            "chunk_id": pd.Series(rows_cid, dtype="int64"),
+            "chunk_text": pd.Series(rows_txt, dtype="object"),
+            "n_tokens": pd.Series(rows_n, dtype="int64"),
+        }
+    )

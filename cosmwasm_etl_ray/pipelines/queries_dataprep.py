@@ -116,6 +116,15 @@ def corpus_filter_docs(sf_dir: str) -> "ray.data.Dataset":
     return corpus_filter(_docs(sf_dir))
 
 
+def cdc_chunks(sf_dir: str) -> "ray.data.Dataset":
+    """Content-defined chunking: boundaries keyed on token-content
+    hashes, so edits only re-chunk their neighborhood and chunk-level
+    dedup survives document revisions. Pure streaming flat map."""
+    from cosmwasm_etl_ray.functions.dataprep import cdc_chunk_batch
+
+    return _docs(sf_dir).map_batches(cdc_chunk_batch, batch_format="pandas")
+
+
 def shuffle_order(sf_dir: str) -> "ray.data.Dataset":
     """Reproducible global training order: position 0..N-1 by
     (shuffle_hash(doc_id, seed), doc_id) — distributed rank via
@@ -203,6 +212,7 @@ def domain_quantiles(sf_dir: str) -> "ray.data.Dataset":
 
 QUERIES = {
     "doc_chunks": doc_chunks,
+    "cdc_chunks": cdc_chunks,
     "shuffle_order": shuffle_order,
     "mixture_epoch": mixture_epoch,
     "stratified_sample": stratified_sample,
@@ -270,6 +280,32 @@ SELECT lang,
        CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90,
        CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
 FROM documents GROUP BY lang
+""",
+    # the token polynomial restated with the SAME modular power
+    # table (positions wrap past 48); boundary AFTER a token whose
+    # hash % 8 == 0; chunk_id = boundaries strictly before the token
+    "cdc_chunks": """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+    SELECT doc_id, s.i AS i, t[s.i] AS w,
+           COALESCE(list_sum(list_transform(range(1, length(t[s.i]) + 1),
+               j -> CAST(unicode(t[s.i][j]) AS BIGINT)
+                    * ([1, 1000003, 1426104154, 1049561761, 1604566856, 1953433226, 2061642598, 57298384, 1544709545, 1274554124, 633364108, 66148026, 1433149184, 206851044, 1744706798, 1828017126, 777862745, 1404488248, 1649104745, 1165208113, 2014147668, 880634293, 1135908413, 345644589, 1690498176, 1973092481, 1162832078, 1088933145, 1141496910, 1106960586, 511362668, 1101097070, 1755612077, 70289850, 773619593, 1667445264, 81400643, 519562394, 1759132002, 280152192, 905803544, 1954073326, 65952445, 1272574318, 801347224, 1072778093, 1560508135, 874758915])[((j - 1) % 48) + 1]
+           )), 0) % 2147483647 AS th
+    FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+),
+marked AS (
+    SELECT doc_id, i, w,
+           COALESCE(sum(CASE WHEN th % 8 = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+    FROM pos
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       string_agg(w, ' ' ORDER BY i) AS chunk_text,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM marked GROUP BY doc_id, chunk_id
 """,
     # k smallest seeded hashes per lang == row_number over the same key
     "stratified_sample": f"""

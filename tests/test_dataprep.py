@@ -322,3 +322,34 @@ def test_mixture_expand_copy_indices(ray_session):
     assert (got_counts["min"] == 0).all()
     assert (got_counts["max"].to_numpy() == expect[nonzero] - 1).all()
     assert not set(df.loc[df["lang"] == "zh", "doc_id"]) & set(out["doc_id"])
+
+
+# --------------------------------------- content-defined chunking (CDC)
+
+
+def test_cdc_chunks_cover_and_are_insertion_stable():
+    from cosmwasm_etl_ray.functions.dataprep import cdc_chunk_batch
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = cdc_chunk_batch(_df([text]))
+    # chunks reassemble the doc exactly, ids contiguous from 0
+    joined = " ".join(base.sort_values("chunk_id")["chunk_text"])
+    assert joined == text
+    assert list(base["chunk_id"]) == list(range(len(base)))
+    assert int(base["n_tokens"].sum()) == len(text.split(" "))
+
+    # content-defined: a PREFIX edit leaves every downstream boundary
+    # intact — the suffix chunk set is unchanged (what fixed-stride
+    # chunking cannot do)
+    edited = cdc_chunk_batch(_df(["XX YY " + text]))
+    tail = set(base["chunk_text"]) - {base["chunk_text"].iloc[0]}
+    assert tail <= set(edited["chunk_text"])
+
+
+def test_cdc_chunk_empty_and_single_token():
+    from cosmwasm_etl_ray.functions.dataprep import cdc_chunk_batch
+
+    out = cdc_chunk_batch(_df(["", "solo"]))
+    assert list(out["doc_id"]) == [0, 1]
+    assert (out["chunk_id"] == 0).all()
+    assert list(out["chunk_text"]) == ["", "solo"]
