@@ -110,6 +110,11 @@ def qsketch_partial(
     the merged estimate is partition-invariant up to summary content,
     and the CONTRACT below is graded on the true measured rank).
     Small groups (n <= k+1) keep every value: exact."""
+    if not len(group):  # np.r_[True, ...] below would fabricate a run
+        return pd.DataFrame(
+            {"g": [], "v": pd.Series([], dtype="float64"),
+             "w": pd.Series([], dtype="float64")}
+        )
     out_g, out_v, out_w = [], [], []
     order = np.argsort(group, kind="stable")
     sg, sv = group[order], values[order]

@@ -180,3 +180,17 @@ def test_heavy_hitters_rejects_sub_bound_phi(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"k": ["a", "b"]}))
     with pytest.raises(AssertionError):
         heavy_hitters(ds, key_fn=lambda df: df["k"], phi_e4=10, k=256)
+
+
+def test_partials_tolerate_empty_batches():
+    from cosmwasm_etl_ray.functions.approx import (
+        hll_partial,
+        qsketch_partial,
+    )
+    from cosmwasm_etl_ray.functions.hashing import stable_hash64
+
+    es = np.array([], dtype=object)
+    p = hll_partial(es, stable_hash64(es))
+    assert list(p.columns) == ["g", "reg", "rho"] and len(p) == 0
+    q = qsketch_partial(es, np.array([], dtype=np.float64))
+    assert list(q.columns) == ["g", "v", "w"] and len(q) == 0
