@@ -123,6 +123,7 @@ def append_ivf_index(db: "ray.data.Dataset", index_dir: str) -> dict:
                        concurrency=(1, 8)),
         n_new,
     ).write_parquet(tmp_dir, partition_cols=["list_id"])
+    os.makedirs(tmp_dir, exist_ok=True)  # an empty increment still renames
     for stale in (final_dir,):  # uncommitted prior attempt (crash after
         if os.path.exists(stale):  # rename, before sidecar register)
             shutil.rmtree(stale)

@@ -262,7 +262,8 @@ def heavy_hitters(
         .groupby("key", sort=False)["n"]
         .sum()
     )
-    total = int(agg.pop("__total__"))
+    # a zero-block input never emits the __total__ sentinel row
+    total = int(agg.pop("__total__")) if "__total__" in agg.index else 0
     keep = agg[agg * 10_000 > phi_e4 * total].sort_values(ascending=False)
     return pd.DataFrame(
         {"key": keep.index.to_numpy(object),
