@@ -240,11 +240,24 @@ def heavy_hitters(
             {"key": c.index.to_numpy(object), "n_est": c.to_numpy(np.int64)}
         )
 
+    def recompress(g: pd.DataFrame) -> pd.DataFrame:
+        # intermediate tree level: merge-compress MANY block summaries
+        # back to <= k+1 rows (MG summaries are mergeable with the same
+        # bound under pairwise merge+compress), so the final merge task
+        # sees <= k+1 rows per coalesced batch, not per block — the
+        # single-task ceiling no longer grows with block count
+        c = mg_compress(g.groupby("key", sort=False)["n"].sum(), k)
+        return pd.DataFrame(
+            {"key": c.index.to_numpy(object), "n": c.to_numpy(np.int64),
+             "g": np.zeros(len(c), dtype=np.int64)}
+        )
+
     from cosmwasm_etl_ray.functions.agg import shard_exchange
 
-    cand = shard_exchange(
-        ds.map_batches(partial, batch_format="pandas"), ["g"], merge_shard, 1
-    ).to_pandas()
+    summaries = ds.map_batches(partial, batch_format="pandas").map_batches(
+        recompress, batch_format="pandas", batch_size=64 * (k + 1)
+    )
+    cand = shard_exchange(summaries, ["g"], merge_shard, 1).to_pandas()
     cand_ref = ray.put(frozenset(cand["key"]))
 
     def exact_counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -256,8 +269,14 @@ def heavy_hitters(
              "n": np.r_[c.to_numpy(np.int64), [len(df)]]}
         )
 
+    def fold_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # per-batch pre-sum: the driver receives <= (k+2) rows per
+        # coalesced batch instead of per block
+        return g.groupby("key", sort=False, as_index=False)["n"].sum()
+
     agg = (
         ds.map_batches(exact_counts, batch_format="pandas")
+        .map_batches(fold_counts, batch_format="pandas", batch_size=64 * (k + 2))
         .to_pandas()
         .groupby("key", sort=False)["n"]
         .sum()

@@ -183,7 +183,17 @@ def deterministic_shuffle(
             {"bucket": nz.astype(np.int64), "n": bc[nz].astype(np.int64)}
         )
 
-    parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    def fold_hist(g: pd.DataFrame) -> pd.DataFrame:
+        # coalescing pre-sum: the driver receives <= buckets rows per
+        # coalesced batch, not per block (10^6 blocks x 1024 buckets
+        # would otherwise land on the driver raw)
+        return g.groupby("bucket", sort=False, as_index=False)["n"].sum()
+
+    parts = (
+        ds.map_batches(hist, batch_format="pandas")
+        .map_batches(fold_hist, batch_format="pandas", batch_size=64 * buckets)
+        .to_pandas()
+    )
     counts = np.zeros(buckets, dtype=np.int64)
     if len(parts):
         np.add.at(counts, parts["bucket"].to_numpy(), parts["n"].to_numpy())
