@@ -373,7 +373,12 @@ def grouped_topk(
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return partial(g)
 
-    cand = ds.map_batches(partial, batch_format="pandas")
+    # coalescing re-cut: top-k is idempotent under re-application, so a
+    # second pass over many blocks' candidates bounds each shard task's
+    # input by k x groups per coalesced batch, not per block
+    cand = ds.map_batches(partial, batch_format="pandas").map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
     return shard_exchange(cand, [group_col], final, shards)
 
 
@@ -432,5 +437,17 @@ def grouped_quantiles(
             rows.append(row)
         return pd.DataFrame(rows)
 
-    part = ds.map_batches(partial, batch_format="pandas")
+    def fold_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # coalescing pre-sum (same associative fold as the reducer):
+        # shard-task input bounded by distinct (group, value) per
+        # coalesced batch, not per block
+        return (
+            g.groupby([group_col, value_col], sort=False, as_index=False)[
+                "_n"
+            ].sum()
+        )
+
+    part = ds.map_batches(partial, batch_format="pandas").map_batches(
+        fold_counts, batch_format="pandas", batch_size=65536
+    )
     return shard_exchange(part, [group_col], reduce_shard, shards)
