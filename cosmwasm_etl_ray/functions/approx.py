@@ -72,6 +72,13 @@ def hll_estimate(regs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def hll_fold(g: pd.DataFrame) -> pd.DataFrame:
+    """Register-max fold (idempotent — also the coalescing pre-fold
+    that bounds exchange input by groups x m per batch, not per
+    block)."""
+    return g.groupby(["g", "reg"], sort=False, as_index=False)["rho"].max()
+
+
 def approx_distinct(
     ds: "ray.data.Dataset",
     partial_fn,
@@ -83,10 +90,12 @@ def approx_distinct(
     from cosmwasm_etl_ray.functions.agg import shard_exchange
 
     def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
-        merged = g.groupby(["g", "reg"], sort=False)["rho"].max().reset_index()
+        merged = hll_fold(g)
         return hll_estimate(merged)
 
-    part = ds.map_batches(partial_fn, batch_format="pandas")
+    part = ds.map_batches(partial_fn, batch_format="pandas").map_batches(
+        hll_fold, batch_format="pandas", batch_size=64 * HLL_M
+    )
     return (
         shard_exchange(part, ["g"], reduce_shard, shards)
         .to_pandas()

@@ -362,15 +362,18 @@ class DistinctPathsTask(DerivedTask):
             )
 
         from cosmwasm_etl_ray.functions.agg import shard_exchange
+        from cosmwasm_etl_ray.functions.approx import HLL_M, hll_fold
 
         # fold per-block partials to one register set per (g, reg)
-        # INSIDE the exchange — the driver receives <= repos x 1024
-        # rows however many blocks the epoch had
+        # INSIDE the exchange (plus a coalescing pre-fold so shard
+        # input is bounded per batch, not per block) — the driver
+        # receives <= repos x 1024 rows however many blocks the epoch
+        # had
         regs = shard_exchange(
-            ds.map_batches(part, batch_format="pandas"),
-            ["g"],
-            lambda g: g.groupby(["g", "reg"], as_index=False)["rho"].max(),
-            8,
+            ds.map_batches(part, batch_format="pandas").map_batches(
+                hll_fold, batch_format="pandas", batch_size=64 * HLL_M
+            ),
+            ["g"], hll_fold, 8,
         ).to_pandas()
         self._commit(epoch, regs)
 
