@@ -116,6 +116,37 @@ def corpus_filter_docs(sf_dir: str) -> "ray.data.Dataset":
     return corpus_filter(_docs(sf_dir))
 
 
+ENCODE_VOCAB_K = 20  # < the corpus's 31 distinct tokens: OOV -> 0 is live
+
+
+def encode_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Tokenize-to-ids against the LEARNED vocabulary — the last step
+    before training: vocab_topk's frequency cut becomes the id table
+    (token_id = 1-based frequency rank, OOV = 0), broadcast once via
+    ray.put, and the corpus streams through one exploding map_batches
+    emitting (doc_id, pos, token_id) rows. The vocab is small by
+    construction (top-k); the big side never shuffles."""
+    from cosmwasm_etl_ray.functions.dataprep import vocab_topk
+
+    vocab = vocab_topk(_docs(sf_dir), k=ENCODE_VOCAB_K)
+    ids = {t: i + 1 for i, t in enumerate(vocab["token"])}
+    ref = ray.put(ids)
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        ex = df.set_index("doc_id")["text"].str.split(" ").explode()
+        out = pd.DataFrame(
+            {
+                "doc_id": ex.index.to_numpy().astype("int64"),
+                "pos": ex.groupby(level=0).cumcount().to_numpy(),
+                "token_id": ex.map(lut).fillna(0).astype("int64").to_numpy(),
+            }
+        )
+        return out
+
+    return _docs(sf_dir).map_batches(enc, batch_format="pandas")
+
+
 def cdc_chunks(sf_dir: str) -> "ray.data.Dataset":
     """Content-defined chunking: boundaries keyed on token-content
     hashes, so edits only re-chunk their neighborhood and chunk-level
@@ -213,6 +244,7 @@ def domain_quantiles(sf_dir: str) -> "ray.data.Dataset":
 QUERIES = {
     "doc_chunks": doc_chunks,
     "cdc_chunks": cdc_chunks,
+    "encode_docs": encode_docs,
     "shuffle_order": shuffle_order,
     "mixture_epoch": mixture_epoch,
     "stratified_sample": stratified_sample,
@@ -280,6 +312,27 @@ SELECT lang,
        CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90,
        CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
 FROM documents GROUP BY lang
+""",
+    # the learned vocab restated: id = 1-based rank by (count desc,
+    # token asc) over the SAME top-k cut; OOV tokens encode to 0
+    "encode_docs": """
+WITH vocab AS (
+    SELECT token,
+           row_number() OVER (ORDER BY n DESC, token ASC) AS token_id
+    FROM (
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    )
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+    SELECT doc_id, s.i - 1 AS pos, t[s.i] AS w
+    FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+)
+SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+       CAST(COALESCE(v.token_id, 0) AS BIGINT) AS token_id
+FROM pos p LEFT JOIN vocab v ON v.token = p.w
 """,
     # the token polynomial restated with the SAME modular power
     # table (positions wrap past 48); boundary AFTER a token whose

@@ -353,3 +353,36 @@ def test_cdc_chunk_empty_and_single_token():
     assert list(out["doc_id"]) == [0, 1]
     assert (out["chunk_id"] == 0).all()
     assert list(out["chunk_text"]) == ["", "solo"]
+
+
+# ------------------------------------------------------- token encoding
+
+
+def test_encode_docs_round_trip(ray_session, sf_dir):
+    from cosmwasm_etl_ray.functions.dataprep import vocab_topk
+    from cosmwasm_etl_ray.pipelines.queries_dataprep import (
+        ENCODE_VOCAB_K,
+        encode_docs,
+    )
+
+    out = encode_docs(sf_dir).to_pandas()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet").to_pandas()
+    vocab = vocab_topk(
+        ray.data.from_pandas(docs[["doc_id", "text"]]), k=ENCODE_VOCAB_K
+    )
+    inv = {i + 1: t for i, t in enumerate(vocab["token"])}
+    # ids in range, one row per token position, per-doc positions dense
+    assert out["token_id"].between(0, ENCODE_VOCAB_K).all()
+    n_tok = docs.set_index("doc_id")["text"].str.count(" ") + 1
+    sizes = out.groupby("doc_id").size()
+    assert (sizes == n_tok.reindex(sizes.index)).all()
+    assert (out.groupby("doc_id")["pos"].max() == sizes - 1).all()
+    # decode a doc: in-vocab ids give back their exact tokens
+    d0 = docs.iloc[0]
+    toks = d0["text"].split(" ")
+    enc0 = out[out["doc_id"] == d0["doc_id"]].sort_values("pos")
+    for pos, tid in zip(enc0["pos"], enc0["token_id"]):
+        if tid:
+            assert inv[tid] == toks[pos]
+        else:
+            assert toks[pos] not in set(vocab["token"])
