@@ -241,8 +241,42 @@ def domain_quantiles(sf_dir: str) -> "ray.data.Dataset":
     return grouped_quantiles(ds, "lang", "n_chars", [50, 90, 99])
 
 
+def pretrain_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """The composed flagship prep pipeline — what a pretraining run
+    actually executes before tokenization: clean (corpus_filter's
+    keep/drop rules) -> keep only the train split (the split is a pure
+    function of doc_id, so it's a row filter, never a join) ->
+    content-defined chunking of the survivors. One hash join total
+    (keep decisions back to the text column); every other step
+    streams. Output = the train-ready chunk rows."""
+    from cosmwasm_etl_ray.functions.dataprep import (
+        cdc_chunk_batch,
+        split_bucket,
+    )
+    from cosmwasm_etl_ray.functions.joins import hash_join
+
+    decisions = corpus_filter(_docs(sf_dir))
+
+    def keep_train(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["keep"].to_numpy() & (
+            split_bucket(df["doc_id"].to_numpy()) < TRAIN_BOUND
+        )
+        return df.loc[m, ["doc_id"]].astype({"doc_id": "int64"})
+
+    ids = decisions.map_batches(keep_train, batch_format="pandas")
+    survivors = hash_join(
+        _docs(sf_dir),
+        ids,
+        on="doc_id",
+        left_cols={"doc_id": "int64", "text": "object"},
+        right_cols={"doc_id": "int64"},
+    )
+    return survivors.map_batches(cdc_chunk_batch, batch_format="pandas")
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
+    "pretrain_corpus": pretrain_corpus,
     "cdc_chunks": cdc_chunks,
     "encode_docs": encode_docs,
     "shuffle_order": shuffle_order,
@@ -278,6 +312,35 @@ grams AS (
         SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
     ) s
 )
+"""
+
+# The content-defined-chunking walk restated in SQL, parameterized on
+# the source relation (``documents`` for cdc_chunks, the cleaned train
+# survivors for pretrain_corpus): the token polynomial uses the SAME
+# modular power table (positions wrap past 48); a boundary falls AFTER
+# a token whose hash % 8 == 0; chunk_id = boundaries strictly before
+# the token.
+_CDC_BODY = """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {CDC_SRC}),
+pos AS (
+    SELECT doc_id, s.i AS i, t[s.i] AS w,
+           COALESCE(list_sum(list_transform(range(1, length(t[s.i]) + 1),
+               j -> CAST(unicode(t[s.i][j]) AS BIGINT)
+                    * ([1, 1000003, 1426104154, 1049561761, 1604566856, 1953433226, 2061642598, 57298384, 1544709545, 1274554124, 633364108, 66148026, 1433149184, 206851044, 1744706798, 1828017126, 777862745, 1404488248, 1649104745, 1165208113, 2014147668, 880634293, 1135908413, 345644589, 1690498176, 1973092481, 1162832078, 1088933145, 1141496910, 1106960586, 511362668, 1101097070, 1755612077, 70289850, 773619593, 1667445264, 81400643, 519562394, 1759132002, 280152192, 905803544, 1954073326, 65952445, 1272574318, 801347224, 1072778093, 1560508135, 874758915])[((j - 1) % 48) + 1]
+           )), 0) % 2147483647 AS th
+    FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+),
+marked AS (
+    SELECT doc_id, i, w,
+           COALESCE(sum(CASE WHEN th % 8 = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+    FROM pos
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       string_agg(w, ' ' ORDER BY i) AS chunk_text,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM marked GROUP BY doc_id, chunk_id
 """
 
 ORACLE_SQL = {
@@ -334,32 +397,7 @@ SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
        CAST(COALESCE(v.token_id, 0) AS BIGINT) AS token_id
 FROM pos p LEFT JOIN vocab v ON v.token = p.w
 """,
-    # the token polynomial restated with the SAME modular power
-    # table (positions wrap past 48); boundary AFTER a token whose
-    # hash % 8 == 0; chunk_id = boundaries strictly before the token
-    "cdc_chunks": """
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-pos AS (
-    SELECT doc_id, s.i AS i, t[s.i] AS w,
-           COALESCE(list_sum(list_transform(range(1, length(t[s.i]) + 1),
-               j -> CAST(unicode(t[s.i][j]) AS BIGINT)
-                    * ([1, 1000003, 1426104154, 1049561761, 1604566856, 1953433226, 2061642598, 57298384, 1544709545, 1274554124, 633364108, 66148026, 1433149184, 206851044, 1744706798, 1828017126, 777862745, 1404488248, 1649104745, 1165208113, 2014147668, 880634293, 1135908413, 345644589, 1690498176, 1973092481, 1162832078, 1088933145, 1141496910, 1106960586, 511362668, 1101097070, 1755612077, 70289850, 773619593, 1667445264, 81400643, 519562394, 1759132002, 280152192, 905803544, 1954073326, 65952445, 1272574318, 801347224, 1072778093, 1560508135, 874758915])[((j - 1) % 48) + 1]
-           )), 0) % 2147483647 AS th
-    FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
-),
-marked AS (
-    SELECT doc_id, i, w,
-           COALESCE(sum(CASE WHEN th % 8 = 0 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY i
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS chunk_id
-    FROM pos
-)
-SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       string_agg(w, ' ' ORDER BY i) AS chunk_text,
-       CAST(count(*) AS BIGINT) AS n_tokens
-FROM marked GROUP BY doc_id, chunk_id
-""",
+    "cdc_chunks": None,  # assigned below from _CDC_BODY
     # k smallest seeded hashes per lang == row_number over the same key
     "stratified_sample": f"""
 SELECT lang, doc_id FROM (
@@ -545,4 +583,19 @@ from cosmwasm_etl_ray.pipelines.queries_textml import _lang_case_sql  # noqa: E4
 
 ORACLE_SQL["corpus_filter"] = ORACLE_SQL["corpus_filter"].replace(
     "{LANG_SQL}", _lang_case_sql().strip()
+)
+
+ORACLE_SQL["cdc_chunks"] = "WITH " + _CDC_BODY.format(CDC_SRC="documents")
+
+# the composition restated: the corpus_filter twin as a CTE, the split
+# bucket as a WHERE, then the SAME cdc walk over the survivors
+ORACLE_SQL["pretrain_corpus"] = (
+    f"""WITH cf AS ({ORACLE_SQL['corpus_filter']}),
+survivors AS (
+    SELECT doc_id, text
+    FROM documents JOIN cf USING (doc_id)
+    WHERE cf.keep AND {_BUCKET} < {TRAIN_BOUND}
+),
+"""
+    + _CDC_BODY.format(CDC_SRC="survivors")
 )

@@ -386,3 +386,30 @@ def test_encode_docs_round_trip(ray_session, sf_dir):
             assert inv[tid] == toks[pos]
         else:
             assert toks[pos] not in set(vocab["token"])
+
+
+# ------------------------------------------------ composed flagship
+
+
+def test_pretrain_corpus_composition(ray_session, sf_dir):
+    """pretrain_corpus == cdc_chunks restricted to keep & train docs:
+    the composition must drop exactly the filtered/eval docs and leave
+    surviving docs' chunk rows byte-identical to the standalone pass."""
+    from cosmwasm_etl_ray.pipelines.queries_dataprep import (
+        cdc_chunks,
+        corpus_filter_docs,
+        pretrain_corpus,
+    )
+
+    out = pretrain_corpus(sf_dir).to_pandas()
+    dec = corpus_filter_docs(sf_dir).to_pandas()
+    keep = dec.loc[dec["keep"], "doc_id"].to_numpy()
+    train = keep[split_bucket(keep) < 80]
+    assert set(out["doc_id"]) == set(train)
+
+    ref = cdc_chunks(sf_dir).to_pandas()
+    ref = ref[ref["doc_id"].isin(train)]
+    key = ["doc_id", "chunk_id"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = ref.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[b.columns], b)
