@@ -332,3 +332,72 @@ def heavy_hitters(
          "n_events": keep.to_numpy(np.int64),
          "share_e4": (keep.to_numpy(np.int64) * 10_000 // max(total, 1))}
     )
+
+
+# ----------------------------------------------------------- Bloom filter
+
+BLOOM_BITS_LOG2 = 20  # m = 2^20 bits = 128 KiB packed
+BLOOM_M = 1 << BLOOM_BITS_LOG2
+BLOOM_K = 4  # hash probes (double hashing, Kirsch-Mitzenmacher)
+_BLOOM_MASK = np.uint64(BLOOM_M - 1)
+_BLOOM_WORDS = BLOOM_M >> 6
+
+
+def bloom_positions(values: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_K) bit positions from ONE stable 64-bit hash per
+    value: pos_i = (h_lo + i * (h_hi | 1)) & (m - 1). m is a power of
+    two so the wrap is a mask, never a modulo (uint64 % has no vector
+    unit on this box)."""
+    from cosmwasm_etl_ray.functions.hashing import stable_hash64
+
+    h = stable_hash64(np.asarray(values, dtype=object))
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(BLOOM_K, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) & _BLOOM_MASK
+
+
+def bloom_from_positions(pos: np.ndarray) -> np.ndarray:
+    """Pack bit positions into the m/64-word uint64 register array."""
+    words = np.zeros(_BLOOM_WORDS, dtype=np.uint64)
+    if pos.size:
+        flat = pos.reshape(-1)
+        np.bitwise_or.at(
+            words,
+            (flat >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (flat & np.uint64(63)),
+        )
+    return words
+
+
+def bloom_probe(words: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized membership: True iff all k bits are set. No false
+    negatives ever; false-positive rate ~ (1 - e^(-kn/m))^k (~1e-7 at
+    n = 26k, m = 2^20, k = 4)."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = bloom_positions(values)
+    bits = (
+        words[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))
+    ) & np.uint64(1)
+    return (bits == 1).all(axis=1)
+
+
+def build_bloom(ds: "ray.data.Dataset", column: str) -> np.ndarray:
+    """Distributed Bloom build: each batch contracts to ONE fixed-size
+    packed register row (m/64 uint64 words as bytes) — bitwise OR is
+    associative, commutative, and idempotent, the same order-free-fold
+    discipline as the HLL registers, so the result is identical under
+    any partitioning or retry. The exchange carries 128 KiB sketches,
+    never values; the driver ORs one row per block (a tree fold is a
+    drop-in if the block count ever dominates)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = bloom_from_positions(bloom_positions(df[column].to_numpy()))
+        return pd.DataFrame({"words": [words.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = np.zeros(_BLOOM_WORDS, dtype=np.uint64)
+    for b in parts["words"]:
+        out |= np.frombuffer(b, dtype=np.uint64)
+    return out

@@ -387,6 +387,132 @@ def decontaminate(docs: "ray.data.Dataset", bar: float = 0.5) -> "ray.data.Datas
     )
 
 
+def decontaminate_bloom(
+    docs: "ray.data.Dataset", bar: float = 0.5
+) -> "ray.data.Dataset":
+    """Scale-path decontamination — same value-exact output as
+    ``decontaminate`` but the eval gram set is NEVER broadcast: a fixed
+    128 KiB Bloom filter over the eval grams (built distributedly,
+    OR-fold of per-block sketches) prunes the train gram stream to
+    candidates (Bloom has no false negatives), and the candidates alone
+    flow through a distributed gram join against the eval grams for the
+    exact verdict. Bloom proposes, the join disposes: the sketch only
+    sizes the exchange, never the answer. At 100 TB the broadcast is
+    128 KiB regardless of eval size, and the gram join carries only the
+    ~contaminated fraction of the corpus.
+
+    Exchanges: one gram-keyed join over candidates, one doc-keyed left
+    join folding per-doc hit counts against per-doc gram totals."""
+    from cosmwasm_etl_ray.functions.approx import bloom_probe, build_bloom
+    from cosmwasm_etl_ray.functions.joins import hash_join
+
+    def eval_grams(df: pd.DataFrame) -> pd.DataFrame:
+        b = split_bucket(df["doc_id"].to_numpy())
+        g = _explode_grams(df[b >= VAL_BOUND])[["gram"]]
+        return g.drop_duplicates(ignore_index=True)
+
+    # the eval grams feed two consumers (sketch build + join side):
+    # materialize so the corpus isn't re-read
+    egrams = docs.map_batches(eval_grams, batch_format="pandas").materialize()
+    words_ref = ray.put(build_bloom(egrams, "gram"))
+
+    class BloomScorer:
+        """Per batch: explode train grams, keep Bloom-positive
+        candidates, and emit one totals row per doc (is_total=True)
+        so zero-candidate docs survive to the output."""
+
+        def __init__(self):
+            self.words = ray.get(words_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            b = split_bucket(df["doc_id"].to_numpy())
+            g = _explode_grams(df[b < TRAIN_BOUND])
+            cand = g[bloom_probe(self.words, g["gram"].to_numpy())]
+            totals = g.groupby("doc_id", sort=False).size()
+            return pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(
+                        [totals.index.to_numpy(), cand["doc_id"].to_numpy()]
+                    ).astype("int64"),
+                    "gram": np.concatenate(
+                        [
+                            np.full(len(totals), "", dtype=object),
+                            cand["gram"].to_numpy(dtype=object),
+                        ]
+                    ),
+                    "n_grams": np.concatenate(
+                        [totals.to_numpy(), np.zeros(len(cand), dtype=np.int64)]
+                    ).astype("int64"),
+                    "is_total": np.concatenate(
+                        [np.ones(len(totals), bool), np.zeros(len(cand), bool)]
+                    ),
+                }
+            )
+
+    comb = docs.map_batches(
+        BloomScorer, batch_format="pandas", concurrency=(1, 8)
+    ).materialize()  # two consumers: totals stream + candidate stream
+
+    def take_totals(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["is_total"], ["doc_id", "n_grams"]]
+
+    def take_cand(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[~df["is_total"], ["doc_id", "gram"]]
+
+    totals = comb.map_batches(take_totals, batch_format="pandas")
+    cand = comb.map_batches(take_cand, batch_format="pandas")
+
+    hits = hash_join(
+        cand,
+        egrams,
+        on="gram",
+        left_cols={"doc_id": "int64", "gram": "object"},
+        right_cols={"gram": "object"},
+        # per-block distinct only upstream; every copy of a gram lands
+        # in its bucket, so the in-bucket dedup is a GLOBAL distinct
+        right_fold=lambda df: df.drop_duplicates(ignore_index=True),
+    )
+
+    def hit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", sort=False).size().rename("n_hit").reset_index()
+        out["n_hit"] = out["n_hit"].astype("int64")
+        return out
+
+    def hit_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # partials fold globally per doc: the doc-keyed bucket holds
+        # every partial of its docs
+        out = df.groupby("doc_id", sort=False, as_index=False)["n_hit"].sum()
+        out["n_hit"] = out["n_hit"].astype("int64")
+        return out
+
+    joined = hash_join(
+        totals,
+        hits.map_batches(hit_partial, batch_format="pandas"),
+        on="doc_id",
+        how="left",
+        left_cols={"doc_id": "int64", "n_grams": "int64"},
+        right_cols={"doc_id": "int64", "n_hit": "int64"},
+        right_fold=hit_fold,
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n_hit = (
+            pd.to_numeric(df["n_hit"], errors="coerce")
+            .fillna(0)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_grams": df["n_grams"].astype("int64"),
+                "n_hit": n_hit,
+                "contaminated": n_hit >= bar * df["n_grams"].astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
 # ------------------------------------------------------------ PII scanning
 
 EMAIL_RE = r"[a-z0-9-]+@[a-z0-9.-]+"

@@ -91,6 +91,17 @@ def decontaminate_train(sf_dir: str) -> "ray.data.Dataset":
     return decontaminate(_docs(sf_dir), bar=0.5)
 
 
+def decontaminate_bloom_train(sf_dir: str) -> "ray.data.Dataset":
+    """Sketch-gated decontamination: a 128 KiB Bloom filter over the
+    eval grams replaces the eval-set broadcast; Bloom-positive
+    candidate grams alone flow through a distributed verify join, so
+    the output is value-exact (identical SQL twin to
+    decontaminate_train) while the broadcast stays O(1) in eval size."""
+    from cosmwasm_etl_ray.functions.dataprep import decontaminate_bloom
+
+    return decontaminate_bloom(_docs(sf_dir), bar=0.5)
+
+
 def pii_scan_docs(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic PII plant + compiled-regex actor-pool scan and
     redaction measure."""
@@ -288,6 +299,7 @@ QUERIES = {
     "sample_split": sample_split,
     "split_summary": split_summary,
     "decontaminate_train": decontaminate_train,
+    "decontaminate_bloom": decontaminate_bloom_train,
     "pii_scan": pii_scan_docs,
     "vocab_topk": vocab_topk_docs,
     "pack_sequences": pack_sequences_docs,
@@ -586,6 +598,10 @@ ORACLE_SQL["corpus_filter"] = ORACLE_SQL["corpus_filter"].replace(
 )
 
 ORACLE_SQL["cdc_chunks"] = "WITH " + _CDC_BODY.format(CDC_SRC="documents")
+
+# the sketch path must produce the EXACT same rows — one twin, two
+# physical plans (broadcast-exact vs bloom-prune + verify join)
+ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate_train"]
 
 # the composition restated: the corpus_filter twin as a CTE, the split
 # bucket as a WHERE, then the SAME cdc walk over the survivors

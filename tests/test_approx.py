@@ -194,3 +194,58 @@ def test_partials_tolerate_empty_batches():
     assert list(p.columns) == ["g", "reg", "rho"] and len(p) == 0
     q = qsketch_partial(es, np.array([], dtype=np.float64))
     assert list(q.columns) == ["g", "v", "w"] and len(q) == 0
+
+
+# ------------------------------------------------------------- Bloom filter
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    import numpy as np
+
+    from cosmwasm_etl_ray.functions.approx import (
+        bloom_from_positions,
+        bloom_positions,
+        bloom_probe,
+    )
+
+    vals = np.array([f"g {i} x" for i in range(20000)], dtype=object)
+    w = bloom_from_positions(bloom_positions(vals))
+    assert bloom_probe(w, vals).all()  # never a false negative
+    other = np.array([f"h {i} y" for i in range(100000)], dtype=object)
+    assert bloom_probe(w, other).mean() < 1e-3
+
+
+def test_bloom_fold_is_order_free_and_idempotent():
+    import numpy as np
+
+    from cosmwasm_etl_ray.functions.approx import (
+        bloom_from_positions,
+        bloom_positions,
+    )
+
+    a = np.array(["p", "q", "r"], dtype=object)
+    b = np.array(["r", "s"], dtype=object)
+    wa = bloom_from_positions(bloom_positions(a))
+    wb = bloom_from_positions(bloom_positions(b))
+    both = bloom_from_positions(bloom_positions(np.concatenate([a, b])))
+    assert ((wa | wb) == both).all()
+    assert ((wb | wa) == both).all()
+    assert ((both | wa) == both).all()  # idempotent under re-fold
+
+
+def test_build_bloom_distributed_matches_local(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cosmwasm_etl_ray.functions.approx import (
+        bloom_from_positions,
+        bloom_positions,
+        build_bloom,
+    )
+
+    vals = [f"tok {i}" for i in range(5000)]
+    ds = ray.data.from_pandas(pd.DataFrame({"gram": vals})).repartition(7)
+    w = build_bloom(ds, "gram")
+    local = bloom_from_positions(bloom_positions(np.array(vals, dtype=object)))
+    assert (w == local).all()

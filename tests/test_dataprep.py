@@ -413,3 +413,22 @@ def test_pretrain_corpus_composition(ray_session, sf_dir):
     a = out.sort_values(key).reset_index(drop=True)
     b = ref.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[b.columns], b)
+
+
+def test_decontaminate_bloom_equals_exact(ray_session, sf_dir):
+    """The sketch path is value-exact: bloom-pruned + verify join
+    output == the broadcast-exact path, row for row."""
+    from cosmwasm_etl_ray.functions.dataprep import decontaminate_bloom
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = (
+        decontaminate_bloom(docs).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        decontaminate_train(sf_dir).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[b.columns], b)
