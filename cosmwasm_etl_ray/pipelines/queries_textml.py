@@ -564,8 +564,23 @@ def ann_lsh_indexed(sf_dir: str) -> pd.DataFrame:
     return _ann_contract(sf_dir, approx, bar=5)
 
 
+def embed_score(sf_dir: str) -> "ray.data.Dataset":
+    """Batched model inference over the embedding column: the
+    int-quantized linear classifier from functions/inference.py —
+    weights once per actor, one exact-integer matmul per batch,
+    deterministic argmax. The inference plumbing a reward/quality
+    scorer would use, with a SQL-restatable model body."""
+    from cosmwasm_etl_ray.functions.inference import score_embeddings
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return score_embeddings(ds)
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "embed_score": embed_score,
     "quality_scores": quality_scores,
     "doc_fingerprints": doc_fingerprints,
     "dedup_exact_prefix": dedup_exact_prefix,
@@ -615,6 +630,36 @@ FROM (SELECT doc_id, {inner} FROM documents)
 """
 
 ORACLE_SQL = {
+    # the identical model unrolled in SQL: the same closed-form integer
+    # weights, the same floor(e * 1000) quantization (via DOUBLE — both
+    # sides promote float32 -> float64 before the multiply, so the
+    # floor is bit-identical), exact BIGINT logits, ties to smallest c
+    "embed_score": """
+WITH w AS (
+    SELECT c.c AS c, d.d AS d,
+           (c.c * 1000003 + d.d * 7919 + 12345) % 2000001 - 1000000 AS w
+    FROM (SELECT unnest(generate_series(0, 9)) AS c) c,
+         (SELECT unnest(generate_series(0, 63)) AS d) d
+),
+q AS (
+    SELECT vec_id, d.d AS d,
+           CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+    FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS d) d
+),
+logits AS (
+    SELECT q.vec_id, w.c, CAST(sum(w.w * q.q) AS BIGINT) AS logit
+    FROM q JOIN w USING (d) GROUP BY q.vec_id, w.c
+)
+SELECT vec_id, CAST(c AS BIGINT) AS pred, logit AS top_logit
+FROM (
+    SELECT vec_id, c, logit,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY logit DESC, c ASC
+           ) AS rn
+    FROM logits
+)
+WHERE rn = 1
+""",
     "text_stats": """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,

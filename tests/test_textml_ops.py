@@ -193,3 +193,34 @@ def test_labelprop_clusters_equal_union_find(ray_session):
     lp = cluster_pairs_labelprop(ray.data.from_pandas(pairs), shards=4)
     pd.testing.assert_frame_equal(lp, uf, check_dtype=False)
     assert set(lp["cluster_id"]) == {0, 20, 30}
+
+
+# -------------------------------------------------------- model inference
+
+
+def test_linear_scorer_exact_and_batch_invariant(ray_session, sf_dir):
+    import numpy as np
+    import ray.data
+
+    from cosmwasm_etl_ray.functions.inference import (
+        INFER_SCALE,
+        infer_weights,
+        score_embeddings,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = score_embeddings(ds).to_pandas().sort_values("vec_id")
+
+    # driver-side exact reference
+    ref = ds.to_pandas().sort_values("vec_id")
+    emb = np.stack(ref["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(emb * INFER_SCALE).astype(np.int64)
+    logits = q @ infer_weights().T
+    assert (out["pred"].to_numpy() == logits.argmax(axis=1)).all()
+    assert (out["top_logit"].to_numpy() == logits.max(axis=1)).all()
+
+    # batch size must not change the result (stateless stage)
+    small = score_embeddings(ds.repartition(13)).to_pandas().sort_values("vec_id")
+    assert (small["pred"].to_numpy() == out["pred"].to_numpy()).all()
