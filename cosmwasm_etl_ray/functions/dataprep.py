@@ -289,10 +289,13 @@ def mixture_expand(
 NGRAM = 3
 
 
-def _explode_grams(df: pd.DataFrame, n: int = NGRAM) -> pd.DataFrame:
-    """(doc_id, gram) rows — per-doc DISTINCT word-n-grams, vectorized
-    by one explode: tokens with positions, grams built by shifted
-    concatenation inside each doc."""
+def _explode_grams(
+    df: pd.DataFrame, n: int = NGRAM, dedup: bool = True
+) -> pd.DataFrame:
+    """(doc_id, gram) rows — per-doc word-n-grams (DISTINCT per doc by
+    default; ``dedup=False`` keeps every occurrence for frequency
+    signals), vectorized by one explode: tokens with positions, grams
+    built by shifted concatenation inside each doc."""
     toks = df["text"].str.split(" ")
     counts = toks.str.len().to_numpy(dtype=np.int64)
     flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]) if len(df) else np.array([], dtype=object)
@@ -308,7 +311,7 @@ def _explode_grams(df: pd.DataFrame, n: int = NGRAM) -> pd.DataFrame:
         g = pd.DataFrame({"doc_id": doc_ids[idx], "gram": grams.to_numpy()})
     else:
         g = pd.DataFrame({"doc_id": np.array([], dtype=np.int64), "gram": np.array([], dtype=object)})
-    return g.drop_duplicates(ignore_index=True)
+    return g.drop_duplicates(ignore_index=True) if dedup else g
 
 
 def eval_gram_set(docs: "ray.data.Dataset") -> np.ndarray:

@@ -115,3 +115,46 @@ def rolling_fingerprint(texts: pd.Series, window: int = FP_WINDOW) -> np.ndarray
         return int(hashes.min())
 
     return texts.map(fp).to_numpy(dtype=np.int64)
+
+
+# -------------------------------------------------- repetition signals
+
+
+def repetition_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition signals per doc, as exact integer
+    counts (the filter thresholds are a policy choice downstream; the
+    signals themselves are value-exact): total and most-frequent
+    2-gram occurrences, total and duplicated 3-gram occurrences.
+    Vectorized: one token explode per n, pandas hash-groupby counts —
+    no per-row loop. Emits a row for EVERY input doc (zero counts for
+    docs too short to have grams)."""
+    from cosmwasm_etl_ray.functions.dataprep import _explode_grams
+
+    df = df.reset_index(drop=True)
+    ids = df["doc_id"].astype("int64")
+
+    g2 = _explode_grams(df, 2, dedup=False)
+    g3 = _explode_grams(df, 3, dedup=False)
+
+    vc2 = (
+        g2.groupby(["doc_id", "gram"], sort=False)
+        .size()
+        .groupby(level=0)
+        .agg(["sum", "max"])
+    )
+    a3 = g3.groupby("doc_id", sort=False)["gram"].agg(["size", "nunique"])
+
+    out = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "n_2grams": vc2["sum"].reindex(ids, fill_value=0).to_numpy(),
+            "top2gram_n": vc2["max"].reindex(ids, fill_value=0).to_numpy(),
+            "n_3grams": a3["size"].reindex(ids, fill_value=0).to_numpy(),
+            "dup3gram_n": (a3["size"] - a3["nunique"])
+            .reindex(ids, fill_value=0)
+            .to_numpy(),
+        }
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out

@@ -578,9 +578,22 @@ def embed_score(sf_dir: str) -> "ray.data.Dataset":
     return score_embeddings(ds)
 
 
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style repetition signals (top-2-gram mass, duplicated
+    3-gram occurrences) as exact per-doc integer counts — the quality
+    signals a repetition filter thresholds. Pure streaming map, one
+    explode per n."""
+    from cosmwasm_etl_ray.functions.text import repetition_stats_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(repetition_stats_batch, batch_format="pandas")
+
+
 QUERIES = {
     "text_stats": text_stats,
     "embed_score": embed_score,
+    "repetition_stats": repetition_stats,
     "quality_scores": quality_scores,
     "doc_fingerprints": doc_fingerprints,
     "dedup_exact_prefix": dedup_exact_prefix,
@@ -659,6 +672,38 @@ FROM (
     FROM logits
 )
 WHERE rn = 1
+""",
+    "repetition_stats": """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g2 AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+    FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+    ) s
+),
+g3 AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+    FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+    ) s
+),
+a2 AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+           CAST(max(c) AS BIGINT) AS top2gram_n
+    FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram)
+    GROUP BY doc_id
+),
+a3 AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_3grams,
+           CAST(count(*) - count(DISTINCT gram) AS BIGINT) AS dup3gram_n
+    FROM g3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a2.n_2grams, 0) AS BIGINT) AS n_2grams,
+       CAST(COALESCE(a2.top2gram_n, 0) AS BIGINT) AS top2gram_n,
+       CAST(COALESCE(a3.n_3grams, 0) AS BIGINT) AS n_3grams,
+       CAST(COALESCE(a3.dup3gram_n, 0) AS BIGINT) AS dup3gram_n
+FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
 """,
     "text_stats": """
 SELECT doc_id,

@@ -224,3 +224,25 @@ def test_linear_scorer_exact_and_batch_invariant(ray_session, sf_dir):
     # batch size must not change the result (stateless stage)
     small = score_embeddings(ds.repartition(13)).to_pandas().sort_values("vec_id")
     assert (small["pred"].to_numpy() == out["pred"].to_numpy()).all()
+
+
+def test_repetition_stats_semantics():
+    import pandas as pd
+
+    from cosmwasm_etl_ray.functions.text import repetition_stats_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3], dtype="int64"),
+            # doc1: 2-grams: "a b","b a","a b" -> top=2, n=3;
+            #       3-grams: "a b a","b a b" -> n=2, dup=0
+            # doc2: "x x x x": 2-grams all "x x" -> top=3, n=3;
+            #       3-grams both "x x x" -> n=2 dup=1
+            # doc3: single token -> all zeros
+            "text": ["a b a b", "x x x x", "solo"],
+        }
+    )
+    out = repetition_stats_batch(df).set_index("doc_id")
+    assert out.loc[1].tolist() == [3, 2, 2, 0]
+    assert out.loc[2].tolist() == [3, 3, 2, 1]
+    assert out.loc[3].tolist() == [0, 0, 0, 0]
