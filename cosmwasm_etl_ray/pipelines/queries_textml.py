@@ -113,6 +113,22 @@ def ann_topk(sf_dir: str) -> "ray.data.Dataset":
     return brute_force_topk(db, qdf, k=10)
 
 
+def ann_filtered(sf_dir: str) -> "ray.data.Dataset":
+    """Predicate-constrained vector search (filtered ANN): top-10
+    cosine among db vectors with label < 5 — the filter is pushed to
+    the parquet SCAN (pyarrow dataset predicate), so excluded vectors
+    never enter the object store, and the top-k math is unchanged."""
+    import pyarrow.dataset as pads
+
+    qdf, _ = _split_queries_db(sf_dir)
+    db = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pads.field("vec_id") >= 5) & (pads.field("label") < 5),
+    )
+    return brute_force_topk(db, qdf, k=10)
+
+
 # ---- rows-only (sketches / heuristics not SQL-expressible) ----
 
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
@@ -594,6 +610,7 @@ QUERIES = {
     "text_stats": text_stats,
     "embed_score": embed_score,
     "repetition_stats": repetition_stats,
+    "ann_filtered": ann_filtered,
     "quality_scores": quality_scores,
     "doc_fingerprints": doc_fingerprints,
     "dedup_exact_prefix": dedup_exact_prefix,
@@ -743,6 +760,18 @@ SELECT query_id, neighbor_id, rank FROM (
                         d.vec_id
            ) AS rank
     FROM embeddings q JOIN embeddings d ON d.vec_id >= 5
+    WHERE q.vec_id < 5
+) WHERE rank <= 10
+""",
+    "ann_filtered": """
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, d.embedding) DESC,
+                        d.vec_id
+           ) AS rank
+    FROM embeddings q JOIN embeddings d ON d.vec_id >= 5 AND d.label < 5
     WHERE q.vec_id < 5
 ) WHERE rank <= 10
 """,

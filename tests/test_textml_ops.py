@@ -246,3 +246,30 @@ def test_repetition_stats_semantics():
     assert out.loc[1].tolist() == [3, 2, 2, 0]
     assert out.loc[2].tolist() == [3, 3, 2, 1]
     assert out.loc[3].tolist() == [0, 0, 0, 0]
+
+
+def test_ann_filtered_respects_predicate(ray_session, sf_dir):
+    import numpy as np
+
+    from cosmwasm_etl_ray.pipelines.queries_textml import ann_filtered
+
+    out = ann_filtered(sf_dir).to_pandas()
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").to_pandas()
+    labels = emb.set_index("vec_id")["label"]
+    assert (labels.reindex(out["neighbor_id"]).to_numpy() < 5).all()
+    assert (out["neighbor_id"].to_numpy() >= 5).all()
+    assert out.groupby("query_id").size().eq(10).all()
+
+    # exact reference: filtered brute force on the driver
+    db = emb[(emb["vec_id"] >= 5) & (emb["label"] < 5)]
+    X = np.stack(db["embedding"].to_numpy()).astype(np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    q = emb[emb["vec_id"] < 5]
+    Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Q @ X.T
+    ids = db["vec_id"].to_numpy()
+    for i, qid in enumerate(q["vec_id"].to_numpy()):
+        order = np.lexsort((ids, -sims[i]))[:10]
+        got = out[out["query_id"] == qid].sort_values("rank")["neighbor_id"]
+        assert list(got) == list(ids[order])
