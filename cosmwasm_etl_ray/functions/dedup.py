@@ -486,3 +486,120 @@ def exact_dedup_keep_min(
         return out[[key_name, "keep_doc_id", "group_size"]]
 
     return sharded_map_groups(partials, [key_name], fold, shards=shards)
+
+
+# ---------------------------------------------- duplicated-span detection
+
+SPAN_W = 16  # tokens per window (the classic substring-dedup span)
+
+
+def dup_spans(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Cross-document duplicated-span signal — the exact-substring
+    analogue of suffix-array training-data dedup, shaped for Ray: per
+    doc, how many of its SPAN_W-token windows also occur in at least
+    one OTHER document. Output (doc_id, n_windows, n_dup_windows) is
+    exact integers.
+
+    Plan: one window explode with a map-side (doc, win, c) partial
+    (a doc lives wholly in its batch, so the partial is complete); the
+    cross-doc count is a win-keyed grouped_agg (windows whose doc
+    count >= 2 are the SMALL survivor set); survivors join back to the
+    per-doc partials (win-keyed hash join), and the per-doc dup count
+    folds inside the final doc-keyed join — windows never broadcast,
+    and only duplicated windows ride the second exchange."""
+    from cosmwasm_etl_ray.functions.agg import grouped_agg
+    from cosmwasm_etl_ray.functions.joins import hash_join
+
+    def explode_wins(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "win": pd.Series([], dtype=object),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_ids = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), counts)
+        if len(flat) >= SPAN_W:
+            same = doc_ids[: len(doc_ids) - SPAN_W + 1] == doc_ids[SPAN_W - 1 :]
+            idx = np.nonzero(same)[0]
+            wins = pd.Series(flat[idx], dtype=object)
+            for k in range(1, SPAN_W):
+                wins = wins + " " + pd.Series(flat[idx + k], dtype=object)
+            g = pd.DataFrame({"doc_id": doc_ids[idx], "win": wins.to_numpy()})
+        else:
+            g = pd.DataFrame(
+                {
+                    "doc_id": np.array([], dtype=np.int64),
+                    "win": np.array([], dtype=object),
+                }
+            )
+        out = g.groupby(["doc_id", "win"], sort=False).size().rename("c").reset_index()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    # two consumers (cross-doc count + join-back probe): materialize
+    wins = docs.map_batches(explode_wins, batch_format="pandas").materialize()
+
+    survivors = grouped_agg(
+        wins,
+        keys=["win"],
+        spec={"n_docs": ("doc_id", "count")},  # (doc, win) rows are distinct
+        final="shuffle",  # window cardinality is corpus-scale
+    ).map_batches(
+        lambda df: df.loc[df["n_docs"] >= 2, ["win"]], batch_format="pandas"
+    )
+
+    hits = hash_join(
+        wins,
+        survivors,
+        on="win",
+        left_cols={"doc_id": "int64", "win": "object", "c": "int64"},
+        right_cols={"win": "object"},
+    )
+
+    def hit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", sort=False, as_index=False)["c"].sum()
+        out = out.rename(columns={"c": "n_dup_windows"})
+        out["n_dup_windows"] = out["n_dup_windows"].astype("int64")
+        return out
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.split(" ").str.len().to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_windows": np.maximum(n_tok - SPAN_W + 1, 0).astype("int64"),
+            }
+        )
+
+    def fold_hits(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", sort=False, as_index=False)["n_dup_windows"].sum()
+        out["n_dup_windows"] = out["n_dup_windows"].astype("int64")
+        return out
+
+    joined = hash_join(
+        docs.map_batches(totals, batch_format="pandas"),
+        hits.map_batches(hit_partial, batch_format="pandas"),
+        on="doc_id",
+        how="left",
+        left_cols={"doc_id": "int64", "n_windows": "int64"},
+        right_cols={"doc_id": "int64", "n_dup_windows": "int64"},
+        right_fold=fold_hits,
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_windows": df["n_windows"].astype("int64"),
+                "n_dup_windows": pd.to_numeric(df["n_dup_windows"], errors="coerce")
+                .fillna(0)
+                .astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pandas")

@@ -113,6 +113,14 @@ def ann_topk(sf_dir: str) -> "ray.data.Dataset":
     return brute_force_topk(db, qdf, k=10)
 
 
+def dup_spans_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Exact duplicated-span signal (the substring-dedup modality):
+    per doc, how many of its 16-token windows occur in >= 2 docs."""
+    from cosmwasm_etl_ray.functions.dedup import dup_spans
+
+    return dup_spans(_docs(sf_dir))
+
+
 def ann_filtered(sf_dir: str) -> "ray.data.Dataset":
     """Predicate-constrained vector search (filtered ANN): top-10
     cosine among db vectors with label < 5 — the filter is pushed to
@@ -611,6 +619,7 @@ QUERIES = {
     "embed_score": embed_score,
     "repetition_stats": repetition_stats,
     "ann_filtered": ann_filtered,
+    "dup_spans": dup_spans_docs,
     "quality_scores": quality_scores,
     "doc_fingerprints": doc_fingerprints,
     "dedup_exact_prefix": dedup_exact_prefix,
@@ -762,6 +771,27 @@ SELECT query_id, neighbor_id, rank FROM (
     FROM embeddings q JOIN embeddings d ON d.vec_id >= 5
     WHERE q.vec_id < 5
 ) WHERE rank <= 10
+""",
+    "dup_spans": """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+win AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 15), ' ') AS w
+    FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t) - 15, 0))) AS i
+    ) s
+),
+d AS (
+    SELECT w FROM (
+        SELECT w, count(DISTINCT doc_id) AS nd FROM win GROUP BY w
+    ) WHERE nd >= 2
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.t) - 15, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(h.n_dup, 0) AS BIGINT) AS n_dup_windows
+FROM tok t LEFT JOIN (
+    SELECT doc_id, count(*) AS n_dup FROM win
+    WHERE w IN (SELECT w FROM d) GROUP BY doc_id
+) h USING (doc_id)
 """,
     "ann_filtered": """
 SELECT query_id, neighbor_id, rank FROM (

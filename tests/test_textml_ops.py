@@ -273,3 +273,31 @@ def test_ann_filtered_respects_predicate(ray_session, sf_dir):
         order = np.lexsort((ids, -sims[i]))[:10]
         got = out[out["query_id"] == qid].sort_values("rank")["neighbor_id"]
         assert list(got) == list(ids[order])
+
+
+def test_dup_spans_semantics(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cosmwasm_etl_ray.functions.dedup import SPAN_W, dup_spans
+
+    base = " ".join(f"t{i}" for i in range(SPAN_W))  # exactly one window
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3, 4], dtype="int64"),
+            "text": [
+                base + " x y",       # 3 windows; first == doc 2's window
+                base,                # 1 window, shared with doc 1
+                "a b c",             # too short: 0 windows
+                " ".join(f"u{i}" for i in range(SPAN_W + 4)),  # 5 unique
+            ],
+        }
+    )
+    out = (
+        dup_spans(ray.data.from_pandas(docs).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out["n_windows"].tolist() == [3, 1, 0, 5]
+    assert out["n_dup_windows"].tolist() == [1, 1, 0, 0]
