@@ -343,7 +343,9 @@ _BLOOM_MASK = np.uint64(BLOOM_M - 1)
 _BLOOM_WORDS = BLOOM_M >> 6
 
 
-def bloom_positions(values: np.ndarray) -> np.ndarray:
+def bloom_positions(
+    values: np.ndarray, bits_log2: int = BLOOM_BITS_LOG2
+) -> np.ndarray:
     """(n, BLOOM_K) bit positions from ONE stable 64-bit hash per
     value: pos_i = (h_lo + i * (h_hi | 1)) & (m - 1). m is a power of
     two so the wrap is a mask, never a modulo (uint64 % has no vector
@@ -354,12 +356,15 @@ def bloom_positions(values: np.ndarray) -> np.ndarray:
     h1 = h & np.uint64(0xFFFFFFFF)
     h2 = (h >> np.uint64(32)) | np.uint64(1)
     i = np.arange(BLOOM_K, dtype=np.uint64)
-    return (h1[:, None] + i[None, :] * h2[:, None]) & _BLOOM_MASK
+    mask = np.uint64((1 << bits_log2) - 1)
+    return (h1[:, None] + i[None, :] * h2[:, None]) & mask
 
 
-def bloom_from_positions(pos: np.ndarray) -> np.ndarray:
+def bloom_from_positions(
+    pos: np.ndarray, bits_log2: int = BLOOM_BITS_LOG2
+) -> np.ndarray:
     """Pack bit positions into the m/64-word uint64 register array."""
-    words = np.zeros(_BLOOM_WORDS, dtype=np.uint64)
+    words = np.zeros((1 << bits_log2) >> 6, dtype=np.uint64)
     if pos.size:
         flat = pos.reshape(-1)
         np.bitwise_or.at(
@@ -373,31 +378,54 @@ def bloom_from_positions(pos: np.ndarray) -> np.ndarray:
 def bloom_probe(words: np.ndarray, values: np.ndarray) -> np.ndarray:
     """Vectorized membership: True iff all k bits are set. No false
     negatives ever; false-positive rate ~ (1 - e^(-kn/m))^k (~1e-7 at
-    n = 26k, m = 2^20, k = 4)."""
+    n = 26k, m = 2^20, k = 4). The filter size travels with the
+    register array itself (m = 64 * len(words)), so probe and build
+    can never disagree on the mask."""
     if len(values) == 0:
         return np.zeros(0, dtype=bool)
-    pos = bloom_positions(values)
+    bits_log2 = int(len(words) << 6).bit_length() - 1
+    pos = bloom_positions(values, bits_log2)
     bits = (
         words[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))
     ) & np.uint64(1)
     return (bits == 1).all(axis=1)
 
 
-def build_bloom(ds: "ray.data.Dataset", column: str) -> np.ndarray:
+def build_bloom(
+    ds: "ray.data.Dataset", column: str, bits_log2: int = BLOOM_BITS_LOG2
+) -> np.ndarray:
     """Distributed Bloom build: each batch contracts to ONE fixed-size
     packed register row (m/64 uint64 words as bytes) — bitwise OR is
     associative, commutative, and idempotent, the same order-free-fold
     discipline as the HLL registers, so the result is identical under
     any partitioning or retry. The exchange carries 128 KiB sketches,
     never values; the driver ORs one row per block (a tree fold is a
-    drop-in if the block count ever dominates)."""
+    drop-in if the block count ever dominates).
+
+    A saturated filter never returns wrong answers (callers verify
+    positives exactly) but stops PRUNING — size ``bits_log2`` at
+    ~10 bits per expected distinct item; past 50% fill this warns so
+    the degradation is loud, not silent."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        words = bloom_from_positions(bloom_positions(df[column].to_numpy()))
+        words = bloom_from_positions(
+            bloom_positions(df[column].to_numpy(), bits_log2), bits_log2
+        )
         return pd.DataFrame({"words": [words.tobytes()]})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out = np.zeros(_BLOOM_WORDS, dtype=np.uint64)
+    out = np.zeros((1 << bits_log2) >> 6, dtype=np.uint64)
     for b in parts["words"]:
         out |= np.frombuffer(b, dtype=np.uint64)
+    fill = np.unpackbits(out.view(np.uint8)).sum() / (1 << bits_log2)
+    if fill > 0.5:
+        import warnings
+
+        warnings.warn(
+            f"Bloom filter {fill:.0%} full (m=2^{bits_log2}, k={BLOOM_K}): "
+            f"false-positive rate ~{fill ** BLOOM_K:.2f} — pruning is "
+            "degenerating; rebuild with a larger bits_log2",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return out

@@ -314,19 +314,22 @@ def _explode_grams(
     return g.drop_duplicates(ignore_index=True) if dedup else g
 
 
+def _eval_grams_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch distinct word-3-grams of the eval (test-split) rows —
+    THE definition of the eval side, shared by the broadcast-exact and
+    Bloom decontamination paths so they cannot desynchronize."""
+    b = split_bucket(df["doc_id"].to_numpy())
+    g = _explode_grams(df[b >= VAL_BOUND])[["gram"]]
+    return g.drop_duplicates(ignore_index=True)  # per-block distinct
+
+
 def eval_gram_set(docs: "ray.data.Dataset") -> np.ndarray:
     """Distinct word-3-grams of the eval (test-split) docs, built
     distributedly and collected once — the SMALL side by contract."""
-
-    def eval_grams(df: pd.DataFrame) -> pd.DataFrame:
-        b = split_bucket(df["doc_id"].to_numpy())
-        g = _explode_grams(df[b >= VAL_BOUND])[["gram"]]
-        return g.drop_duplicates(ignore_index=True)  # per-block distinct
-
     # the eval side is small by contract: per-block distincts stream to
     # the driver and dedupe there — no Aggregate shuffle for a side
     # that fits in one broadcast object
-    grams = docs.map_batches(eval_grams, batch_format="pandas").to_pandas()
+    grams = docs.map_batches(_eval_grams_batch, batch_format="pandas").to_pandas()
     return np.sort(grams["gram"].drop_duplicates().to_numpy(dtype=object))
 
 
@@ -409,14 +412,9 @@ def decontaminate_bloom(
     from cosmwasm_etl_ray.functions.approx import bloom_probe, build_bloom
     from cosmwasm_etl_ray.functions.joins import hash_join
 
-    def eval_grams(df: pd.DataFrame) -> pd.DataFrame:
-        b = split_bucket(df["doc_id"].to_numpy())
-        g = _explode_grams(df[b >= VAL_BOUND])[["gram"]]
-        return g.drop_duplicates(ignore_index=True)
-
     # the eval grams feed two consumers (sketch build + join side):
     # materialize so the corpus isn't re-read
-    egrams = docs.map_batches(eval_grams, batch_format="pandas").materialize()
+    egrams = docs.map_batches(_eval_grams_batch, batch_format="pandas").materialize()
     words_ref = ray.put(build_bloom(egrams, "gram"))
 
     class BloomScorer:

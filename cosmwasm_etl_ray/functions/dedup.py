@@ -506,46 +506,34 @@ def dup_spans(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     count >= 2 are the SMALL survivor set); survivors join back to the
     per-doc partials (win-keyed hash join), and the per-doc dup count
     folds inside the final doc-keyed join — windows never broadcast,
-    and only duplicated windows ride the second exchange."""
+    and only duplicated windows ride the second exchange.
+
+    The exploded window stream is ~SPAN_W× the corpus text, so it is
+    NEVER materialized: each of its two consumers re-derives it from
+    ``docs`` (an explode recompute beats pinning 16× the corpus in the
+    object store; pass a re-readable input such as a parquet read)."""
     from cosmwasm_etl_ray.functions.agg import grouped_agg
+    from cosmwasm_etl_ray.functions.dataprep import _explode_grams
     from cosmwasm_etl_ray.functions.joins import hash_join
 
     def explode_wins(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ")
-        counts = toks.str.len().to_numpy(dtype=np.int64)
-        if not len(df):
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "win": pd.Series([], dtype=object),
-                    "c": pd.Series([], dtype="int64"),
-                }
-            )
-        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-        doc_ids = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), counts)
-        if len(flat) >= SPAN_W:
-            same = doc_ids[: len(doc_ids) - SPAN_W + 1] == doc_ids[SPAN_W - 1 :]
-            idx = np.nonzero(same)[0]
-            wins = pd.Series(flat[idx], dtype=object)
-            for k in range(1, SPAN_W):
-                wins = wins + " " + pd.Series(flat[idx + k], dtype=object)
-            g = pd.DataFrame({"doc_id": doc_ids[idx], "win": wins.to_numpy()})
-        else:
-            g = pd.DataFrame(
-                {
-                    "doc_id": np.array([], dtype=np.int64),
-                    "win": np.array([], dtype=object),
-                }
-            )
-        out = g.groupby(["doc_id", "win"], sort=False).size().rename("c").reset_index()
+        g = _explode_grams(df, n=SPAN_W, dedup=False)
+        out = (
+            g.groupby(["doc_id", "gram"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+            .rename(columns={"gram": "win"})
+        )
         out["c"] = out["c"].astype("int64")
         return out
 
-    # two consumers (cross-doc count + join-back probe): materialize
-    wins = docs.map_batches(explode_wins, batch_format="pandas").materialize()
+    def wins_stream() -> "ray.data.Dataset":
+        # each call is an independent lazy re-derivation (see docstring)
+        return docs.map_batches(explode_wins, batch_format="pandas")
 
     survivors = grouped_agg(
-        wins,
+        wins_stream(),
         keys=["win"],
         spec={"n_docs": ("doc_id", "count")},  # (doc, win) rows are distinct
         final="shuffle",  # window cardinality is corpus-scale
@@ -554,7 +542,7 @@ def dup_spans(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
     hits = hash_join(
-        wins,
+        wins_stream(),
         survivors,
         on="win",
         left_cols={"doc_id": "int64", "win": "object", "c": "int64"},

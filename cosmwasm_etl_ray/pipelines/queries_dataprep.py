@@ -252,14 +252,21 @@ def domain_quantiles(sf_dir: str) -> "ray.data.Dataset":
     return grouped_quantiles(ds, "lang", "n_chars", [50, 90, 99])
 
 
-def pretrain_corpus(sf_dir: str) -> "ray.data.Dataset":
+def pretrain_chunks(sf_dir: str, doc_pred=None) -> "ray.data.Dataset":
     """The composed flagship prep pipeline — what a pretraining run
     actually executes before tokenization: clean (corpus_filter's
     keep/drop rules) -> keep only the train split (the split is a pure
     function of doc_id, so it's a row filter, never a join) ->
     content-defined chunking of the survivors. One hash join total
     (keep decisions back to the text column); every other step
-    streams. Output = the train-ready chunk rows."""
+    streams. Output = the train-ready chunk rows.
+
+    ``doc_pred(doc_id_array) -> bool mask``, if given, restricts the
+    output to matching docs and is pushed onto BOTH join inputs — the
+    cleaning decisions still run corpus-wide (the exact-dup winner is
+    a corpus-wide min by definition), but the text payload, the join,
+    and the chunking only touch selected docs. This is the resume
+    lever corpus_export uses to skip committed shards."""
     from cosmwasm_etl_ray.functions.dataprep import (
         cdc_chunk_batch,
         split_bucket,
@@ -272,17 +279,31 @@ def pretrain_corpus(sf_dir: str) -> "ray.data.Dataset":
         m = df["keep"].to_numpy() & (
             split_bucket(df["doc_id"].to_numpy()) < TRAIN_BOUND
         )
+        if doc_pred is not None:
+            m &= doc_pred(df["doc_id"].to_numpy())
         return df.loc[m, ["doc_id"]].astype({"doc_id": "int64"})
 
     ids = decisions.map_batches(keep_train, batch_format="pandas")
+    docs = _docs(sf_dir)
+    if doc_pred is not None:
+
+        def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+            return df[doc_pred(df["doc_id"].to_numpy())]
+
+        docs = docs.map_batches(prefilter, batch_format="pandas")
     survivors = hash_join(
-        _docs(sf_dir),
+        docs,
         ids,
         on="doc_id",
         left_cols={"doc_id": "int64", "text": "object"},
         right_cols={"doc_id": "int64"},
     )
     return survivors.map_batches(cdc_chunk_batch, batch_format="pandas")
+
+
+def pretrain_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """The gate row: the full composed pipeline (no doc predicate)."""
+    return pretrain_chunks(sf_dir)
 
 
 QUERIES = {

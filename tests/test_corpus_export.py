@@ -57,3 +57,10 @@ def test_export_roundtrip_and_resume(ray_session, sf_dir, tmp_path):
     # zero-row shards (if any) still commit an empty typed file
     for s in range(EXPORT_SHARDS):
         assert os.path.exists(os.path.join(out, f"shard={s}", "part-0.parquet"))
+
+
+def test_export_num_shards_pinned(ray_session, sf_dir, tmp_path):
+    out = str(tmp_path / "export2")
+    export_corpus(sf_dir, out, num_shards=4)
+    with pytest.raises(ValueError, match="num_shards=4"):
+        export_corpus(sf_dir, out, num_shards=8)
