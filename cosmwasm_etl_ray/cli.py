@@ -104,6 +104,10 @@ def main(argv=None) -> int:
     x = sub.add_parser("export")
     x.add_argument("--store", required=True)
     x.add_argument("--out", required=True)
+    ec = sub.add_parser("export-corpus")
+    ec.add_argument("--sf-dir", required=True)
+    ec.add_argument("--out", required=True)
+    ec.add_argument("--shards", type=int, default=16)
     tp = sub.add_parser("transfer-parse")
     tp.add_argument("--sf-dir", required=True)
     tp.add_argument("--store", required=True)
@@ -151,6 +155,18 @@ def main(argv=None) -> int:
                 "would_quarantine": int(vc["total"].sum() - vc["valid"].sum()),
                 "live_keys": int(live),
             }))
+        finally:
+            _shutdown_ray()
+        return 0
+
+    if args.cmd == "export-corpus":
+        # resumable partitioned export of the pretrain chunk stream
+        _init_ray()
+        try:
+            from cosmwasm_etl_ray.pipelines.corpus_export import export_corpus
+
+            man = export_corpus(args.sf_dir, args.out, num_shards=args.shards)
+            print(json.dumps(man))
         finally:
             _shutdown_ray()
         return 0
