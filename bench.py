@@ -78,6 +78,25 @@ def _steal_pct(a: list[int], b: list[int]) -> float:
     return round(100.0 * d[7] / tot, 1)
 
 
+def _membw_gbps(n_mb: int = 256) -> float:
+    """Single-thread memcpy bandwidth probe (GB/s). The CPU-steal
+    field misses NEIGHBOR MEMORY-BANDWIDTH contention — the 32M soak
+    measured 15.8-24.0 s at 3-4% steal on identical code (BASELINE.md)
+    — so every recorded wall time carries this probe too: a clean
+    window reads ~steady GB/s; a contended one visibly dips."""
+    import numpy as np
+
+    src = np.ones(n_mb * 131072, dtype=np.float64)  # n_mb MiB
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # first-touch page faults outside the timing
+    t0 = time.perf_counter()
+    for _ in range(4):
+        np.copyto(dst, src)
+    dt = time.perf_counter() - t0
+    # 4 copies x (read + write) x n_mb MiB
+    return round(8 * n_mb / 1024 / dt, 2)
+
+
 def run_once() -> dict:
     import ray
 
@@ -145,10 +164,12 @@ def run_once() -> dict:
 
     shutil.rmtree(store_root, ignore_errors=True)
     store = StateStore(store_root)
+    bw_before = _membw_gbps()
     ticks0 = _cpu_ticks()
     t0 = time.time()
     manifests = replay_files(files, store, cfg)
     replay_sec = time.time() - t0
+    bw_after = _membw_gbps()
     # hypervisor CPU steal DURING the timed replay: this box shows
     # 0-6% in clean windows and 18%+ under neighbor contention at
     # 32-way load — a recorded wall time is only meaningful next to it
@@ -219,6 +240,7 @@ def run_once() -> dict:
         "live_keys": live,
         "events_per_sec": round(N_EVENTS / replay_sec),
         "cpu_steal_pct": steal_pct,
+        "membw_gbps": [bw_before, bw_after],
         "derived_tasks_sec": derived_sec,
         "n_epochs": N_EPOCHS,
         "state_tier": STATE_TIER,
