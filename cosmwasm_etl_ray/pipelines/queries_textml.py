@@ -113,6 +113,56 @@ def ann_topk(sf_dir: str) -> "ray.data.Dataset":
     return brute_force_topk(db, qdf, k=10)
 
 
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid (the class-mean vector behind
+    semantic routing / SemDeDup cluster summaries), with EXACT integer
+    semantics: quantize each component to floor(e * 1000) BEFORE the
+    sum (int64 sums are order-free, so the distributed fold is exact
+    where a float mean would hash-flake), centroid = integer-division
+    mean. Shape: per-batch (label, dim) partial sums + counts — each
+    batch contracts to <= 10 x 64 rows — then one tiny driver fold."""
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(emb * 1000).astype(np.int64)  # (n, D)
+        labels = df["label"].to_numpy().astype(np.int64)
+        out = []
+        for lab in np.unique(labels):
+            m = labels == lab
+            out.append(
+                pd.DataFrame(
+                    {
+                        "label": lab,
+                        "dim": np.arange(q.shape[1], dtype=np.int64),
+                        "s": q[m].sum(axis=0),
+                        "n": int(m.sum()),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # <= 10 labels x 64 dims x n_blocks rows
+    )
+    g = parts.groupby(["label", "dim"], sort=True, as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum")
+    )
+    # DuckDB's // TRUNCATES toward zero on negatives (numpy floors):
+    # mirror the truncation exactly with a sign-split integer divide
+    s = g["s"].to_numpy()
+    n = g["n"].to_numpy()
+    g["centroid_q"] = np.sign(s) * (np.abs(s) // n)
+    out = g[["label", "dim", "centroid_q"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def dup_spans_docs(sf_dir: str) -> "ray.data.Dataset":
     """Exact duplicated-span signal (the substring-dedup modality):
     per doc, how many of its 16-token windows occur in >= 2 docs."""
@@ -620,6 +670,7 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "ann_filtered": ann_filtered,
     "dup_spans": dup_spans_docs,
+    "label_centroids": label_centroids,
     "quality_scores": quality_scores,
     "doc_fingerprints": doc_fingerprints,
     "dedup_exact_prefix": dedup_exact_prefix,
@@ -771,6 +822,19 @@ SELECT query_id, neighbor_id, rank FROM (
     FROM embeddings q JOIN embeddings d ON d.vec_id >= 5
     WHERE q.vec_id < 5
 ) WHERE rank <= 10
+""",
+    # the same floor(e*1000) quantization as embed_score, summed in
+    # exact integers; // is DuckDB's truncating integer division, which
+    # the engine mirrors sign-split
+    "label_centroids": """
+WITH q AS (
+    SELECT label, d.d AS dim,
+           CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+    FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS d) d
+)
+SELECT CAST(label AS BIGINT) AS label, dim,
+       CAST(sum(qv) // count(*) AS BIGINT) AS centroid_q
+FROM q GROUP BY label, dim
 """,
     "dup_spans": """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

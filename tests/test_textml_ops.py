@@ -301,3 +301,20 @@ def test_dup_spans_semantics(ray_session):
     )
     assert out["n_windows"].tolist() == [3, 1, 0, 5]
     assert out["n_dup_windows"].tolist() == [1, 1, 0, 0]
+
+
+def test_label_centroids_exact_and_layout_invariant(ray_session, sf_dir):
+    import numpy as np
+
+    from cosmwasm_etl_ray.pipelines.queries_textml import label_centroids
+
+    out = label_centroids(sf_dir)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").to_pandas()
+    q = np.floor(np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1000).astype(np.int64)
+    labels = emb["label"].to_numpy().astype(np.int64)
+    for lab in np.unique(labels):
+        s = q[labels == lab].sum(axis=0)
+        n = (labels == lab).sum()
+        want = np.sign(s) * (np.abs(s) // n)  # truncating division
+        got = out[out["label"] == lab].sort_values("dim")["centroid_q"].to_numpy()
+        assert (got == want).all()
