@@ -163,6 +163,55 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+SEM_BAR = 0.4  # checked gap >= 1.2e-4 to the nearest pair at every sf
+
+
+def semantic_neardup(sf_dir: str) -> "ray.data.Dataset":
+    """SemDeDup-shaped near-duplicate pairs: exact cosine >= SEM_BAR
+    WITHIN a semantic bucket (label here; at scale the bucket is a
+    k-means/IVF assignment — see label_centroids). The bucket bound
+    turns the O(n²) scan into sum-of-cluster² — one shard_exchange
+    routes each bucket wholly to one task, the within-bucket scan is
+    one normalized matmul. Output is the integer pair list (cosine
+    itself never leaves the task: float columns hash-flake)."""
+    from cosmwasm_etl_ray.functions.agg import shard_exchange
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        # a task may hold several labels (hash co-location): scan each
+        for lab, g in df.groupby("label", sort=False):
+            X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            ids = g["vec_id"].to_numpy().astype(np.int64)
+            sims = X @ X.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            m = sims[iu, ju] >= SEM_BAR
+            a, b = ids[iu[m]], ids[ju[m]]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "label": np.full(m.sum(), int(lab), dtype=np.int64),
+                        "a": np.minimum(a, b),
+                        "b": np.maximum(a, b),
+                    }
+                )
+            )
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("label", "a", "b")}
+            )
+        )
+
+    return shard_exchange(ds, ["label"], per_bucket, shards=16)
+
+
 def dup_spans_docs(sf_dir: str) -> "ray.data.Dataset":
     """Exact duplicated-span signal (the substring-dedup modality):
     per doc, how many of its 16-token windows occur in >= 2 docs."""
@@ -671,6 +720,7 @@ QUERIES = {
     "ann_filtered": ann_filtered,
     "dup_spans": dup_spans_docs,
     "label_centroids": label_centroids,
+    "semantic_neardup": semantic_neardup,
     "quality_scores": quality_scores,
     "doc_fingerprints": doc_fingerprints,
     "dedup_exact_prefix": dedup_exact_prefix,
@@ -835,6 +885,13 @@ WITH q AS (
 SELECT CAST(label AS BIGINT) AS label, dim,
        CAST(sum(qv) // count(*) AS BIGINT) AS centroid_q
 FROM q GROUP BY label, dim
+""",
+    "semantic_neardup": f"""
+SELECT CAST(a.label AS BIGINT) AS label,
+       a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {SEM_BAR}
 """,
     "dup_spans": """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

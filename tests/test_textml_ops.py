@@ -318,3 +318,35 @@ def test_label_centroids_exact_and_layout_invariant(ray_session, sf_dir):
         want = np.sign(s) * (np.abs(s) // n)  # truncating division
         got = out[out["label"] == lab].sort_values("dim")["centroid_q"].to_numpy()
         assert (got == want).all()
+
+
+def test_semantic_neardup_matches_driver_scan(ray_session, sf_dir):
+    import numpy as np
+
+    from cosmwasm_etl_ray.pipelines.queries_textml import (
+        SEM_BAR,
+        semantic_neardup,
+    )
+
+    out = (
+        semantic_neardup(sf_dir).to_pandas()
+        .sort_values(["label", "a", "b"]).reset_index(drop=True)
+    )
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").to_pandas()
+    rows = []
+    for lab, g in emb.groupby("label"):
+        X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        ids = g["vec_id"].to_numpy()
+        sims = X @ X.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        m = sims[iu, ju] >= SEM_BAR
+        for i, j in zip(iu[m], ju[m]):
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            rows.append((int(lab), a, b))
+    want = sorted(rows)
+    got = list(out.itertuples(index=False, name=None))
+    assert got == want
+    # pairs never cross buckets
+    lab = emb.set_index("vec_id")["label"]
+    assert (lab.reindex(out["a"]).to_numpy() == lab.reindex(out["b"]).to_numpy()).all()
