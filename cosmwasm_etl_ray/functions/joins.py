@@ -404,3 +404,64 @@ def asof_join_groups(
         return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
 
     return sharded_map_groups(events, [key], per_shard, shards=shards)
+
+
+# ------------------------------------------------------------ range join
+
+def range_join(
+    intervals: "ray.data.Dataset",
+    points: "ray.data.Dataset",
+    on: list[str] | str,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    width: int,
+    left_cols=None,
+    right_cols=None,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Interval × point range join (ts in [start, end], inclusive;
+    integer time units — strict bounds are the caller's ±1 shift).
+
+    Plan: with ``width >= max(end - start)``, an interval overlaps at
+    most TWO width-sized time buckets (floor(start/w) and floor(end/w))
+    — replicate each interval row to its one or two buckets, tag each
+    point with its single bucket, then ONE partitioned hash join on
+    (keys..., bucket) followed by the exact containment filter. A
+    matching pair co-occurs in exactly the point's bucket and the
+    interval's replicas land in distinct buckets, so no pair ever
+    duplicates. Replication factor <= 2 regardless of data; the join
+    never sees cross-bucket candidates — this is the bounded-width
+    range join the Dataset API lacks, built from the same exchange as
+    hash_join."""
+    on = [on] if isinstance(on, str) else list(on)
+
+    def repl(df: pd.DataFrame) -> pd.DataFrame:
+        b1 = df[start_col].to_numpy() // width
+        b2 = df[end_col].to_numpy() // width
+        first = df.assign(_rbucket=b1.astype("int64"))
+        spill = df.loc[b2 != b1].assign(
+            _rbucket=b2[b2 != b1].astype("int64")
+        )
+        return pd.concat([first, spill], ignore_index=True)
+
+    def tag_points(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_rbucket=(df[ts_col].to_numpy() // width).astype("int64"))
+
+    ints_r = intervals.map_batches(repl, batch_format="pandas")
+    pts = points.map_batches(tag_points, batch_format="pandas")
+
+    lc = dict(left_cols, _rbucket="int64") if left_cols else None
+    rc = dict(right_cols, _rbucket="int64") if right_cols else None
+    joined = hash_join(
+        ints_r, pts, on=on + ["_rbucket"], left_cols=lc, right_cols=rc,
+        num_buckets=num_buckets,
+    )
+
+    def containment(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df[ts_col].to_numpy() >= df[start_col].to_numpy()) & (
+            df[ts_col].to_numpy() <= df[end_col].to_numpy()
+        )
+        return df.loc[m].drop(columns=["_rbucket"])
+
+    return joined.map_batches(containment, batch_format="pandas")

@@ -183,8 +183,70 @@ def events_error_click_match(sf_dir: str) -> "ray.data.Dataset":
     return sharded_map_groups(ev, ["user_id"], per_shard)
 
 
+RANGE_W_US = 86_400_000_000  # 1-day reaction window, microseconds
+
+
+def events_clicks_after_error(sf_dir: str) -> "ray.data.Dataset":
+    """Bounded-width RANGE JOIN: for every error event, the same
+    user's clicks with ts in (error_ts, error_ts + 1 day] — counted
+    per error (only errors with >= 1 click appear; the zero rows are a
+    left-join variant). Exercises functions/joins.range_join: interval
+    replication <= 2x, one (user, time-bucket) hash join, exact
+    containment filter; timestamps are integer microseconds so the
+    strict lower bound is a +1us shift, no float anywhere."""
+    from cosmwasm_etl_ray.functions.agg import grouped_agg
+    from cosmwasm_etl_ray.functions.joins import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def mk_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["event_type"] == "error"]
+        us = e["ts"].astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": e["event_id"].astype("int64"),
+                "user_id": e["user_id"].astype("int64"),
+                "start": us + 1,  # strict ts > error_ts
+                "end": us + RANGE_W_US,
+            }
+        )
+
+    def mk_points(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["event_type"] == "click"]
+        return pd.DataFrame(
+            {
+                "user_id": c["user_id"].astype("int64"),
+                "cts": c["ts"].astype("int64"),
+            }
+        )
+
+    pairs = range_join(
+        ev.map_batches(mk_intervals, batch_format="pandas"),
+        ev.map_batches(mk_points, batch_format="pandas"),
+        on="user_id",
+        start_col="start",
+        end_col="end",
+        ts_col="cts",
+        width=RANGE_W_US,
+        left_cols={
+            "event_id": "int64",
+            "user_id": "int64",
+            "start": "int64",
+            "end": "int64",
+        },
+        right_cols={"user_id": "int64", "cts": "int64"},
+    )
+    return grouped_agg(
+        pairs,
+        keys=["event_id"],
+        spec={"n_clicks": ("cts", "count")},
+        final="shuffle",  # matched-error cardinality is corpus-scale
+    )
+
+
 QUERIES = {
     "events_error_click_match": events_error_click_match,
+    "events_clicks_after_error": events_clicks_after_error,
     "cdc_prev_commit": cdc_prev_commit,
     "events_sessionize": events_sessionize,
     "customers_without_orders": customers_without_orders,
@@ -193,6 +255,14 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_clicks_after_error": """
+SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_clicks
+FROM events e JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+ AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 1 DAY
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+""",
     "events_error_click_match": """
 WITH ranked AS (
     SELECT user_id, event_id, event_type,

@@ -134,3 +134,45 @@ def test_left_join_pad_is_typed_not_nan(ray_session):
         assert len(out) == 64
         assert out["w"].dtype == object, (exchange, out["w"].dtype)
         assert out.loc[out["k"] == 3, "w"].iloc[0] == "hit"
+
+
+# ------------------------------------------------------------ range join
+
+
+def test_range_join_boundaries_and_no_dup_pairs(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cosmwasm_etl_ray.functions.joins import range_join
+
+    W = 100
+    # intervals straddling bucket boundaries on purpose
+    ints = pd.DataFrame(
+        {
+            "iid": pd.Series([1, 2, 3], dtype="int64"),
+            "key": pd.Series([7, 7, 8], dtype="int64"),
+            "start": pd.Series([95, 100, 10], dtype="int64"),
+            "end": pd.Series([150, 199, 20], dtype="int64"),
+        }
+    )
+    pts = pd.DataFrame(
+        {
+            "key": pd.Series([7, 7, 7, 7, 8, 8], dtype="int64"),
+            "ts": pd.Series([94, 95, 150, 199, 10, 21], dtype="int64"),
+        }
+    )
+    out = range_join(
+        ray.data.from_pandas(ints).repartition(2),
+        ray.data.from_pandas(pts).repartition(3),
+        on="key",
+        start_col="start",
+        end_col="end",
+        ts_col="ts",
+        width=W,
+        left_cols={"iid": "int64", "key": "int64", "start": "int64", "end": "int64"},
+        right_cols={"key": "int64", "ts": "int64"},
+    ).to_pandas()
+    got = sorted(zip(out["iid"], out["ts"]))
+    # iid=1 [95,150]: ts 95, 150 (94 excluded); iid=2 [100,199]: 150, 199;
+    # iid=3 [10,20]: 10 (21 excluded). No pair appears twice.
+    assert got == [(1, 95), (1, 150), (2, 150), (2, 199), (3, 10)]
