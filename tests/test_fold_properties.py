@@ -168,3 +168,30 @@ def test_arrow_fold_split_invariance(events, n_splits):
     partials = pa.concat_tables([fold_lww_arrow(c) for c in chunks])
     refold = fold_lww_arrow(partials).to_pandas()
     pd.testing.assert_frame_equal(refold, whole)
+
+
+# ---------------------------------------------- range-join bucket math
+
+
+@given(
+    st.integers(min_value=1, max_value=10_000).flatmap(
+        lambda w: st.tuples(
+            st.just(w),
+            st.integers(min_value=0, max_value=10**9),      # start
+            st.integers(min_value=0, max_value=w),          # span <= width
+            st.integers(min_value=-2 * 10_000, max_value=3 * 10_000),  # ts offset
+        )
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_range_join_bucket_cover(params):
+    """The replication invariant functions/joins.range_join relies on:
+    for any interval with span <= width, every contained ts falls in
+    bucket(start) or bucket(end) — so <= 2 replicas never miss a
+    match, for ANY start alignment and span."""
+    w, s, span, off = params
+    e = s + span
+    ts = s + off
+    if not (s <= ts <= e):
+        return  # only contained points must be covered
+    assert ts // w in (s // w, e // w)
