@@ -459,6 +459,8 @@ def range_join(
     )
 
     def containment(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # an all-empty bucket block carries no columns
+            return df
         m = (df[ts_col].to_numpy() >= df[start_col].to_numpy()) & (
             df[ts_col].to_numpy() <= df[end_col].to_numpy()
         )
