@@ -46,3 +46,25 @@ def ensure_thread_safe_lazy_imports() -> None:
             sys.modules["fsspec.implementations.http"] = mod
             fsspec.implementations.http = mod
         _done = True
+
+
+# ------------------------------------------------ memoized ray.remote
+
+_REMOTE_CACHE: dict = {}
+
+
+def cached_remote(key, fn, **opts):
+    """Memoized ``ray.remote`` wrapper: creating a fresh remote
+    function object per call re-exports ``fn`` to the cluster every
+    time; the key-keyed cache creates each task definition ONCE per
+    process. ``key`` must be globally unique — prefix it with the
+    owning exchange (every direct-exchange implementation shares this
+    one helper: replay merge, hash_join, shard_exchange, price,
+    transfer parse)."""
+    import ray
+
+    r = _REMOTE_CACHE.get(key)
+    if r is None:
+        r = ray.remote(**opts)(fn) if opts else ray.remote(fn)
+        _REMOTE_CACHE[key] = r
+    return r

@@ -32,6 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from cosmwasm_etl_ray.compat import cached_remote
 from cosmwasm_etl_ray.functions.hashing import stable_hash64
 
 _PARTIAL_OPS = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
@@ -43,9 +44,6 @@ def _key_shard(df: pd.DataFrame, keys: list[str], shards: int) -> np.ndarray:
 
 
 # --------------------------------------------- direct shard exchange
-
-_SHARD_REMOTES: dict = {}
-
 
 def _shard_split_blocks(n: int, keys: list[str], by_column: bool, *blocks):
     """Raw task: concat a run of blocks, split by shard (num_returns=n;
@@ -78,13 +76,16 @@ def _shard_split_blocks(n: int, keys: list[str], by_column: bool, *blocks):
 
 def _shard_apply(fn, *splits):
     """Raw task: one shard's rows through ``fn``; returns (n_rows,
-    table) so the driver fetches only counts."""
+    table) so the driver fetches only counts. n == -1 means the shard
+    saw no input (or fn produced a column-less frame); n == 0 carries
+    a TYPED 0-row table so an all-filtered exchange still returns a
+    Dataset with the output schema."""
     tabs = [t for t in splits if t is not None]
     if not tabs:
-        return 0, None
+        return -1, None
     out = fn(pa.concat_tables(tabs, promote_options="default").to_pandas())
-    if out is None or not len(out):
-        return 0, None
+    if out is None or (not len(out) and not len(out.columns)):
+        return -1, None
     return len(out), pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -114,14 +115,10 @@ def shard_exchange(
         def fn(df: pd.DataFrame) -> pd.DataFrame:  # noqa: F811
             return inner(df.drop(columns=[col]))
 
-    split = _SHARD_REMOTES.get(("split", shards))
-    if split is None:
-        split = ray.remote(num_returns=shards)(_shard_split_blocks)
-        _SHARD_REMOTES[("split", shards)] = split
-    apply_t = _SHARD_REMOTES.get("apply")
-    if apply_t is None:
-        apply_t = ray.remote(num_returns=2)(_shard_apply)
-        _SHARD_REMOTES["apply"] = apply_t
+    split = cached_remote(
+        ("agg_split", shards), _shard_split_blocks, num_returns=shards
+    )
+    apply_t = cached_remote("agg_apply", _shard_apply, num_returns=2)
 
     blocks = _drain_block_refs(ds)
     ncpu = int(ray.cluster_resources().get("CPU", 32))
@@ -149,8 +146,32 @@ def shard_exchange(
         count_refs.append(nref)
         table_refs.append(tref)
     counts = ray.get(count_refs)
-    keep = [t for n, t in zip(counts, table_refs) if n]
+    keep = [t for n, t in zip(counts, table_refs) if n > 0]
     if not keep:
+        # one typed 0-row table (if any shard ran fn) so downstream
+        # column access works
+        typed = [t for n, t in zip(counts, table_refs) if n == 0]
+        if typed:
+            return ray.data.from_arrow_refs(typed[:1])
+        if blocks:
+            # every split saw 0 rows => all input blocks are empty:
+            # run fn ONCE on the typed empty input to recover the
+            # output schema (cheap — the block is empty)
+            from cosmwasm_etl_ray.functions.joins import _as_table
+
+            try:
+                t = _as_table(ray.get(blocks[0]))
+                out = fn(t.to_pandas())
+                if out is not None and len(out.columns):
+                    # explicit Arrow conversion: Ray's pandas path
+                    # drops columns on empty object-dtype frames
+                    return ray.data.from_arrow(
+                        pa.Table.from_pandas(
+                            out.iloc[:0], preserve_index=False
+                        )
+                    )
+            except Exception:
+                pass  # fns that reject empty input keep old behavior
         return ray.data.from_pandas(pd.DataFrame())
     return ray.data.from_arrow_refs(keep)
 
@@ -173,21 +194,18 @@ def grouped_agg(
     collected partial set exceeds ``driver_limit`` rows the reduce
     raises instead of silently funnelling a high-cardinality key
     through the driver — switch that caller to final="shuffle"."""
-    # decompose means into sum+count partials
+    # decompose means into per-column sum+count partials; count is the
+    # per-column non-null count (SQL COUNT(col)/AVG(col) parity — a
+    # shared row-count partial would diverge on nullable measures)
     plan: dict[str, tuple[str, str]] = {}
     means: dict[str, str] = {}
-    count_col = None
     for out, (src, op) in spec.items():
         if op == "mean":
             plan[f"__sum_{out}"] = (src, "sum")
+            plan[f"__cnt_{out}"] = (src, "count")
             means[out] = f"__sum_{out}"
-            count_col = count_col or "__n"
-        elif op == "count":
-            count_col = "__n"
         else:
             plan[out] = (src, op)
-    if any(op == "count" for _, op in spec.values()) or means:
-        plan["__n"] = (keys[0], "count")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, sort=False)
@@ -197,6 +215,11 @@ def grouped_agg(
         return pd.DataFrame(cols).reset_index()
 
     def reduce_partials(partials: pd.DataFrame) -> pd.DataFrame:
+        if partials.empty and not set(keys) <= set(partials.columns):
+            # a fully-empty upstream loses its columns (Ray empty
+            # pandas blocks) — return the spec'd shape instead of a
+            # KeyError in the groupby
+            return pd.DataFrame(columns=keys + list(spec.keys()))
         g = partials.groupby(keys, sort=False)
         fin = {}
         for out, (src, op) in plan.items():
@@ -206,13 +229,8 @@ def grouped_agg(
                 fin[out] = getattr(g[out], op)()
         res = pd.DataFrame(fin).reset_index()
         for out, sum_col in means.items():
-            res[out] = res[sum_col] / res["__n"]
-            res = res.drop(columns=[sum_col])
-        for out, (src, op) in spec.items():
-            if op == "count":
-                res[out] = res["__n"]
-        if "__n" in res.columns:
-            res = res.drop(columns=["__n"])
+            res[out] = res[sum_col] / res[f"__cnt_{out}"]
+            res = res.drop(columns=[sum_col, f"__cnt_{out}"])
         return res[keys + list(spec.keys())]  # order columns as spec
 
     partial_ds = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)

@@ -96,12 +96,10 @@ def approx_distinct(
     part = ds.map_batches(partial_fn, batch_format="pandas").map_batches(
         hll_fold, batch_format="pandas", batch_size=64 * HLL_M
     )
-    return (
-        shard_exchange(part, ["g"], reduce_shard, shards)
-        .to_pandas()
-        .sort_values("g")
-        .reset_index(drop=True)
-    )
+    res = shard_exchange(part, ["g"], reduce_shard, shards).to_pandas()
+    if res.empty:  # Ray to_pandas drops columns on ANY empty dataset
+        return pd.DataFrame(columns=["g", "hll_est"])
+    return res.sort_values("g").reset_index(drop=True)
 
 
 # ------------------------------------------------ mergeable quantile sketch
@@ -219,12 +217,10 @@ def grouped_quantile_sketch(
     part = ds.map_batches(partial_fn, batch_format="pandas").map_batches(
         recollapse, batch_format="pandas", batch_size=65536
     )
-    return (
-        shard_exchange(part, ["g"], reduce_shard, shards)
-        .to_pandas()
-        .sort_values("g")
-        .reset_index(drop=True)
-    )
+    res = shard_exchange(part, ["g"], reduce_shard, shards).to_pandas()
+    if res.empty:  # Ray to_pandas drops columns on ANY empty dataset
+        return pd.DataFrame(columns=["g"] + [f"p{q:02d}" for q in qs_e2])
+    return res.sort_values("g").reset_index(drop=True)
 
 
 # ------------------------------------------------- heavy hitters (Misra-Gries)
@@ -301,31 +297,41 @@ def heavy_hitters(
         recompress, batch_format="pandas", batch_size=64 * (k + 1)
     )
     cand = shard_exchange(summaries, ["g"], merge_shard, 1).to_pandas()
-    cand_ref = ray.put(frozenset(cand["key"]))
+    cand_ref = ray.put(
+        frozenset(cand["key"]) if "key" in cand.columns else frozenset()
+    )
 
     def exact_counts(df: pd.DataFrame) -> pd.DataFrame:
         keys = key_fn(df)
         hit = keys[keys.isin(ray.get(cand_ref))]
         c = hit.value_counts()
+        # the stream-size row rides an out-of-band marker COLUMN, not
+        # an in-band sentinel key — a genuine data key can be any
+        # string without colliding with the total
         return pd.DataFrame(
-            {"key": np.r_[c.index.to_numpy(object), ["__total__"]],
-             "n": np.r_[c.to_numpy(np.int64), [len(df)]]}
+            {"key": np.r_[c.index.to_numpy(object), [""]],
+             "n": np.r_[c.to_numpy(np.int64), [len(df)]],
+             "is_total": np.r_[np.zeros(len(c), dtype=bool), [True]]}
         )
 
     def fold_counts(g: pd.DataFrame) -> pd.DataFrame:
         # per-batch pre-sum: the driver receives <= (k+2) rows per
         # coalesced batch instead of per block
-        return g.groupby("key", sort=False, as_index=False)["n"].sum()
+        return g.groupby(["key", "is_total"], sort=False, as_index=False)["n"].sum()
 
-    agg = (
+    rows = (
         ds.map_batches(exact_counts, batch_format="pandas")
         .map_batches(fold_counts, batch_format="pandas", batch_size=64 * (k + 2))
         .to_pandas()
+    )
+    if rows.empty:  # zero-block input never emits a total row
+        rows = pd.DataFrame({"key": [], "n": [], "is_total": []})
+    total = int(rows.loc[rows["is_total"].astype(bool), "n"].sum())
+    agg = (
+        rows.loc[~rows["is_total"].astype(bool)]
         .groupby("key", sort=False)["n"]
         .sum()
     )
-    # a zero-block input never emits the __total__ sentinel row
-    total = int(agg.pop("__total__")) if "__total__" in agg.index else 0
     keep = agg[agg * 10_000 > phi_e4 * total].sort_values(ascending=False)
     return pd.DataFrame(
         {"key": keep.index.to_numpy(object),

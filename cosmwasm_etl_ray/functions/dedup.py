@@ -92,6 +92,14 @@ class MinHasher:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
+        if n == 0:  # reduceat on a 0-doc batch raises IndexError
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "band_id": pd.Series([], dtype="int64"),
+                    "band_hash": pd.Series([], dtype="int64"),
+                }
+            )
         sigs = self.signatures_batch(df["text"].tolist())  # (perm, n)
         # band hash = FNV-1a fold of the band's signature rows —
         # fully vectorized over the doc axis (bands × rows_per_band

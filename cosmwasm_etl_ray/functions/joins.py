@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from cosmwasm_etl_ray.compat import cached_remote
 from cosmwasm_etl_ray.functions.hashing import stable_hash64
 
 
@@ -232,9 +233,6 @@ def _hj_join_bucket(
     return len(out), pa.Table.from_pandas(out, preserve_index=False)
 
 
-_HJ_REMOTES: dict = {}
-
-
 def _drain_block_refs(ds: "ray.data.Dataset") -> list:
     """Execute a Dataset and collect its block ObjectRefs (refs only —
     blocks stay in the object store)."""
@@ -261,14 +259,8 @@ def _hash_join_direct(
         else:
             pad_names = []
 
-    split = _HJ_REMOTES.get(("split", B))
-    if split is None:
-        split = ray.remote(num_returns=B)(_hj_split_blocks)
-        _HJ_REMOTES[("split", B)] = split
-    joinb = _HJ_REMOTES.get("join")
-    if joinb is None:
-        joinb = ray.remote(num_returns=2)(_hj_join_bucket)
-        _HJ_REMOTES["join"] = joinb
+    split = cached_remote(("hj_split", B), _hj_split_blocks, num_returns=B)
+    joinb = cached_remote("hj_join", _hj_join_bucket, num_returns=2)
 
     # drain BOTH upstream pipelines concurrently (each side executes
     # on its own thread; serial drains would make the join's wall time

@@ -102,7 +102,11 @@ def index_candidate_pairs(
     index_dir: str, max_bucket: int = 64, shards: int = 256
 ) -> "ray.data.Dataset":
     """Whole-index candidate pairs from the PERSISTED buckets — the
-    same output as sketching the corpus fresh, minus the sketch pass."""
+    same output as sketching the corpus fresh, minus the sketch pass.
+    Gated on the meta file: a crashed build (buckets written, meta
+    never committed) must read as ABSENT, not as a complete index —
+    the same manifest-last discipline as every other sink here."""
+    _load_meta(index_dir)  # raises on a torn build
     bucketed = ray.data.read_parquet(os.path.join(index_dir, "buckets"))
     return candidate_pairs_from_buckets(
         bucketed, max_bucket=max_bucket, shards=shards, dedup=True
@@ -127,6 +131,11 @@ def probe_minhash_index(
     # sketch the increment; it is increment-sized, so collecting the
     # bucket rows to plan the pruned read is bounded by the increment
     new_rows = _bucketed(new_docs, meta).to_pandas()
+    if new_rows.empty:  # idle tick: no new docs since the last ingest
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_new": pd.Series(dtype="int64"),
+                          "doc_indexed": pd.Series(dtype="int64")})
+        )
     needed = sorted(
         set(
             (new_rows["band_hash"].to_numpy().view(np.uint64) % np.uint64(n_shards))

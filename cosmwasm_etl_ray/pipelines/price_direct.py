@@ -45,9 +45,8 @@ import pyarrow.parquet as pq
 
 import ray
 
+from cosmwasm_etl_ray.compat import cached_remote
 from cosmwasm_etl_ray.functions.hashing import stable_hash64
-
-_REMOTE_CACHE: dict = {}
 
 PRICE_REPO_SHARDS = 32  # matches the Dataset path's sharded_map_groups
 
@@ -89,7 +88,9 @@ def _price_join_pid(S: int, state_file: str | None, *event_splits):
 
     tabs = [t for t in event_splits if t is not None]
     if not tabs:
-        return tuple([None] * S)
+        # num_returns=1 means a BARE value, not a 1-tuple — the same
+        # contract every other splitter honors
+        return None if S == 1 else tuple([None] * S)
     ev = pa.concat_tables(tabs).to_pandas()
     if state_file is not None:
         st = _state_lengths(
@@ -207,14 +208,6 @@ def _price_relsize_write(
     return len(out)
 
 
-def _remote(key, fn, **opts):
-    r = _REMOTE_CACHE.get(key)
-    if r is None:
-        r = ray.remote(**opts)(fn) if opts else ray.remote(fn)
-        _REMOTE_CACHE[key] = r
-    return r
-
-
 def process_epoch_direct(task, epoch: int, manifest: dict) -> None:
     """Drop-in replacement for PriceTask.process_epoch (selected by
     EngineConfig.price_exchange="direct")."""
@@ -244,11 +237,11 @@ def process_epoch_direct(task, epoch: int, manifest: dict) -> None:
         task._finish(epoch, None, carry)
         return
 
-    prep = _remote(("price_prep", P), _price_prep_shard, num_returns=P)
-    join = _remote(("price_join", S), _price_join_pid, num_returns=S)
-    cumsum = _remote("price_cumsum", _price_cumsum_shard, num_returns=2)
-    base_rows_t = _remote("price_base", _price_base_rows)
-    relsize = _remote("price_relsize", _price_relsize_write)
+    prep = cached_remote(("price_prep", P), _price_prep_shard, num_returns=P)
+    join = cached_remote(("price_join", S), _price_join_pid, num_returns=S)
+    cumsum = cached_remote("price_cumsum", _price_cumsum_shard, num_returns=2)
+    base_rows_t = cached_remote("price_base", _price_base_rows)
+    relsize = cached_remote("price_relsize", _price_relsize_write)
 
     # prep shards: bounded like the replay (in-flight refs = shards×P)
     rows = sum(pq.read_metadata(f).num_rows for f in files)

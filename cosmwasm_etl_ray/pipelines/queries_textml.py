@@ -405,6 +405,9 @@ def dedup_increment_probe(sf_dir: str) -> pd.DataFrame:
         cands.map_batches(as_pair, batch_format="pandas"),
         augmented_docs(sf_dir),
         threshold=0.5,
+        # probe pairs dedup only per batch; a pair colliding in many
+        # bands would otherwise verify up to `bands` times
+        dedup_cands=True,
     ).to_pandas()
     found = set(zip(p["doc_a"], p["doc_b"]))
     return _banded_recall(

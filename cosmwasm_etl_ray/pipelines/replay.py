@@ -28,6 +28,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from cosmwasm_etl_ray.compat import cached_remote
 from cosmwasm_etl_ray.config import DEFAULT_CONFIG, EngineConfig
 from cosmwasm_etl_ray.stages.merge import (
     KEY_COLS,
@@ -145,9 +146,6 @@ def _merge_pid_chain(
     return (stats, stats["file"][0].as_py())
 
 
-_REMOTE_CACHE: dict = {}
-
-
 def _direct_exchange_stats(
     flagged: "ray.data.Dataset", merge: MergeWithState, num_partitions: int
 ) -> pd.DataFrame:
@@ -170,14 +168,10 @@ def _direct_exchange_stats(
     import ray as _ray
 
     P = num_partitions
-    split = _REMOTE_CACHE.get(("split", P))
-    if split is None:
-        split = _ray.remote(num_returns=P)(_split_block_by_pid)
-        _REMOTE_CACHE[("split", P)] = split
-    mtask = _REMOTE_CACHE.get("merge")
-    if mtask is None:
-        mtask = _ray.remote(_merge_pid_parts)
-        _REMOTE_CACHE["merge"] = mtask
+    split = cached_remote(
+        ("replay_split", P), _split_block_by_pid, num_returns=P
+    )
+    mtask = cached_remote("replay_merge", _merge_pid_parts)
 
     per_pid: list[list] = [[] for _ in range(P)]
     for bundle in flagged.iter_internal_ref_bundles():
@@ -424,14 +418,8 @@ def _replay_files_direct(
                 f"config asks for {P} — refusing to mix"
             )
 
-    prep = _REMOTE_CACHE.get(("prep", P))
-    if prep is None:
-        prep = _ray.remote(num_returns=P)(_prep_split_shard)
-        _REMOTE_CACHE[("prep", P)] = prep
-    chain = _REMOTE_CACHE.get("chain")
-    if chain is None:
-        chain = _ray.remote(_merge_pid_chain)
-        _REMOTE_CACHE["chain"] = chain
+    prep = cached_remote(("replay_prep", P), _prep_split_shard, num_returns=P)
+    chain = cached_remote("replay_chain", _merge_pid_chain)
     ruleset_ref = _ray.put(cfg.rules) if cfg.rules is not None else None
 
     committed_prior = store.partition_files()  # pid -> newest state file

@@ -44,6 +44,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from cosmwasm_etl_ray.compat import cached_remote
 from cosmwasm_etl_ray.functions.hashing import stable_hash64
 from cosmwasm_etl_ray.stages.transfers import (
     TransferMapperFamily,
@@ -202,9 +203,6 @@ def _plan_epoch_shards(
     return shards
 
 
-_REMOTE_CACHE: dict = {}
-
-
 class TransferParserPipeline:
     """Run the transfer parse epoch by epoch into an exactly-once
     append store; resumable from the last committed manifest."""
@@ -254,14 +252,10 @@ class TransferParserPipeline:
         import ray as _ray
 
         P = self.num_partitions
-        prep = _REMOTE_CACHE.get(("prep", P))
-        if prep is None:
-            prep = _ray.remote(num_returns=P)(_prep_transfer_shard)
-            _REMOTE_CACHE[("prep", P)] = prep
-        finish = _REMOTE_CACHE.get("finish")
-        if finish is None:
-            finish = _ray.remote(_finish_transfer_pid)
-            _REMOTE_CACHE["finish"] = finish
+        prep = cached_remote(
+            ("xfer_prep", P), _prep_transfer_shard, num_returns=P
+        )
+        finish = cached_remote("xfer_finish", _finish_transfer_pid)
 
         path = f"{self.sf_dir}/lineitem.parquet"
         ncpu = int(_ray.cluster_resources().get("CPU", 32))

@@ -249,3 +249,62 @@ def test_build_bloom_distributed_matches_local(ray_session):
     w = build_bloom(ds, "gram")
     local = bloom_from_positions(bloom_positions(np.array(vals, dtype=object)))
     assert (w == local).all()
+
+
+def test_sketches_empty_input(ray_session):
+    """The idle/all-filtered cases return typed empties instead of
+    KeyError (HLL, quantile sketch, heavy hitters)."""
+    import pandas as pd
+    import ray.data
+
+    from cosmwasm_etl_ray.functions.approx import (
+        approx_distinct,
+        grouped_quantile_sketch,
+        heavy_hitters,
+        hll_partial,
+        qsketch_partial,
+    )
+    from cosmwasm_etl_ray.functions.hashing import stable_hash64
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"g": ["x"], "v": [1.0]})
+    ).map_batches(lambda df: df[df["v"] > 99], batch_format="pandas")
+
+    def hpart(df):
+        return hll_partial(df["g"].to_numpy(), stable_hash64(df["g"].to_numpy()))
+
+    out = approx_distinct(ds, hpart)
+    assert list(out.columns) == ["g", "hll_est"] and len(out) == 0
+
+    def qpart(df):
+        return qsketch_partial(df["g"].to_numpy(), df["v"].to_numpy())
+
+    out = grouped_quantile_sketch(ds, qpart, qs_e2=[50])
+    assert list(out.columns) == ["g", "p50"] and len(out) == 0
+
+    out = heavy_hitters(ds, key_fn=lambda d: d["g"], phi_e4=100)
+    assert len(out) == 0
+
+
+def test_probe_minhash_index_empty_increment(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from cosmwasm_etl_ray.functions.sketch_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": pd.Series([1, 2], dtype="int64"),
+             "text": ["a b c d e", "f g h i j"]}
+        )
+    )
+    d = str(tmp_path / "idx")
+    build_minhash_index(docs, d)
+    empty = docs.map_batches(
+        lambda df: df[df["doc_id"] > 99], batch_format="pandas"
+    )
+    out = probe_minhash_index(d, empty).to_pandas()
+    assert len(out) == 0

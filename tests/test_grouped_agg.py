@@ -268,3 +268,64 @@ def test_grouped_quantiles_exact_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got[["g", "p01", "p50", "p90", "p99"]], expect
     )
+
+
+def test_grouped_agg_nullable_measure_sql_parity(ray_session):
+    """COUNT(col)/AVG(col) skip nulls per column — a shared row-count
+    partial would report mean=5 for v=[10, NaN]."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cosmwasm_etl_ray.functions.agg import grouped_agg
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", "b"], "v": [10.0, np.nan, 4.0]}
+    )
+    out = grouped_agg(
+        ray.data.from_pandas(df).repartition(2),
+        keys=["g"],
+        spec={"n_v": ("v", "count"), "avg_v": ("v", "mean")},
+        final="driver",
+    ).sort_values("g").reset_index(drop=True)
+    assert out["n_v"].tolist() == [1, 1]
+    assert out["avg_v"].tolist() == [10.0, 4.0]
+
+
+def test_shard_exchange_all_filtered_keeps_schema(ray_session):
+    """An exchange whose every input row is filtered must still return
+    a Dataset with the output columns (typed 0-row), not a schema-less
+    empty that KeyErrors the caller."""
+    import pandas as pd
+    import ray.data
+
+    from cosmwasm_etl_ray.functions.agg import grouped_agg
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"g": ["x"], "v": [1]})
+    ).map_batches(lambda df: df[df["v"] > 99], batch_format="pandas")
+    out = grouped_agg(ds, keys=["g"], spec={"s": ("v", "sum")}, final="shuffle")
+    # the DATASET carries the output schema (this Ray's to_pandas drops
+    # columns on any empty dataset, so assert at the schema level)
+    assert out.schema().names == ["g", "s"]
+    assert out.count() == 0
+
+
+def test_heavy_hitters_total_key_not_special(ray_session):
+    """A genuine data key named '__total__' must count normally (the
+    stream-size row is an out-of-band column, not an in-band key)."""
+    import pandas as pd
+    import ray.data
+
+    from cosmwasm_etl_ray.functions.approx import heavy_hitters
+
+    df = pd.DataFrame({"k": ["__total__"] * 60 + ["other"] * 40})
+    out = heavy_hitters(
+        ray.data.from_pandas(df).repartition(3),
+        key_fn=lambda d: d["k"],
+        phi_e4=2000,
+    )
+    got = dict(zip(out["key"], out["n_events"]))
+    assert got == {"__total__": 60, "other": 40}
+    shares = dict(zip(out["key"], out["share_e4"]))
+    assert shares["__total__"] == 6000
