@@ -86,7 +86,9 @@ def _shard_apply(fn, *splits):
     out = fn(pa.concat_tables(tabs, promote_options="default").to_pandas())
     if out is None or (not len(out) and not len(out.columns)):
         return -1, None
-    return len(out), pa.Table.from_pandas(out, preserve_index=False)
+    from cosmwasm_etl_ray.functions.joins import from_pandas_stable
+
+    return len(out), from_pandas_stable(out)
 
 
 def shard_exchange(

@@ -85,9 +85,48 @@ def _merge_sides(
                 if c not in on:
                     out_c = c + suffixes[1] if c in overlap else c
                     lhs[out_c] = _null_series(lhs.index, right_types.get(c))
-            return lhs
+            return _stabilize_left_pad(
+                lhs, on, suffixes, right_names, right_types
+            )
         raise NotImplementedError(f"hash_join how={how!r} on empty side")
-    return lhs.merge(rhs, on=on, how=how, suffixes=suffixes)
+    out = lhs.merge(rhs, on=on, how=how, suffixes=suffixes)
+    if how == "left":
+        # unmatched rows NaN-widen declared-int right columns to
+        # float64 — but only in buckets that HAVE unmatched rows, so
+        # per-bucket block schemas drift (int64 vs double: the exact
+        # mixed-schema hazard that made events_asof_order flaky).
+        # Normalize to pandas nullable ints → ONE Arrow schema
+        # (int64 with nulls) from every bucket.
+        out = _stabilize_left_pad(out, on, suffixes, right_names, right_types)
+    return out
+
+
+_NULLABLE = {"i": "Int64", "u": "UInt64", "b": "boolean"}
+
+
+def _stabilize_left_pad(
+    out: pd.DataFrame, on, suffixes, right_names, right_types
+) -> pd.DataFrame:
+    """Cast NaN-padded right-side value columns of a left join to the
+    nullable dtype matching their DECLARED dtype, so matched-only,
+    partially-matched, and empty-right buckets all emit one schema."""
+    for c in right_names:
+        if c in on:
+            continue
+        out_c = c if c in out.columns else c + suffixes[1]
+        if out_c not in out.columns:
+            continue
+        try:
+            kind = pd.api.types.pandas_dtype(right_types.get(c)).kind
+        except TypeError:
+            continue
+        want = _NULLABLE.get(kind)
+        if want and str(out[out_c].dtype) != want:
+            try:
+                out[out_c] = out[out_c].astype(want)
+            except (ValueError, TypeError):
+                pass  # non-integral floats keep the wide dtype
+    return out
 
 
 def hash_join(
@@ -184,6 +223,23 @@ def _as_table(b):
     return b
 
 
+def from_pandas_stable(df: pd.DataFrame) -> pa.Table:
+    """pandas → Arrow with null-typed columns pinned to string: an
+    object column that is all-None in THIS block (e.g. a LAG/as-of
+    lookup shard where no key repeats) infers `null` where every other
+    block infers `string`, and per-block schema drift is the
+    mixed-schema hazard. Repo convention: object-dtype nulls ARE
+    string nulls (numeric nulls ride float64 NaN), so the cast is the
+    declared intent."""
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    for i, f in enumerate(t.schema):
+        if pa.types.is_null(f.type):
+            t = t.set_column(
+                i, pa.field(f.name, pa.string()), t.column(i).cast(pa.string())
+            )
+    return t
+
+
 def _hj_split_blocks(B: int, on: list[str], names: list[str] | None, *blocks):
     """Raw task: concat a run of one side's blocks, project to the
     side's declared columns (the same projection the Dataset shape
@@ -230,7 +286,7 @@ def _hj_join_bucket(
     )
     if out is None or not len(out):
         return 0, None
-    return len(out), pa.Table.from_pandas(out, preserve_index=False)
+    return len(out), from_pandas_stable(out)
 
 
 def _drain_block_refs(ds: "ray.data.Dataset") -> list:

@@ -136,6 +136,80 @@ def test_left_join_pad_is_typed_not_nan(ray_session):
         assert out.loc[out["k"] == 3, "w"].iloc[0] == "hit"
 
 
+def _blocks(ds):
+    """Materialized Arrow block tables of a Dataset (pandas blocks
+    normalized through Arrow), non-empty only."""
+    import pyarrow as pa
+
+    tabs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref in bundle.block_refs:
+            b = ray.get(ref)
+            t = pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
+            if t.num_rows:
+                tabs.append(t)
+    return tabs
+
+
+def test_left_join_int_pad_one_schema_across_buckets(ray_session):
+    """Integer right columns of a left join must come out as ONE Arrow
+    schema (int64 with nulls) whether a bucket matched every left row,
+    some, or none — pandas merge NaN-widening to float64 in only the
+    partially-matched buckets is per-block schema drift (the
+    decontaminate_bloom n_hit int64-vs-double warning)."""
+    import pyarrow as pa
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(64, dtype=np.int64),
+                      "v": np.arange(64, dtype=np.int64)})
+    )
+    # half the keys match → most buckets mix matched/unmatched rows
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(0, 64, 2, dtype=np.int64),
+                      "n_hit": np.arange(32, dtype=np.int64)})
+    )
+    for exchange in ("direct", "dataset"):
+        ds = hash_join(
+            left, right, on="k", num_buckets=8, how="left",
+            left_cols={"k": "int64", "v": "int64"},
+            right_cols={"k": "int64", "n_hit": "int64"},
+            exchange=exchange,
+        )
+        types = {str(t.schema.field("n_hit").type) for t in _blocks(ds)}
+        out = ds.to_pandas()
+        assert len(out) == 64
+        # every BLOCK carries int64-with-nulls, never double
+        assert types <= {"int64"}, (exchange, types)
+        got = out.set_index("k")["n_hit"]
+        assert int(got.loc[4]) == 2 and pd.isna(got.loc[5])
+
+
+def test_shard_allnull_string_column_stays_string(ray_session):
+    """A shard whose output string column is ALL null (e.g. a LAG
+    where no key repeats in that shard) must still emit an Arrow
+    string column, not `null` type — per-block drift again (the
+    cdc_prev_commit warning)."""
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+
+    df = pd.DataFrame(
+        {"k": [f"k{i}" for i in range(40)], "c": [f"c{i}" for i in range(40)]}
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "c"], kind="stable")
+        prev = g.groupby("k", sort=False)["c"].shift(1)  # all-null: unique keys
+        g["prev"] = prev.astype(object).where(prev.notna(), None)
+        return g[["k", "c", "prev"]]
+
+    ds = sharded_map_groups(
+        ray.data.from_pandas(df).repartition(4), ["k"], per_shard, shards=8
+    )
+    schemas = {str(t.schema.field("prev").type) for t in _blocks(ds)}
+    out = ds.to_pandas()
+    assert len(out) == 40 and out["prev"].isna().all()
+    assert "null" not in schemas, schemas
+
+
 # ------------------------------------------------------------ range join
 
 
