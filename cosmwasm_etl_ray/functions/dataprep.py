@@ -721,6 +721,86 @@ def vocab_topk(docs: "ray.data.Dataset", k: int = TOPK_VOCAB) -> pd.DataFrame:
     return out
 
 
+TFIDF_TOPK = 3
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_top_terms(
+    docs: "ray.data.Dataset", k: int = TFIDF_TOPK
+) -> "ray.data.Dataset":
+    """Per-document top-k characteristic terms by an integer-exact
+    TF-IDF-style rank (keyword extraction / near-dup feature prep).
+
+    score = tf * TFIDF_SCALE // df — the corpus-size factor N of
+    classic tf·ln(N/df) is constant per corpus, so it cancels inside
+    the per-doc ranking; dropping it (and the ln, whose libm varies
+    bit-for-bit across engines) keeps the score integer-exact and the
+    SQL twin hash-matchable. Ties break token-ascending.
+
+    Scale shape: the TF partial is COMPLETE per batch (a document is
+    one input row, so its (doc, term) counts never span blocks); DF is
+    corpus-cardinality, so it reduces through the token-sharded
+    exchange (grouped_agg final="shuffle"), never the driver; DF joins
+    back to the TF stream through the bucketed hash_join (big ⋈ big —
+    the IDF table is corpus-vocabulary-sized, NOT broadcastable at
+    100 TB); the per-doc cut is the grouped_topk combiner, so only
+    ≤ k rows per doc per block reach the final exchange."""
+    from cosmwasm_etl_ray.functions.agg import grouped_agg, grouped_topk
+    from cosmwasm_etl_ray.functions.joins import hash_join
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("doc_id")["text"].str.split(" ").explode()
+        c = (
+            pd.DataFrame(
+                {"doc_id": ex.index.to_numpy(), "token": ex.to_numpy(dtype=object)}
+            )
+            .value_counts(["doc_id", "token"], sort=False)
+            .reset_index(name="tf")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": c["doc_id"].to_numpy().astype("int64"),
+                "token": c["token"].to_numpy(dtype=object),
+                "tf": c["tf"].to_numpy().astype("int64"),
+            }
+        )
+
+    # two consumers (DF reduce + join left side) — materialize once
+    tf = docs.map_batches(tf_rows, batch_format="pandas").materialize()
+
+    dfreq = grouped_agg(
+        tf,
+        keys=["token"],
+        # tf rows are distinct (doc, token) by construction, so the
+        # row count per token IS the document frequency
+        spec={"df": ("doc_id", "count")},
+        final="shuffle",
+    )
+
+    joined = hash_join(
+        tf,
+        dfreq,
+        on="token",
+        left_cols={"doc_id": "int64", "token": "object", "tf": "int64"},
+        right_cols={"token": "object", "df": "int64"},
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "token", "tf", "df"]].copy()
+        out["score"] = (
+            out["tf"].to_numpy() * TFIDF_SCALE // out["df"].to_numpy()
+        ).astype("int64")
+        return out
+
+    return grouped_topk(
+        joined.map_batches(score, batch_format="pandas"),
+        "doc_id",
+        ["score", "token"],
+        k,
+        ascending=[False, True],
+    )
+
+
 # ------------------------------------------------------ sequence packing
 
 PACK_CAPACITY = 128  # token budget per packed sequence

@@ -22,6 +22,8 @@ from cosmwasm_etl_ray.functions.dataprep import (
     PHONE_RE,
     REDACTION,
     SPLIT_MULT,
+    TFIDF_SCALE,
+    TFIDF_TOPK,
     TOPK_VOCAB,
     TRAIN_BOUND,
     VAL_BOUND,
@@ -31,6 +33,7 @@ from cosmwasm_etl_ray.functions.dataprep import (
     pack_sequences,
     pii_scan,
     split_batch,
+    tfidf_top_terms,
     vocab_topk,
 )
 
@@ -119,6 +122,13 @@ def pack_sequences_docs(sf_dir: str) -> "ray.data.Dataset":
     """Greedy context-window packing: serial walk per doc_id-shard,
     shard-local pack ids (cluster-size-independent layout)."""
     return pack_sequences(_docs(sf_dir))
+
+
+def tfidf_top_terms_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc top-3 characteristic terms by integer-exact TF-IDF rank:
+    per-batch complete TF rows -> token-sharded DF reduce -> bucketed
+    DF⋈TF join -> grouped_topk cut."""
+    return tfidf_top_terms(_docs(sf_dir))
 
 
 def corpus_filter_docs(sf_dir: str) -> "ray.data.Dataset":
@@ -323,6 +333,7 @@ QUERIES = {
     "decontaminate_bloom": decontaminate_bloom_train,
     "pii_scan": pii_scan_docs,
     "vocab_topk": vocab_topk_docs,
+    "tfidf_top_terms": tfidf_top_terms_docs,
     "pack_sequences": pack_sequences_docs,
 }
 
@@ -560,6 +571,30 @@ FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT {TOPK_VOCAB}
+""",
+    # integer-exact TF-IDF rank: score = tf * SCALE // df (the corpus
+    # constant N and the ln of classic tf*ln(N/df) cancel/are dropped
+    # so the twin is bit-exact — // truncation matches numpy on the
+    # all-positive operands)
+    "tfidf_top_terms": f"""
+WITH tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY doc_id, token
+),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+ranked AS (
+    SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+           tf.tf * {TFIDF_SCALE} // dfr.df AS score,
+           row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * {TFIDF_SCALE} // dfr.df DESC, tf.token ASC
+           ) AS rn
+    FROM tf JOIN dfr USING (token)
+)
+SELECT doc_id, token, tf, df, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rn <= {TFIDF_TOPK}
 """,
     # the greedy per-shard walk restated as a recursive CTE: one row
     # per shard advances per step, carrying (pack_id, fill) — the

@@ -432,3 +432,37 @@ def test_decontaminate_bloom_equals_exact(ray_session, sf_dir):
         .sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a[b.columns], b)
+
+
+def test_tfidf_top_terms_small(ray_session):
+    """Hand-checkable corpus: ubiquitous terms rank below rare ones,
+    score is tf*SCALE//df, ties break token-ascending, k bounds rows."""
+    from cosmwasm_etl_ray.functions.dataprep import TFIDF_SCALE, tfidf_top_terms
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3], dtype="int64"),
+            "text": [
+                "the cat sat",        # cat df=1, sat df=2, the df=3
+                "the dog sat",        # dog df=1
+                "the the fox",        # tf(the)=2, fox df=1
+            ],
+        }
+    )
+    out = (
+        tfidf_top_terms(ray.data.from_pandas(docs).repartition(3), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "score", "token"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # doc 1: cat 1/1 > sat 1/2 (the 1/3 cut by k=2)
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["token"]) == ["cat", "sat"]
+    assert list(d1["score"]) == [TFIDF_SCALE, TFIDF_SCALE // 2]
+    # doc 3: fox 1/1 vs the 2/3 -> fox wins (1e6 > 666666)
+    d3 = out[out["doc_id"] == 3]
+    assert list(d3["token"]) == ["fox", "the"]
+    assert list(d3["score"]) == [TFIDF_SCALE, 2 * TFIDF_SCALE // 3]
+    assert (out.groupby("doc_id").size() <= 2).all()
+    assert out["score"].dtype == np.int64 and out["tf"].dtype == np.int64
