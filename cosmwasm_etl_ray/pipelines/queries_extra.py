@@ -244,9 +244,72 @@ def events_clicks_after_error(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def events_funnel(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered funnel conversion per user (view → click → purchase):
+    the greedy minimal chain — t_view = first view, t_click = first
+    click strictly after it, t_purchase = first purchase strictly
+    after that — plus the furthest stage reached (0-3). The classic
+    product-analytics sequence-match, expressed as ONE user-sharded
+    exchange: all per-user chain state is three scalars, so each
+    coarse shard resolves its users fully vectorized (masked groupby
+    mins + in-pandas merges), and a hot user costs only that user's
+    events. Reference analogue: the multi-step consume/match pattern
+    of M10/J8 (/root/reference/parser/dex/dex.go:732-749's ordered
+    popList matching), generalized to a timestamp funnel."""
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({"user_id": g["user_id"].unique()})
+        v = (
+            g.loc[g["event_type"] == "view"]
+            .groupby("user_id", sort=False)["ts"]
+            .min()
+            .rename("t_view")
+            .reset_index()
+        )
+        c = g.loc[g["event_type"] == "click", ["user_id", "ts"]].merge(
+            v, on="user_id"
+        )
+        c = (
+            c.loc[c["ts"] > c["t_view"]]
+            .groupby("user_id", sort=False)["ts"]
+            .min()
+            .rename("t_click")
+            .reset_index()
+        )
+        p = g.loc[g["event_type"] == "purchase", ["user_id", "ts"]].merge(
+            c, on="user_id"
+        )
+        p = (
+            p.loc[p["ts"] > p["t_click"]]
+            .groupby("user_id", sort=False)["ts"]
+            .min()
+            .rename("t_purchase")
+            .reset_index()
+        )
+        out = (
+            users.merge(v, on="user_id", how="left")
+            .merge(c[["user_id", "t_click"]], on="user_id", how="left")
+            .merge(p[["user_id", "t_purchase"]], on="user_id", how="left")
+        )
+        out["stage"] = (
+            out["t_view"].notna().astype("int64")
+            + out["t_click"].notna().astype("int64")
+            + out["t_purchase"].notna().astype("int64")
+        )
+        return out[["user_id", "stage", "t_view", "t_click", "t_purchase"]]
+
+    return sharded_map_groups(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        ["user_id"],
+        per_shard,
+    )
+
+
 QUERIES = {
     "events_error_click_match": events_error_click_match,
     "events_clicks_after_error": events_clicks_after_error,
+    "events_funnel": events_funnel,
     "cdc_prev_commit": cdc_prev_commit,
     "events_sessionize": events_sessionize,
     "customers_without_orders": customers_without_orders,
@@ -255,6 +318,31 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # greedy minimal chain: first view, first click strictly after it,
+    # first purchase strictly after that — stage = furthest reached
+    "events_funnel": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+          AS BIGINT) AS stage,
+       v.t_view, c.t_click, p.t_purchase
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+""",
     "events_clicks_after_error": """
 SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_clicks
 FROM events e JOIN events c
