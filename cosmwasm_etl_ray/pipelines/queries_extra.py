@@ -306,10 +306,63 @@ def events_funnel(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def events_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Weekly retention cohorts: cohort = a user's first active week
+    (epoch-days // 7 — integer-exact, no ISO-week library variance),
+    and for every (cohort_week, offset_week) the number of users
+    active offset weeks after their first. Shape: per-batch
+    (user, week) DISTINCT projection (a combiner — events collapse to
+    at most one row per user-week per block BEFORE any exchange), one
+    user-sharded pass pins each user's min week and emits its
+    (cohort, offset) pairs pre-counted per shard, and a tiny keyed sum
+    finishes (cohort×offset cardinality is calendar-bounded, but the
+    reduce still runs final="shuffle" — nothing funnels through the
+    driver)."""
+    from cosmwasm_etl_ray.functions.agg import grouped_agg, sharded_map_groups
+
+    def user_weeks(df: pd.DataFrame) -> pd.DataFrame:
+        days = df["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy().astype("int64"),
+             "week": days // 7}
+        ).drop_duplicates(ignore_index=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "week"])  # global distinct per user
+        first = g.groupby("user_id", sort=False)["week"].transform("min")
+        c = (
+            pd.DataFrame(
+                {
+                    "cohort_week": first.to_numpy().astype("int64"),
+                    "offset_week": (g["week"] - first).to_numpy().astype("int64"),
+                }
+            )
+            .value_counts(["cohort_week", "offset_week"], sort=False)
+            .reset_index(name="n_users")
+        )
+        c["n_users"] = c["n_users"].astype("int64")
+        return c
+
+    partials = sharded_map_groups(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            user_weeks, batch_format="pandas"
+        ),
+        ["user_id"],
+        per_shard,
+    )
+    return grouped_agg(
+        partials,
+        keys=["cohort_week", "offset_week"],
+        spec={"n_users": ("n_users", "sum")},
+        final="shuffle",
+    )
+
+
 QUERIES = {
     "events_error_click_match": events_error_click_match,
     "events_clicks_after_error": events_clicks_after_error,
     "events_funnel": events_funnel,
+    "events_retention": events_retention,
     "cdc_prev_commit": cdc_prev_commit,
     "events_sessionize": events_sessionize,
     "customers_without_orders": customers_without_orders,
@@ -318,6 +371,21 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # week = epoch-days // 7; both sides integer-truncate on positives
+    "events_retention": """
+WITH wk AS (
+    SELECT DISTINCT user_id,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                AS BIGINT) AS week
+    FROM events
+),
+cohorts AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
+SELECT c.cohort_week,
+       w.week - c.cohort_week AS offset_week,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM wk w JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+""",
     # greedy minimal chain: first view, first click strictly after it,
     # first purchase strictly after that — stage = furthest reached
     "events_funnel": """

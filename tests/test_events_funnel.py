@@ -46,3 +46,35 @@ def test_funnel_greedy_chain(ray_session, tmp_path):
     assert pd.isna(out.loc[2, "t_purchase"])
     assert pd.isna(out.loc[4, "t_view"])
     assert pd.isna(out.loc[5, "t_click"])  # same-ts click excluded
+
+
+def test_retention_cohorts(ray_session, tmp_path):
+    """Hand case: distinct-per-week collapse, cohort pinned at the
+    user's first week, offsets counted once per user-week."""
+    from cosmwasm_etl_ray.pipelines.queries_extra import events_retention
+
+    t0 = pd.Timestamp("1970-01-01")  # week 0 starts here (days // 7)
+
+    def ev(user, days):
+        return {"user_id": user, "event_type": "view",
+                "ts": t0 + pd.Timedelta(days=days)}
+
+    rows = [
+        # user 1: weeks 0, 0 (dup within week), 2
+        ev(1, 0), ev(1, 3), ev(1, 14),
+        # user 2: weeks 1, 2
+        ev(2, 7), ev(2, 15),
+        # user 3: week 0 only
+        ev(3, 1),
+    ]
+    df = pd.DataFrame(rows)
+    df["user_id"] = df["user_id"].astype("int64")
+    df.to_parquet(tmp_path / "events.parquet")
+    out = (
+        events_retention(str(tmp_path))
+        .to_pandas()
+        .sort_values(["cohort_week", "offset_week"])
+        .reset_index(drop=True)
+    )
+    got = {(r.cohort_week, r.offset_week): r.n_users for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
