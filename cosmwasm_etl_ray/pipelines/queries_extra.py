@@ -258,52 +258,53 @@ def events_funnel(sf_dir: str) -> "ray.data.Dataset":
     popList matching), generalized to a timestamp funnel."""
     from cosmwasm_etl_ray.functions.agg import sharded_map_groups
 
-    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        users = pd.DataFrame({"user_id": g["user_id"].unique()})
-        v = (
-            g.loc[g["event_type"] == "view"]
-            .groupby("user_id", sort=False)["ts"]
-            .min()
-            .rename("t_view")
-            .reset_index()
-        )
-        c = g.loc[g["event_type"] == "click", ["user_id", "ts"]].merge(
-            v, on="user_id"
-        )
-        c = (
-            c.loc[c["ts"] > c["t_view"]]
-            .groupby("user_id", sort=False)["ts"]
-            .min()
-            .rename("t_click")
-            .reset_index()
-        )
-        p = g.loc[g["event_type"] == "purchase", ["user_id", "ts"]].merge(
-            c, on="user_id"
-        )
-        p = (
-            p.loc[p["ts"] > p["t_click"]]
-            .groupby("user_id", sort=False)["ts"]
-            .min()
-            .rename("t_purchase")
-            .reset_index()
-        )
-        out = (
-            users.merge(v, on="user_id", how="left")
-            .merge(c[["user_id", "t_click"]], on="user_id", how="left")
-            .merge(p[["user_id", "t_purchase"]], on="user_id", how="left")
-        )
-        out["stage"] = (
-            out["t_view"].notna().astype("int64")
-            + out["t_click"].notna().astype("int64")
-            + out["t_purchase"].notna().astype("int64")
-        )
-        return out[["user_id", "stage", "t_view", "t_click", "t_purchase"]]
-
     return sharded_map_groups(
         _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
         ["user_id"],
-        per_shard,
+        funnel_shard,
     )
+
+
+def funnel_shard(g: pd.DataFrame) -> pd.DataFrame:
+    """One user-shard of the funnel (module-level so the property test
+    can drive it against a per-user brute-force oracle)."""
+    users = pd.DataFrame({"user_id": g["user_id"].unique()})
+    v = (
+        g.loc[g["event_type"] == "view"]
+        .groupby("user_id", sort=False)["ts"]
+        .min()
+        .rename("t_view")
+        .reset_index()
+    )
+    c = g.loc[g["event_type"] == "click", ["user_id", "ts"]].merge(v, on="user_id")
+    c = (
+        c.loc[c["ts"] > c["t_view"]]
+        .groupby("user_id", sort=False)["ts"]
+        .min()
+        .rename("t_click")
+        .reset_index()
+    )
+    p = g.loc[g["event_type"] == "purchase", ["user_id", "ts"]].merge(
+        c, on="user_id"
+    )
+    p = (
+        p.loc[p["ts"] > p["t_click"]]
+        .groupby("user_id", sort=False)["ts"]
+        .min()
+        .rename("t_purchase")
+        .reset_index()
+    )
+    out = (
+        users.merge(v, on="user_id", how="left")
+        .merge(c[["user_id", "t_click"]], on="user_id", how="left")
+        .merge(p[["user_id", "t_purchase"]], on="user_id", how="left")
+    )
+    out["stage"] = (
+        out["t_view"].notna().astype("int64")
+        + out["t_click"].notna().astype("int64")
+        + out["t_purchase"].notna().astype("int64")
+    )
+    return out[["user_id", "stage", "t_view", "t_click", "t_purchase"]]
 
 
 def events_retention(sf_dir: str) -> "ray.data.Dataset":
@@ -327,28 +328,12 @@ def events_retention(sf_dir: str) -> "ray.data.Dataset":
              "week": days // 7}
         ).drop_duplicates(ignore_index=True)
 
-    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["user_id", "week"])  # global distinct per user
-        first = g.groupby("user_id", sort=False)["week"].transform("min")
-        c = (
-            pd.DataFrame(
-                {
-                    "cohort_week": first.to_numpy().astype("int64"),
-                    "offset_week": (g["week"] - first).to_numpy().astype("int64"),
-                }
-            )
-            .value_counts(["cohort_week", "offset_week"], sort=False)
-            .reset_index(name="n_users")
-        )
-        c["n_users"] = c["n_users"].astype("int64")
-        return c
-
     partials = sharded_map_groups(
         _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
             user_weeks, batch_format="pandas"
         ),
         ["user_id"],
-        per_shard,
+        retention_shard,
     )
     return grouped_agg(
         partials,
@@ -356,6 +341,26 @@ def events_retention(sf_dir: str) -> "ray.data.Dataset":
         spec={"n_users": ("n_users", "sum")},
         final="shuffle",
     )
+
+
+def retention_shard(g: pd.DataFrame) -> pd.DataFrame:
+    """One user-shard of the retention count (module-level for the
+    property test): input (user_id, week) rows, distinct per user;
+    output pre-counted (cohort_week, offset_week, n_users)."""
+    g = g.drop_duplicates(["user_id", "week"])  # global distinct per user
+    first = g.groupby("user_id", sort=False)["week"].transform("min")
+    c = (
+        pd.DataFrame(
+            {
+                "cohort_week": first.to_numpy().astype("int64"),
+                "offset_week": (g["week"] - first).to_numpy().astype("int64"),
+            }
+        )
+        .value_counts(["cohort_week", "offset_week"], sort=False)
+        .reset_index(name="n_users")
+    )
+    c["n_users"] = c["n_users"].astype("int64")
+    return c
 
 
 QUERIES = {

@@ -78,3 +78,87 @@ def test_retention_cohorts(ray_session, tmp_path):
     )
     got = {(r.cohort_week, r.offset_week): r.n_users for r in out.itertuples()}
     assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+# ------------------------------------------------ property: brute-force parity
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _ev_stream():
+    return st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),            # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(min_value=0, max_value=40),           # minute
+        ),
+        min_size=0,
+        max_size=40,
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ev_stream())
+def test_funnel_shard_matches_bruteforce(evs):
+    from cosmwasm_etl_ray.pipelines.queries_extra import funnel_shard
+
+    t0 = pd.Timestamp("2026-01-01")
+    g = pd.DataFrame(
+        {
+            "user_id": pd.Series([u for u, _, _ in evs], dtype="int64"),
+            "event_type": [t for _, t, _ in evs],
+            "ts": [t0 + pd.Timedelta(minutes=m) for _, _, m in evs],
+        }
+    )
+    out = funnel_shard(g).set_index("user_id").sort_index()
+    for u in set(g["user_id"]):
+        rows = [(t, ts) for (uu, t, m), ts in zip(evs, g["ts"]) if uu == u]
+        t1 = min((ts for t, ts in rows if t == "view"), default=None)
+        t2 = (
+            min((ts for t, ts in rows if t == "click" and ts > t1), default=None)
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min((ts for t, ts in rows if t == "purchase" and ts > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        want_stage = (t1 is not None) + (t2 is not None) + (t3 is not None)
+        assert out.loc[u, "stage"] == want_stage, (u, evs)
+        for col, want in (("t_view", t1), ("t_click", t2), ("t_purchase", t3)):
+            got = out.loc[u, col]
+            assert (pd.isna(got) and want is None) or got == want, (u, col, evs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 30)),  # (user, week)
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_retention_shard_matches_bruteforce(pairs):
+    from cosmwasm_etl_ray.pipelines.queries_extra import retention_shard
+
+    g = pd.DataFrame(
+        {
+            "user_id": pd.Series([u for u, _ in pairs], dtype="int64"),
+            "week": pd.Series([w for _, w in pairs], dtype="int64"),
+        }
+    )
+    out = retention_shard(g)
+    got = {
+        (r.cohort_week, r.offset_week): r.n_users for r in out.itertuples()
+    }
+    want: dict = {}
+    by_user: dict = {}
+    for u, w in pairs:
+        by_user.setdefault(u, set()).add(w)
+    for u, weeks in by_user.items():
+        first = min(weeks)
+        for w in weeks:
+            key = (first, w - first)
+            want[key] = want.get(key, 0) + 1
+    assert got == want, (pairs,)
