@@ -264,14 +264,29 @@ def minhash_dedup_pairs(
 class SimHasher:
     """64-bit SimHash over word bigrams (unigrams degenerate on small
     vocabularies — near-identical word SETS everywhere); emits the
-    fingerprint plus eight 8-bit blocking keys (pairs within hamming ≤ 7
-    share at least one block by pigeonhole; hamming ~10-16 detected
-    with high probability).
+    fingerprint plus 64/block_bits blocking keys (pairs within hamming
+    ≤ n_blocks-1 share at least one block by pigeonhole; larger
+    distances detected with high probability).
+
+    ``block_bits`` is the LSH scale knob: expected bucket occupancy is
+    corpus_size / 2^block_bits, and the hot-bucket cap sheds buckets
+    past ``max_bucket`` — so 8-bit blocks saturate (every bucket hot →
+    zero candidates) past ~max_bucket × 256 docs. Pick block_bits with
+    corpus / 2^bits ≲ max_bucket/4: 8 for ≤10^5 docs, 16 up to ~10^9,
+    32 beyond (measured: the 500k-doc soak sheds 100% of 8-bit buckets
+    but recalls through 16-bit ones). Fewer, wider blocks trade the
+    pigeonhole guarantee down (4 blocks ⇒ exact only to hamming 3).
 
     Vectorized over the whole batch: every doc's distinct-bigram hashes
     concatenate into one array, the 64-bit → bit-matrix expansion runs
     once, and per-doc bit votes come from a segmented ``add.reduceat``
     — no Python loop over documents."""
+
+    def __init__(self, block_bits: int = 8):
+        if 64 % block_bits:
+            raise ValueError("block_bits must divide 64")
+        self.block_bits = block_bits
+        self.n_blocks = 64 // block_bits
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -296,8 +311,11 @@ class SimHasher:
                 axis=1, dtype=np.uint64
             )
         out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": fps.astype("int64")})
-        for blk in range(8):
-            out[f"block{blk}"] = ((fps >> np.uint64(8 * blk)) & np.uint64(0xFF)).astype("int64")
+        mask = np.uint64((1 << self.block_bits) - 1)
+        for blk in range(self.n_blocks):
+            out[f"block{blk}"] = (
+                (fps >> np.uint64(self.block_bits * blk)) & mask
+            ).astype("int64")
         return out
 
 
@@ -311,24 +329,33 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_dedup_pairs(
-    docs: "ray.data.Dataset", max_hamming: int = 16
+    docs: "ray.data.Dataset",
+    max_hamming: int = 16,
+    block_bits: int = 8,
+    max_bucket: int = 256,
 ) -> "ray.data.Dataset":
-    """SimHash near-dup: fingerprint → 8×8-bit-block LSH → verify
-    hamming. Blocks guarantee recall for hamming ≤ 7 (pigeonhole) and
-    detect hamming ~10-16 with high probability."""
-    fps = docs.map_batches(SimHasher(), batch_format="pandas", batch_size=2048)
+    """SimHash near-dup: fingerprint → (64/block_bits)-block LSH →
+    verify hamming. Blocks guarantee recall for hamming ≤ n_blocks-1
+    (pigeonhole) and detect larger distances with high probability.
+    ``block_bits`` must track corpus size (see SimHasher docstring):
+    at 8 bits every bucket exceeds ``max_bucket`` past ~65k docs and
+    candidate generation silently dries up."""
+    n_blocks = 64 // block_bits
+    fps = docs.map_batches(
+        SimHasher(block_bits), batch_format="pandas", batch_size=2048
+    )
 
-    # melt the 8 blocking keys into rows → ONE shuffle on a coarse
-    # shard of (block_id, block_val) instead of 8 separate groupbys
+    # melt the blocking keys into rows → ONE shuffle on a coarse
+    # shard of (block_id, block_val) instead of n_blocks groupbys
     def melt(df: pd.DataFrame) -> pd.DataFrame:
         parts = []
-        for blk in range(8):
+        for blk in range(n_blocks):
             parts.append(
                 pd.DataFrame(
                     {
                         "doc_id": df["doc_id"],
                         "simhash": df["simhash"],
-                        "bkey": blk * 65536 + df[f"block{blk}"],
+                        "bkey": (blk << block_bits) + df[f"block{blk}"],
                     }
                 )
             )
@@ -344,7 +371,7 @@ def simhash_dedup_pairs(
             grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
             ids = grp["doc_id"].to_numpy()
             sh = grp["simhash"].to_numpy()
-            if len(ids) < 2 or len(ids) > 256:
+            if len(ids) < 2 or len(ids) > max_bucket:
                 continue
             a, b = np.triu_indices(len(ids), 1)
             hd = hamming64(sh[a], sh[b])

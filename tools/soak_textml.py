@@ -145,11 +145,19 @@ def main() -> int:
     planted_hit = int(((hi - lo) == PLANT_OFFSET).sum())
     res["minhash_planted_recall"] = round(planted_hit / args.docs, 4)
 
-    # ---- SimHash pairs
+    # ---- SimHash pairs (block width tracks corpus size: occupancy
+    # 2·docs / 2^bits must stay well under the hot-bucket cap)
+    block_bits = 8 if args.docs * 2 <= 60_000 else 16
     t0 = time.time()
-    sh = simhash_dedup_pairs(docs).to_pandas()
+    sh = simhash_dedup_pairs(docs, block_bits=block_bits).to_pandas()
     res["simhash_sec"] = round(time.time() - t0, 2)
+    res["simhash_block_bits"] = block_bits
     res["simhash_pairs"] = int(len(sh))
+    lo = np.minimum(sh["doc_a"], sh["doc_b"])
+    hi = np.maximum(sh["doc_a"], sh["doc_b"])
+    res["simhash_planted_recall"] = round(
+        int(((hi - lo) == PLANT_OFFSET).sum()) / args.docs, 4
+    )
 
     # ---- exact prefix dedup (20-char key, min-doc_id representative)
     def key20(t: pa.Table) -> pa.Table:
