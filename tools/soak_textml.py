@@ -192,6 +192,25 @@ def main() -> int:
     aset = set(zip(approx["query_id"], approx["neighbor_id"]))
     res["ann_ivf_recall_at_10"] = round(len(tset & aset) / max(1, len(tset)), 4)
 
+    # ---- persistent IVF index: assignment paid ONCE at build, probes
+    # read only their partition-pruned lists — the serving-path shape
+    from cosmwasm_etl_ray.functions.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    idx_dir = os.path.join(args.out, "ivf_index")
+    if os.path.isdir(idx_dir):
+        shutil.rmtree(idx_dir)
+    t0 = time.time()
+    build_ivf_index(emb, idx_dir, n_lists=64)
+    res["ann_index_build_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    served = query_ivf_index(idx_dir, qdf, k=10, n_probe=8).to_pandas()
+    res["ann_index_probe_sec"] = round(time.time() - t0, 2)
+    sset = set(zip(served["query_id"], served["neighbor_id"]))
+    res["ann_index_recall_at_10"] = round(len(tset & sset) / max(1, len(tset)), 4)
+
     print(json.dumps(res))
     ray.shutdown()
     return 0
