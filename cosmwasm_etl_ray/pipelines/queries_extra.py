@@ -363,8 +363,48 @@ def retention_shard(g: pd.DataFrame) -> pd.DataFrame:
     return c
 
 
+def events_moving_avg(sf_dir: str) -> "ray.data.Dataset":
+    """Bounded-frame window aggregate: per user, ordered by (ts,
+    event_id), the moving average of `value` over the current row and
+    the 2 preceding (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). One
+    user-sharded exchange; inside a shard the frame is three grouped
+    SHIFTS summed in fixed oldest-first order — no rolling-window
+    sliding accumulator, so the float result is the same 3-term sum
+    DuckDB's window computes (and the gate rounds floats to 4dp
+    anyway). The frame width is state of O(1) per key: the streaming
+    form carries just the last 2 values per user across epochs, same
+    as the reference's sliding recent-window prune (A5,
+    /root/reference/aggregator/task.go:308)."""
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+
+    return sharded_map_groups(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"],
+        moving_avg_shard,
+    )
+
+
+def moving_avg_shard(g: pd.DataFrame) -> pd.DataFrame:
+    """One user-shard of the 3-row moving average (module-level for the
+    property test)."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    gb = g.groupby("user_id", sort=False)["value"]
+    s1 = gb.shift(1)
+    s2 = gb.shift(2)
+    total = s2.fillna(0.0) + s1.fillna(0.0) + g["value"]
+    n = 1 + s1.notna().astype("int64") + s2.notna().astype("int64")
+    return pd.DataFrame(
+        {
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "mov_avg": total / n,
+        }
+    )
+
+
 QUERIES = {
     "events_error_click_match": events_error_click_match,
+    "events_moving_avg": events_moving_avg,
     "events_clicks_after_error": events_clicks_after_error,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
@@ -376,6 +416,14 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # oldest-first 3-term sum; the gate rounds floats to 4dp so the
+    # last-ulp association difference vs the window accumulator is moot
+    "events_moving_avg": """
+SELECT event_id, user_id,
+       avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+FROM events
+""",
     # week = epoch-days // 7; both sides integer-truncate on positives
     "events_retention": """
 WITH wk AS (

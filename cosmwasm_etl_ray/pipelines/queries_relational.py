@@ -552,8 +552,139 @@ def quantile_sketch_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def orders_late_exists(sf_dir: str) -> pd.DataFrame:
+    """Correlated EXISTS rewritten as a pre-aggregated semi-join
+    (TPC-H Q4 shape): EXISTS(lineitem l WHERE l.orderkey = o.orderkey
+    AND l.shipdate > o.orderdate) ⟺ max(l.shipdate) > o.orderdate — so
+    the fact side collapses to ONE row per orderkey (a partial-agg
+    shuffle) BEFORE any join, instead of probing orders against the
+    full lineitem table. Timestamps travel as int64 microseconds (no
+    tz/unit drift across the exchange). Final count per priority is a
+    5-group driver reduce. Reference analogue: the validation
+    EXISTS-style pool checks run as aggregates, not row probes
+    (/root/reference/pkg/db/parser/repository.go:321-325)."""
+
+    def ship_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+            }
+        )
+
+    max_ship = grouped_agg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            ship_us, batch_format="pyarrow"
+        ),
+        keys=["o_orderkey"],
+        spec={"max_ship_us": ("ship_us", "max")},
+        final="shuffle",
+    )
+
+    def odate_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "odate_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    joined = hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+            odate_us, batch_format="pyarrow"
+        ),
+        max_ship,
+        on="o_orderkey",
+        left_cols={"o_orderkey": "int64", "odate_us": "int64", "o_orderpriority": "object"},
+        right_cols={"o_orderkey": "int64", "max_ship_us": "int64"},
+    ).map_batches(
+        lambda df: df.loc[df["max_ship_us"] > df["odate_us"], ["o_orderpriority"]],
+        batch_format="pandas",
+    )
+    return grouped_agg(
+        joined,
+        keys=["o_orderpriority"],
+        spec={"n_late": ("o_orderpriority", "count")},
+        final="driver",
+    )
+
+
+def custkey_order_hist(sf_dir: str) -> pd.DataFrame:
+    """Order-count distribution over customers INCLUDING the zero
+    bucket (TPC-H Q13 shape) without a customer⋈orders join: orders
+    collapse to one (custkey, n_orders) row per customer via a
+    partial-agg shuffle; the count-of-counts histogram is a second,
+    tiny grouped agg; and the 0-orders bucket is total customers minus
+    customers seen in orders (both distributed counts) — the LEFT JOIN
+    exists only in the SQL twin. FK integrity (every o_custkey exists
+    in customer) is the stated precondition, same as the reference's
+    collector FKs."""
+    per_cust = grouped_agg(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]),
+        keys=["o_custkey"],
+        spec={"n_orders": ("o_orderkey", "count")},
+        final="shuffle",
+    )
+    hist = grouped_agg(
+        per_cust,
+        keys=["n_orders"],
+        spec={"n_customers": ("o_custkey", "count")},
+        final="driver",
+    )
+    total = _read(sf_dir, "customer", ["c_custkey"]).count()
+    missing = int(total) - int(hist["n_customers"].sum())
+    if missing > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"n_orders": [0], "n_customers": [missing]})],
+            ignore_index=True,
+        )
+    hist["n_orders"] = hist["n_orders"].astype("int64")
+    hist["n_customers"] = hist["n_customers"].astype("int64")
+    return hist.sort_values("n_orders").reset_index(drop=True)
+
+
+BIG_QTY = 250  # big-order cutoff: ~p99 of per-order quantity sums
+
+
+def big_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Large-group HAVING then join-back (TPC-H Q18 shape): per-order
+    quantity totals reduce in ONE partial-agg shuffle (quantities are
+    integral by generator contract — summed as int64, bit-exact),
+    survivors filter map-side (HAVING sum > cutoff prunes to ~1% before
+    the join moves anything), and only the survivors hash-join back to
+    orders for the output attributes."""
+    def qty(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }
+        )
+
+    totals = grouped_agg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            qty, batch_format="pyarrow"
+        ),
+        keys=["o_orderkey"],
+        spec={"total_qty": ("qty", "sum")},
+        final="shuffle",
+    ).map_batches(lambda df: df[df["total_qty"] > BIG_QTY], batch_format="pandas")
+
+    return hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"]),
+        totals,
+        on="o_orderkey",
+        left_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        right_cols={"o_orderkey": "int64", "total_qty": "int64"},
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "orders_late_exists": orders_late_exists,
+    "custkey_order_hist": custkey_order_hist,
+    "big_orders": big_orders,
     "approx_distinct_parts": approx_distinct_parts,
     "quantile_sketch_events": quantile_sketch_events,
     "q3_top_orders": q3_top_orders,
@@ -570,6 +701,31 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "orders_late_exists": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+    "custkey_order_hist": """
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+GROUP BY n_orders
+""",
+    "big_orders": """
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+HAVING sum(CAST(round(l.l_quantity) AS BIGINT)) > 250
+""",
     # exact distinct is value-checked; the HLL estimate is graded as
     # an error CONTRACT (bar 0.10, measured worst 0.040 — the same
     # discipline as the sketch recall bars in queries_textml)

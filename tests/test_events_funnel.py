@@ -162,3 +162,40 @@ def test_retention_shard_matches_bruteforce(pairs):
             key = (first, w - first)
             want[key] = want.get(key, 0) + 1
     assert got == want, (pairs,)
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                                   # user
+            st.integers(0, 20),                                  # minute
+            st.floats(-100, 100, allow_nan=False, width=32),     # value
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_moving_avg_shard_matches_bruteforce(evs):
+    from cosmwasm_etl_ray.pipelines.queries_extra import moving_avg_shard
+
+    t0 = pd.Timestamp("2026-01-01")
+    g = pd.DataFrame(
+        {
+            "event_id": pd.Series(range(len(evs)), dtype="int64"),
+            "user_id": pd.Series([u for u, _, _ in evs], dtype="int64"),
+            "ts": [t0 + pd.Timedelta(minutes=m) for _, m, _ in evs],
+            "value": pd.Series([v for _, _, v in evs], dtype="float64"),
+        }
+    )
+    out = moving_avg_shard(g).set_index("event_id")
+    # brute force: per user, ordered by (ts, event_id), mean of the
+    # current + up-to-2 preceding values
+    per_user: dict = {}
+    for eid, (u, m, v) in enumerate(evs):
+        per_user.setdefault(u, []).append((g["ts"][eid], eid, float(v)))
+    for u, rows in per_user.items():
+        rows.sort(key=lambda r: (r[0], r[1]))
+        for i, (_, eid, _) in enumerate(rows):
+            frame = [v for _, _, v in rows[max(0, i - 2) : i + 1]]
+            want = sum(frame) / len(frame)
+            assert abs(out.loc[eid, "mov_avg"] - want) < 1e-9, (u, eid, evs)
