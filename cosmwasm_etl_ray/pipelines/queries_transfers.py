@@ -103,6 +103,37 @@ def transfer_ledger_epochs(sf_dir: str) -> "ray.data.Dataset":
         shutil.rmtree(root, ignore_errors=True)
 
 
+def transfer_ledger_compacted(sf_dir: str) -> "ray.data.Dataset":
+    """The epoch-sink ledger read back AFTER compaction + GC: epochs
+    0..1 fold into generation 0, epochs 2..3 append on top, and
+    generation 1 folds incrementally (gen 0 + only the new epochs)
+    before the original epoch files are garbage-collected — the gate
+    hash-checks that the compacted read set carries exactly the rows
+    the per-epoch files did (the small-file lever at many epochs)."""
+    import shutil
+    import tempfile
+
+    from cosmwasm_etl_ray.pipelines.transfer_parser import (
+        TransferParserPipeline,
+    )
+
+    root = tempfile.mkdtemp(prefix="transfer_compact_", dir="/tmp")
+    try:
+        pipe = TransferParserPipeline(sf_dir, root, n_epochs=4)
+        plan = pipe.plan_epochs()
+        for e in range(min(2, len(plan))):
+            pipe.run_epoch(e, *plan[e])
+        pipe.compact()
+        pipe.gc_compacted()
+        for e in range(2, len(plan)):
+            pipe.run_epoch(e, *plan[e])
+        pipe.compact()
+        pipe.gc_compacted()
+        return pipe.ledger().select_columns(_LEDGER_COLS).materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def transfer_pair_flows(sf_dir: str) -> pd.DataFrame:
     from cosmwasm_etl_ray.functions.agg import grouped_agg
 
@@ -200,6 +231,7 @@ QUERIES = {
     "transfer_pair_flows": transfer_pair_flows,
     "transfer_quarantine": transfer_quarantine,
     "transfer_ledger_epochs": transfer_ledger_epochs,
+    "transfer_ledger_compacted": transfer_ledger_compacted,
 }
 
 ORACLE_SQL = {
@@ -209,6 +241,11 @@ SELECT tx_id, log_idx, pair, token, ttype, amount FROM ledger
 """,
     # identical result through the epoch sink
     "transfer_ledger_epochs": f"""
+WITH {_LEDGER_CTE.strip()}
+SELECT tx_id, log_idx, pair, token, ttype, amount FROM ledger
+""",
+    # identical result through the epoch sink + compaction + GC
+    "transfer_ledger_compacted": f"""
 WITH {_LEDGER_CTE.strip()}
 SELECT tx_id, log_idx, pair, token, ttype, amount FROM ledger
 """,

@@ -35,7 +35,10 @@ paying one per epoch here.
 
 from __future__ import annotations
 
+import json
 import os
+import re
+import time
 
 import numpy as np
 import pandas as pd
@@ -203,6 +206,24 @@ def _plan_epoch_shards(
     return shards
 
 
+_COMPACT_RE = re.compile(r"^compact-(\d{6})\.json$")
+
+
+def _compact_pid(root: str, gen: int, pid: int, files: list[str]):
+    """One raw compaction task: concat one pid's input files (previous
+    generation first, then epoch files in epoch order) into a single
+    generation file, tmp+rename — same write discipline as the epoch
+    sink, so a task retry self-overwrites."""
+    tables = [pq.read_table(f) for f in files]
+    out_dir = os.path.join(root, "compact", f"gen={gen}")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+    tmp = f"{out}.tmp.{os.getpid()}"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, out)
+    return {"pid": pid, "file": out, "rows": sum(t.num_rows for t in tables)}
+
+
 class TransferParserPipeline:
     """Run the transfer parse epoch by epoch into an exactly-once
     append store; resumable from the last committed manifest."""
@@ -322,19 +343,148 @@ class TransferParserPipeline:
                 results[e] = f.result()  # first error propagates
         return results
 
+    # -- compaction ---------------------------------------------------
+    # The append sink accretes one file per pid per epoch; at many
+    # epochs the read set is E×P small files — the classic small-file
+    # problem remote storage punishes hardest. Compaction folds all
+    # files of epochs <= T into ONE file per pid (a "generation"),
+    # committed by its own manifest (tmp+rename, the same atomic-commit
+    # discipline as epochs: a crash mid-compaction leaves an orphan
+    # gen dir that no reader consults). Re-compaction is INCREMENTAL —
+    # generation g+1 reads generation g's files plus only the epoch
+    # files in (T_g, T_{g+1}], never re-reading compacted epochs' rows
+    # from their original files. Epoch manifests are never touched
+    # (they stay the cursor/lineage; resume semantics are unchanged),
+    # and quarantine side files are not compacted. Reference analogue:
+    # the Postgres sink gets this for free from heap storage + vacuum;
+    # a Parquet lake must do it explicitly.
+
+    def _cpath(self, gen: int) -> str:
+        return os.path.join(self.store.manifest_dir, f"compact-{gen:06d}.json")
+
+    def compactions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.store.manifest_dir):
+            m = _COMPACT_RE.match(f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def compaction_manifest(self, gen: int) -> dict:
+        with open(self._cpath(gen)) as f:
+            return json.load(f)
+
+    def latest_compaction(self) -> dict | None:
+        gens = self.compactions()
+        return self.compaction_manifest(gens[-1]) if gens else None
+
+    def _own_epoch_partitions(self, epochs: list[int]) -> dict[int, list[str]]:
+        """pid -> that pid's OWN files across `epochs`, in epoch order
+        (each manifest carries forward prior epochs' entries; filter
+        back to the rows this epoch itself wrote)."""
+        per_pid: dict[int, list[str]] = {}
+        for e in epochs:
+            m = self.store.manifest(e)
+            for pid, info in m["partitions"].items():
+                if info["epoch"] == e and info["file"] is not None:
+                    per_pid.setdefault(int(pid), []).append(info["file"])
+        return per_pid
+
+    def compact(self, through_epoch: int | None = None) -> dict | None:
+        """Fold committed epochs <= through_epoch (default: all) into
+        the next compaction generation; one raw task per pid. Returns
+        the committed compaction manifest, or None when there is
+        nothing new to fold."""
+        import ray as _ray
+
+        committed = self.store.committed_epochs()
+        if through_epoch is None:
+            through_epoch = committed[-1] if committed else -1
+        prev = self.latest_compaction()
+        base_t = prev["through_epoch"] if prev else -1
+        new_epochs = [e for e in committed if base_t < e <= through_epoch]
+        if not new_epochs:
+            return None
+        per_pid = self._own_epoch_partitions(new_epochs)
+        if prev:
+            for pid, info in prev["partitions"].items():
+                per_pid.setdefault(int(pid), []).insert(0, info["file"])
+        gen = (self.compactions()[-1] + 1) if self.compactions() else 0
+        task = cached_remote("xfer_compact", _compact_pid)
+        results = _ray.get(
+            [
+                task.remote(self.store.root, gen, pid, files)
+                for pid, files in sorted(per_pid.items())
+            ]
+        )
+        manifest = {
+            "gen": gen,
+            "through_epoch": through_epoch,
+            "base_gen": prev["gen"] if prev else None,
+            "committed_at": time.time(),
+            "partitions": {
+                str(r["pid"]): {"file": r["file"], "rows": r["rows"]}
+                for r in results
+            },
+        }
+        tmp = f"{self._cpath(gen)}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._cpath(gen))
+        return manifest
+
+    def gc_compacted(self) -> dict:
+        """Delete data now fully covered by the latest committed
+        compaction generation: the original per-epoch partition files
+        of epochs <= its through_epoch, and every older generation's
+        directory. Epoch manifests are kept (they are the cursor and
+        the lineage); safe to run anytime after `compact` — readers
+        only consult committed manifests."""
+        latest = self.latest_compaction()
+        if latest is None:
+            return {"deleted": 0}
+        deleted = 0
+        covered = [
+            e for e in self.store.committed_epochs()
+            if e <= latest["through_epoch"]
+        ]
+        for pid_files in self._own_epoch_partitions(covered).values():
+            for f in pid_files:
+                if os.path.exists(f):
+                    os.remove(f)
+                    deleted += 1
+        for e in covered:
+            d = os.path.join(self.store.root, f"epoch={e}")
+            if os.path.isdir(d) and not os.listdir(d):
+                os.rmdir(d)
+        for gen in self.compactions():
+            if gen == latest["gen"]:
+                continue
+            d = os.path.join(self.store.root, "compact", f"gen={gen}")
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    os.remove(os.path.join(d, f))
+                    deleted += 1
+                os.rmdir(d)
+        return {"deleted": deleted}
+
     # -- readers ------------------------------------------------------
     def epoch_files(self) -> list[str]:
-        """Every committed epoch's OWN files (the append view — each
+        """The current read set: the latest compaction generation's
+        files (if any) plus each later committed epoch's OWN files.
+        Without a compaction this is every epoch's own files (each
         manifest also carries forward prior epochs' entries, which we
         filter back out by their recorded epoch)."""
-        files = []
-        for e in self.store.committed_epochs():
-            m = self.store.manifest(e)
-            files += [
-                info["file"]
-                for info in m["partitions"].values()
-                if info["epoch"] == e
-            ]
+        comp = self.latest_compaction()
+        base_t = comp["through_epoch"] if comp else -1
+        files = (
+            [info["file"] for info in comp["partitions"].values()]
+            if comp
+            else []
+        )
+        tail = [e for e in self.store.committed_epochs() if e > base_t]
+        for pid_files in self._own_epoch_partitions(tail).values():
+            files += pid_files
         return sorted(files)
 
     def ledger(self) -> "ray.data.Dataset":

@@ -180,3 +180,75 @@ def test_empty_store_ledger_schema(tmp_path):
     types = dict(zip(sch.names, [str(t) for t in sch.types]))
     assert types["pair"] == "string" and types["ttype"] == "string"
     assert types["tx_id"] == "int64" and types["amount"] == "int64"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compaction_preserves_ledger_and_shrinks_read_set(tmp_path):
+    pipe = TransferParserPipeline(
+        SF, str(tmp_path / "store"), n_epochs=4, num_partitions=8
+    )
+    pipe.run()
+    before = _sorted(pipe.ledger().to_pandas())
+    n_before = len(pipe.epoch_files())
+    m = pipe.compact()
+    assert m is not None and m["through_epoch"] == 3 and m["base_gen"] is None
+    # epoch files still on disk until GC; reader already prefers the gen
+    assert len(pipe.epoch_files()) <= 8
+    gc = pipe.gc_compacted()
+    assert gc["deleted"] >= n_before - 8
+    after = _sorted(pipe.ledger().to_pandas())
+    pd.testing.assert_frame_equal(after, before)
+    # nothing new to fold -> no-op
+    assert pipe.compact() is None
+    # a fresh pipeline object over the same root sees the same view
+    again = TransferParserPipeline(
+        SF, str(tmp_path / "store"), n_epochs=4, num_partitions=8
+    )
+    pd.testing.assert_frame_equal(_sorted(again.ledger().to_pandas()), before)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_compaction_across_appends(tmp_path):
+    root = str(tmp_path / "store")
+    pipe = TransferParserPipeline(SF, root, n_epochs=4, num_partitions=4)
+    plan = pipe.plan_epochs()
+    # first two epochs -> gen 0
+    for e in (0, 1):
+        pipe.run_epoch(e, *plan[e])
+    assert pipe.compact()["gen"] == 0
+    pipe.gc_compacted()
+    # two more epochs appended AFTER compaction
+    for e in (2, 3):
+        pipe.run_epoch(e, *plan[e])
+    mid = _sorted(pipe.ledger().to_pandas())  # gen 0 + epoch 2,3 files
+    # gen 1 folds gen 0 + only the new epochs (incremental: base_gen=0)
+    m = pipe.compact()
+    assert m["gen"] == 1 and m["base_gen"] == 0 and m["through_epoch"] == 3
+    pipe.gc_compacted()
+    assert not os.path.isdir(os.path.join(root, "compact", "gen=0"))
+    pd.testing.assert_frame_equal(_sorted(pipe.ledger().to_pandas()), mid)
+    from cosmwasm_etl_ray.pipelines.queries_transfers import transfer_ledger
+
+    pd.testing.assert_frame_equal(mid, _sorted(transfer_ledger(SF).to_pandas()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crash_mid_compaction_is_invisible(tmp_path):
+    from cosmwasm_etl_ray.pipelines.transfer_parser import _compact_pid
+
+    root = str(tmp_path / "store")
+    pipe = TransferParserPipeline(SF, root, n_epochs=2, num_partitions=4)
+    pipe.run()
+    before = _sorted(pipe.ledger().to_pandas())
+    # simulate: gen files written for SOME pids, then crash before the
+    # compaction manifest lands
+    per_pid = pipe._own_epoch_partitions(pipe.store.committed_epochs())
+    pid, files = next(iter(sorted(per_pid.items())))
+    _compact_pid(pipe.store.root, 0, pid, files)
+    assert os.path.isdir(os.path.join(root, "compact", "gen=0"))
+    assert pipe.latest_compaction() is None
+    pd.testing.assert_frame_equal(_sorted(pipe.ledger().to_pandas()), before)
+    # the re-run overwrites the orphan files and commits
+    assert pipe.compact()["gen"] == 0
+    pipe.gc_compacted()
+    pd.testing.assert_frame_equal(_sorted(pipe.ledger().to_pandas()), before)
