@@ -424,8 +424,83 @@ def cdc_heavy_repos(sf_dir: str) -> "pd.DataFrame":
     return out.rename(columns={"key": "repo"})
 
 
+_LOOKUP_K = 16
+_STORE_CACHE: dict[str, object] = {}
+
+
+def _disk_store(sf_dir: str):
+    """A replayed DISK store per sf_dir (built once per process): the
+    lookup serving path needs real partition files and a manifest, not
+    the storeless quick replay."""
+    import tempfile
+
+    from cosmwasm_etl_ray.pipelines.replay import apply_epoch
+    from cosmwasm_etl_ray.state.manifest import StateStore
+
+    if sf_dir in _STORE_CACHE:
+        return _STORE_CACHE[sf_dir]
+    root = tempfile.mkdtemp(prefix="cdc_lookup_store_", dir="/tmp")
+    store = StateStore(root)
+    apply_epoch(changes_from_documents(sf_dir), store, 0, _CFG, ("all", "all"))
+    _STORE_CACHE[sf_dir] = store
+    return store
+
+
+def cdc_state_lookup(sf_dir: str) -> "ray.data.Dataset":
+    """Point lookups on the replayed state store, pid-pruned: the key
+    set (first K distinct keys in (repo, path) order, found by a
+    per-block min-k contraction — never a global sort) hashes to a
+    handful of partitions and ONLY those files are read
+    (`replay.lookup_state`), however wide the store. The serving-path
+    analogue of the reference's primary-key state reads
+    (/root/reference/parser/dex/repo/repository.go:238-259), with
+    partition pruning standing in for the B-tree."""
+    from cosmwasm_etl_ray.pipelines.replay import lookup_state
+
+    store = _disk_store(sf_dir)
+
+    def local_topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df[["repo", "path"]]
+            .drop_duplicates()
+            .sort_values(["repo", "path"], kind="stable")
+            .head(_LOOKUP_K)
+        )
+
+    cand = (
+        changes_from_documents(sf_dir)
+        .map_batches(local_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    keys = (
+        cand.drop_duplicates()
+        .sort_values(["repo", "path"], kind="stable")
+        .head(_LOOKUP_K)
+        .reset_index(drop=True)
+    )
+    ds, _files = lookup_state(store, keys, _CFG.num_partitions)
+
+    def hash_content(t: pa.Table) -> pa.Table:
+        t = t.append_column("content_sha256", sha256_hex(t["content"]))
+        return t.select(["repo", "path", "commit", "lang", "content_sha256"])
+
+    return ds.map_batches(hash_content, batch_format="pyarrow")
+
+
+ORACLE_SQL["cdc_state_lookup"] = f"""
+{_PREFIX},
+{_FINAL_CTE},
+keys AS (
+    SELECT DISTINCT repo, path FROM changes ORDER BY repo, path LIMIT {_LOOKUP_K}
+)
+SELECT f.repo, f.path, f."commit", f.lang, sha256(f.content) AS content_sha256
+FROM final_state f JOIN keys USING (repo, path)
+"""
+
+
 QUERIES = {
     "cdc_final_state": cdc_final_state,
+    "cdc_state_lookup": cdc_state_lookup,
     "cdc_heavy_repos": cdc_heavy_repos,
     "cdc_state_at": cdc_state_at,
     "cdc_live_counts": cdc_live_counts,

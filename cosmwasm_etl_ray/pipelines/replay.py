@@ -597,6 +597,55 @@ def read_state(store, epoch: int | None = None) -> "ray.data.Dataset":
     )
 
 
+def lookup_state(
+    store, keys: "pd.DataFrame", num_partitions: int
+) -> tuple["ray.data.Dataset", list[str]]:
+    """Point lookups on the merge store: read ONLY the partition files
+    the requested (repo, path) keys hash to — the serving path of the
+    state store. |files read| = |distinct pids of the key set|, not the
+    partition count, so a handful of keys touches a handful of files
+    whatever the store's width (the same path-pruning discipline as the
+    persistent IVF probe). Tombstoned keys simply miss. Returns the
+    (live-rows) Dataset and the pruned file list (tests assert on it).
+    """
+    import numpy as np
+
+    from cosmwasm_etl_ray.functions.hashing import assign_partition
+
+    pids = np.unique(
+        assign_partition(
+            keys["repo"].to_numpy(dtype=object),
+            keys["path"].to_numpy(dtype=object),
+            num_partitions,
+        )
+    )
+    pfiles = store.partition_files()
+    files = [pfiles[int(p)] for p in pids if int(p) in pfiles]
+    key_ref = ray.put(keys[["repo", "path"]].drop_duplicates())
+
+    def probe(df: "pd.DataFrame") -> "pd.DataFrame":
+        want = ray.get(key_ref)
+        hit = df.merge(want, on=["repo", "path"], how="inner")
+        hit = hit[hit[OP_COL] != "delete"]
+        return hit.drop(
+            columns=[c for c in (OP_COL, "pid", "key64") if c in hit.columns]
+        )
+
+    if not files:
+        empty = pa.table(
+            {
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "commit": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "content": pa.array([], pa.string()),
+            }
+        )
+        return ray.data.from_arrow(empty), []
+    ds = ray.data.read_parquet(files).map_batches(probe, batch_format="pandas")
+    return ds, files
+
+
 def quick_final_state(
     changes: "ray.data.Dataset", cfg: EngineConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":

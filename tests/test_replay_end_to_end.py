@@ -256,3 +256,39 @@ def test_random_epoch_boundaries_same_state(change_log, tmp_path):
         frames.append(f[["repo", "path", "commit", "content"]])
     pd.testing.assert_frame_equal(frames[0], frames[1])
     pd.testing.assert_frame_equal(frames[0], frames[2])
+
+
+def test_lookup_state_prunes_partitions(change_log, tmp_path):
+    """Point lookups read only the partitions the keys hash to, and
+    return exactly the full state filtered to those keys (tombstoned
+    keys miss)."""
+    from cosmwasm_etl_ray.pipelines.replay import lookup_state
+
+    cfg = EngineConfig(num_partitions=16)
+    store = StateStore(str(tmp_path / "store"))
+    replay_files(change_log["files"], store, cfg)
+    full = read_state(store).to_pandas()
+    keys = (
+        full[["repo", "path"]]
+        .drop_duplicates()
+        .sort_values(["repo", "path"])
+        .head(5)
+        .reset_index(drop=True)
+    )
+    ds, files = lookup_state(store, keys, cfg.num_partitions)
+    assert 1 <= len(files) <= 5 < 16
+    got = (
+        ds.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = (
+        full.merge(keys, on=["repo", "path"])
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+    # a key that never existed: empty result, still a pruned read
+    ghost = pd.DataFrame({"repo": ["no_such_repo"], "path": ["nope"]})
+    ds2, files2 = lookup_state(store, ghost, cfg.num_partitions)
+    assert len(files2) <= 1 and len(ds2.to_pandas()) == 0
