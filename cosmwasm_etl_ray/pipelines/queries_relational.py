@@ -680,8 +680,107 @@ def big_orders(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP in one distributed pass: only the FINEST level
+    (returnflag × linestatus, 6 groups) aggregates across the cluster;
+    the subtotal and grand-total levels derive on the driver by
+    re-summing the finest cells — exact because the measures are
+    associative integer sums, and free because the finest level is
+    group-count-sized, not data-sized. NULL marks the rolled-up
+    dimension exactly as SQL's ROLLUP does."""
+    base = q1_prepped_agg(sf_dir)
+
+    def level(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if keys:
+            out = df.groupby(keys, as_index=False)[["sum_qty", "n_items"]].sum()
+        else:
+            out = df[["sum_qty", "n_items"]].sum().to_frame().T
+        for c in ("l_returnflag", "l_linestatus"):
+            if c not in out.columns:
+                out[c] = None
+        out["sum_qty"] = out["sum_qty"].astype("int64")
+        out["n_items"] = out["n_items"].astype("int64")
+        return out[["l_returnflag", "l_linestatus", "sum_qty", "n_items"]]
+
+    return pd.concat(
+        [
+            level(base, ["l_returnflag", "l_linestatus"]),
+            level(base, ["l_returnflag"]),
+            level(base, []),
+        ],
+        ignore_index=True,
+    )
+
+
+def q1_prepped_agg(sf_dir: str) -> pd.DataFrame:
+    """The finest-level (returnflag, linestatus) integer aggregate the
+    rollup derives from — one distributed partial-agg pass."""
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        keys=["l_returnflag", "l_linestatus"],
+        spec={"sum_qty": ("qty", "sum"), "n_items": ("qty", "count")},
+        final="driver",
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot (crosstab): event counts per user-decile bucket, one
+    column per event type. The long-form (bucket, event_type) counts
+    reduce distributed (one partial-agg pass, 50 cells); only the tiny
+    cell table pivots wide on the driver. The column set is FIXED by
+    contract (like every SQL pivot) — an unexpected event type fails
+    loudly instead of silently widening the schema."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(np.floor_divide(u, 10), type=pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    cells = grouped_agg(
+        ev.map_batches(bucket, batch_format="pyarrow"),
+        keys=["bucket", "event_type"],
+        spec={"n": ("event_type", "count")},
+        final="driver",
+    )
+    unknown = set(cells["event_type"]) - set(_PIVOT_TYPES)
+    if unknown:
+        raise ValueError(f"unexpected event types: {sorted(unknown)}")
+    wide = (
+        cells.pivot(index="bucket", columns="event_type", values="n")
+        .reindex(columns=_PIVOT_TYPES)
+        .fillna(0)
+        .astype("int64")
+        .reset_index()
+    )
+    wide.columns = ["bucket"] + [f"n_{t}" for t in _PIVOT_TYPES]
+    return wide.sort_values("bucket").reset_index(drop=True)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "lineitem_rollup": lineitem_rollup,
+    "events_pivot": events_pivot,
     "orders_late_exists": orders_late_exists,
     "custkey_order_hist": custkey_order_hist,
     "big_orders": big_orders,
@@ -701,6 +800,23 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "lineitem_rollup": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "events_pivot": """
+SELECT user_id // 10 AS bucket,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id // 10
+""",
     "orders_late_exists": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
 FROM orders o
