@@ -424,6 +424,79 @@ def cdc_heavy_repos(sf_dir: str) -> "pd.DataFrame":
     return out.rename(columns={"key": "repo"})
 
 
+def cdc_running_distinct(sf_dir: str) -> "ray.data.Dataset":
+    """Per-repo RUNNING count(DISTINCT path) across commit windows —
+    the incremental-distinct shape: materializing per-window distinct
+    SETS and unioning them is corpus-bounded, so the engine reduces
+    distinct to FIRST-SEEN (each key contributes exactly once, at its
+    min window — one partial-agg shuffle), counts new keys per
+    (repo, window), left-joins those onto the repo's present windows,
+    and prefix-sums per repo in one repo-sharded pass (the A2 carry
+    pattern). The SQL twin counts first-seen keys <= w by an
+    inequality join — an independent derivation, no window function.
+    """
+    from cosmwasm_etl_ray.functions.agg import sharded_map_groups
+    from cosmwasm_etl_ray.functions.joins import hash_join
+
+    win = _with_window(sf_dir).map_batches(
+        lambda t: t.select(["repo", "path", "window"]), batch_format="pyarrow"
+    ).materialize()  # two consumers: first-seen and present-windows
+
+    first_seen = grouped_agg(
+        win,
+        keys=["repo", "path"],
+        spec={"fw": ("window", "min")},
+        final="shuffle",
+    )
+    new_counts = grouped_agg(
+        first_seen.map_batches(
+            lambda df: df.rename(columns={"fw": "window"}), batch_format="pandas"
+        ),
+        keys=["repo", "window"],
+        spec={"n_new": ("path", "count")},
+        final="shuffle",
+    )
+    wins = grouped_agg(
+        win,
+        keys=["repo", "window"],
+        spec={"n_events": ("path", "count")},
+        final="shuffle",
+    )
+    joined = hash_join(
+        wins,
+        new_counts,
+        on=["repo", "window"],
+        how="left",
+        left_cols={"repo": "object", "window": "int64", "n_events": "int64"},
+        right_cols={"repo": "object", "window": "int64", "n_new": "int64"},
+    )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["repo", "window"], kind="stable")
+        new = g["n_new"].fillna(0).astype("int64")
+        g["distinct_paths_cum"] = new.groupby(
+            g["repo"], sort=False
+        ).cumsum().astype("int64")
+        return g[["repo", "window", "n_events", "distinct_paths_cum"]]
+
+    return sharded_map_groups(joined, ["repo"], running)
+
+
+ORACLE_SQL["cdc_running_distinct"] = f"""
+{_PREFIX},
+w AS (SELECT repo, path, {_WIN_EXPR} AS win FROM changes),
+fs AS (SELECT repo, path, min(win) AS fw FROM w GROUP BY repo, path),
+wins AS (
+    SELECT repo, win, CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY repo, win
+)
+SELECT wins.repo, wins.win AS "window", wins.n_events,
+       CAST(count(fs.path) AS BIGINT) AS distinct_paths_cum
+FROM wins LEFT JOIN fs ON fs.repo = wins.repo AND fs.fw <= wins.win
+GROUP BY wins.repo, wins.win, wins.n_events
+"""
+
+
 _LOOKUP_K = 16
 _STORE_CACHE: dict[str, object] = {}
 
@@ -501,6 +574,7 @@ FROM final_state f JOIN keys USING (repo, path)
 QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_state_lookup": cdc_state_lookup,
+    "cdc_running_distinct": cdc_running_distinct,
     "cdc_heavy_repos": cdc_heavy_repos,
     "cdc_state_at": cdc_state_at,
     "cdc_live_counts": cdc_live_counts,
