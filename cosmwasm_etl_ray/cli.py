@@ -113,6 +113,10 @@ def main(argv=None) -> int:
     tp.add_argument("--store", required=True)
     tp.add_argument("--epochs", type=int, default=4)
     tp.add_argument("--partitions", type=int, default=16)
+    tc = sub.add_parser("transfer-compact")
+    tc.add_argument("--store", required=True)
+    tc.add_argument("--through-epoch", type=int, default=None)
+    tc.add_argument("--no-gc", action="store_true")
 
     args = p.parse_args(argv)
 
@@ -261,6 +265,27 @@ def main(argv=None) -> int:
             print(json.dumps({
                 "epochs": results,
                 "rows": int(pipe.ledger().count()),
+            }))
+        finally:
+            _shutdown_ray()
+        return 0
+
+    if args.cmd == "transfer-compact":
+        _init_ray()
+        from cosmwasm_etl_ray.pipelines.transfer_parser import (
+            TransferParserPipeline,
+        )
+
+        try:
+            # sf_dir is unused by compaction (it only reads the store);
+            # the pipeline object is just the store-protocol handle
+            pipe = TransferParserPipeline("", args.store)
+            m = pipe.compact(through_epoch=args.through_epoch)
+            gc = None if args.no_gc or m is None else pipe.gc_compacted()
+            print(json.dumps({
+                "gen": None if m is None else m["gen"],
+                "through_epoch": None if m is None else m["through_epoch"],
+                "gc": gc,
             }))
         finally:
             _shutdown_ray()
