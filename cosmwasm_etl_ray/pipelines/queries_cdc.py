@@ -497,6 +497,79 @@ GROUP BY wins.repo, wins.win, wins.n_events
 """
 
 
+_DIFF_STORE_CACHE: dict[str, object] = {}
+
+
+def _two_epoch_store(sf_dir: str):
+    """A disk store replayed in TWO epochs split at the time-travel
+    commit (built once per process) — the epoch-diff substrate."""
+    import tempfile
+
+    from cosmwasm_etl_ray.pipelines.replay import apply_epoch
+    from cosmwasm_etl_ray.state.manifest import StateStore
+
+    if sf_dir in _DIFF_STORE_CACHE:
+        return _DIFF_STORE_CACHE[sf_dir]
+    root = tempfile.mkdtemp(prefix="cdc_diff_store_", dir="/tmp")
+    store = StateStore(root)
+    changes = changes_from_documents(sf_dir)
+    snap = pa.scalar(_SNAPSHOT_COMMIT)
+    apply_epoch(
+        changes.map_batches(
+            lambda t: t.filter(pc.less_equal(t["commit"], snap)),
+            batch_format="pyarrow",
+        ),
+        store, 0, _CFG, ("", _SNAPSHOT_COMMIT),
+    )
+    apply_epoch(
+        changes.map_batches(
+            lambda t: t.filter(pc.greater(t["commit"], snap)),
+            batch_format="pyarrow",
+        ),
+        store, 1, _CFG, (_SNAPSHOT_COMMIT, "zzz"),
+    )
+    _DIFF_STORE_CACHE[sf_dir] = store
+    return store
+
+
+def cdc_epoch_diff(sf_dir: str) -> "ray.data.Dataset":
+    """The change feed between two committed epochs — CDC OUT of the
+    state store: manifest lineage names the partitions epoch 1 touched
+    and only those pids' old+new files are read (IO follows the delta,
+    not the store width), each diffed by a full-outer key merge into
+    insert/update/delete rows. The incremental-consumer analogue of
+    the reference's synced-height subscription
+    (/root/reference/collector/repo/repository.go:102)."""
+    from cosmwasm_etl_ray.pipelines.replay import epoch_diff
+
+    return epoch_diff(_two_epoch_store(sf_dir), 0, 1)
+
+
+ORACLE_SQL["cdc_epoch_diff"] = f"""
+{_PREFIX},
+r1 AS (
+    SELECT repo, path, "commit", op,
+           row_number() OVER (PARTITION BY repo, path ORDER BY "commit" DESC) AS rn
+    FROM changes WHERE "commit" <= '{_SNAPSHOT_COMMIT}'
+),
+s1 AS (SELECT repo, path, "commit" FROM r1 WHERE rn = 1 AND op <> 'delete'),
+r2 AS (
+    SELECT repo, path, "commit", op,
+           row_number() OVER (PARTITION BY repo, path ORDER BY "commit" DESC) AS rn
+    FROM changes
+),
+s2 AS (SELECT repo, path, "commit" FROM r2 WHERE rn = 1 AND op <> 'delete')
+SELECT coalesce(s2.repo, s1.repo) AS repo,
+       coalesce(s2.path, s1.path) AS path,
+       CASE WHEN s1.path IS NULL THEN 'insert'
+            WHEN s2.path IS NULL THEN 'delete'
+            ELSE 'update' END AS kind,
+       coalesce(s2."commit", s1."commit") AS "commit"
+FROM s1 FULL OUTER JOIN s2 ON s1.repo = s2.repo AND s1.path = s2.path
+WHERE s1.path IS NULL OR s2.path IS NULL OR s1."commit" <> s2."commit"
+"""
+
+
 _LOOKUP_K = 16
 _STORE_CACHE: dict[str, object] = {}
 
@@ -575,6 +648,7 @@ QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_state_lookup": cdc_state_lookup,
     "cdc_running_distinct": cdc_running_distinct,
+    "cdc_epoch_diff": cdc_epoch_diff,
     "cdc_heavy_repos": cdc_heavy_repos,
     "cdc_state_at": cdc_state_at,
     "cdc_live_counts": cdc_live_counts,

@@ -292,3 +292,48 @@ def test_lookup_state_prunes_partitions(change_log, tmp_path):
     ghost = pd.DataFrame({"repo": ["no_such_repo"], "path": ["nope"]})
     ds2, files2 = lookup_state(store, ghost, cfg.num_partitions)
     assert len(files2) <= 1 and len(ds2.to_pandas()) == 0
+
+
+def test_epoch_diff_matches_state_diff(change_log, tmp_path):
+    """epoch_diff(store, a, b) must equal the brute diff of the live
+    states at a and b, and read only manifest-touched partitions."""
+    from cosmwasm_etl_ray.pipelines.replay import epoch_diff
+
+    cfg = EngineConfig(num_partitions=8, epoch_max_events=30_000)
+    store = StateStore(str(tmp_path / "store"))
+    replay_files(change_log["files"], store, cfg)
+    epochs = store.committed_epochs()
+    assert len(epochs) >= 2
+    a, b = epochs[0], epochs[-1]
+    got = (
+        epoch_diff(store, a, b)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    s_a = read_state(store, a).to_pandas()[["repo", "path", "commit"]]
+    s_b = read_state(store, b).to_pandas()[["repo", "path", "commit"]]
+    m = s_a.merge(
+        s_b, on=["repo", "path"], how="outer",
+        suffixes=("_a", "_b"), indicator=True,
+    )
+    kind = pd.Series("update", index=m.index, dtype="object")
+    kind[m["_merge"] == "right_only"] = "insert"
+    kind[m["_merge"] == "left_only"] = "delete"
+    changed = (m["_merge"] != "both") | (m["commit_a"] != m["commit_b"])
+    want = pd.DataFrame(
+        {
+            "repo": m["repo"][changed],
+            "path": m["path"][changed],
+            "kind": kind[changed],
+            "commit": m["commit_b"].where(
+                m["_merge"] != "left_only", m["commit_a"]
+            )[changed],
+        }
+    ).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # identical endpoints -> empty feed with the right schema (Ray's
+    # to_pandas drops columns on an all-empty dataset; check schema())
+    empty = epoch_diff(store, b, b)
+    assert empty.count() == 0
+    assert empty.schema().names == ["repo", "path", "kind", "commit"]
