@@ -281,7 +281,11 @@ def main(argv=None) -> int:
             # the pipeline object is just the store-protocol handle
             pipe = TransferParserPipeline("", args.store)
             m = pipe.compact(through_epoch=args.through_epoch)
-            gc = None if args.no_gc or m is None else pipe.gc_compacted()
+            # GC runs even when compact() was a no-op — it collects
+            # files an earlier --no-gc run (or a crash between compact
+            # and GC) left behind; a no-compaction store is itself a
+            # GC no-op
+            gc = None if args.no_gc else pipe.gc_compacted()
             print(json.dumps({
                 "gen": None if m is None else m["gen"],
                 "through_epoch": None if m is None else m["through_epoch"],

@@ -500,18 +500,28 @@ GROUP BY wins.repo, wins.win, wins.n_events
 _DIFF_STORE_CACHE: dict[str, object] = {}
 
 
+def _tmp_store_root(prefix: str) -> str:
+    """mkdtemp under /tmp, removed at process exit — the query-cache
+    stores are process-lifetime caches, not persistent artifacts, so
+    repeated gate/bench runs must not accumulate /tmp state."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix, dir="/tmp")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 def _two_epoch_store(sf_dir: str):
     """A disk store replayed in TWO epochs split at the time-travel
     commit (built once per process) — the epoch-diff substrate."""
-    import tempfile
-
     from cosmwasm_etl_ray.pipelines.replay import apply_epoch
     from cosmwasm_etl_ray.state.manifest import StateStore
 
     if sf_dir in _DIFF_STORE_CACHE:
         return _DIFF_STORE_CACHE[sf_dir]
-    root = tempfile.mkdtemp(prefix="cdc_diff_store_", dir="/tmp")
-    store = StateStore(root)
+    store = StateStore(_tmp_store_root("cdc_diff_store_"))
     changes = changes_from_documents(sf_dir)
     snap = pa.scalar(_SNAPSHOT_COMMIT)
     apply_epoch(
@@ -578,15 +588,12 @@ def _disk_store(sf_dir: str):
     """A replayed DISK store per sf_dir (built once per process): the
     lookup serving path needs real partition files and a manifest, not
     the storeless quick replay."""
-    import tempfile
-
     from cosmwasm_etl_ray.pipelines.replay import apply_epoch
     from cosmwasm_etl_ray.state.manifest import StateStore
 
     if sf_dir in _STORE_CACHE:
         return _STORE_CACHE[sf_dir]
-    root = tempfile.mkdtemp(prefix="cdc_lookup_store_", dir="/tmp")
-    store = StateStore(root)
+    store = StateStore(_tmp_store_root("cdc_lookup_store_"))
     apply_epoch(changes_from_documents(sf_dir), store, 0, _CFG, ("all", "all"))
     _STORE_CACHE[sf_dir] = store
     return store

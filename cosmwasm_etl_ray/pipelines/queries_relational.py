@@ -835,12 +835,12 @@ FROM (
 )
 GROUP BY n_orders
 """,
-    "big_orders": """
+    "big_orders": f"""
 SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
        CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
-HAVING sum(CAST(round(l.l_quantity) AS BIGINT)) > 250
+HAVING sum(CAST(round(l.l_quantity) AS BIGINT)) > {BIG_QTY}
 """,
     # exact distinct is value-checked; the HLL estimate is graded as
     # an error CONTRACT (bar 0.10, measured worst 0.040 — the same

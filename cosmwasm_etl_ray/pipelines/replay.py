@@ -628,7 +628,10 @@ def lookup_state(
         hit = df.merge(want, on=["repo", "path"], how="inner")
         hit = hit[hit[OP_COL] != "delete"]
         return hit.drop(
-            columns=[c for c in (OP_COL, "pid", "key64") if c in hit.columns]
+            columns=[
+                c for c in (OP_COL, "pid", "key64", "epoch")
+                if c in hit.columns
+            ]
         )
 
     if not files:
@@ -679,7 +682,17 @@ def _diff_pid(old_file: str | None, new_file: str) -> "pa.Table":
             ),
         }
     )
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    # explicit schema: a touched partition whose LIVE view is unchanged
+    # (e.g. tombstone rewritten) yields zero changed rows, and a bare
+    # from_pandas would infer all-null columns — the mixed-schema union
+    # hazard at exchange boundaries
+    schema = pa.schema(
+        [("repo", pa.string()), ("path", pa.string()),
+         ("kind", pa.string()), ("commit", pa.string())]
+    )
+    return pa.Table.from_pandas(
+        out.reset_index(drop=True), schema=schema, preserve_index=False
+    )
 
 
 def epoch_diff(store, e_old: int, e_new: int) -> "ray.data.Dataset":

@@ -209,13 +209,14 @@ def _plan_epoch_shards(
 _COMPACT_RE = re.compile(r"^compact-(\d{6})\.json$")
 
 
-def _compact_pid(root: str, gen: int, pid: int, files: list[str]):
+def _compact_pid(out_dir: str, pid: int, files: list[str]):
     """One raw compaction task: concat one pid's input files (previous
     generation first, then epoch files in epoch order) into a single
     generation file, tmp+rename — same write discipline as the epoch
-    sink, so a task retry self-overwrites."""
+    sink, so a task retry self-overwrites. ``out_dir`` is chosen by the
+    DRIVER (it carries the compactor's identity suffix — see
+    ``compact``), never derived here from worker state."""
     tables = [pq.read_table(f) for f in files]
-    out_dir = os.path.join(root, "compact", f"gen={gen}")
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, f"part-{pid:05d}.parquet")
     tmp = f"{out}.tmp.{os.getpid()}"
@@ -394,12 +395,23 @@ class TransferParserPipeline:
         """Fold committed epochs <= through_epoch (default: all) into
         the next compaction generation; one raw task per pid. Returns
         the committed compaction manifest, or None when there is
-        nothing new to fold."""
+        nothing new to fold.
+
+        ``through_epoch`` is CLAMPED to the max committed epoch — a
+        future value would record coverage of epochs never folded, so
+        later reads would drop them and GC would delete them unfolded.
+
+        Concurrent compactors are safe: each writes its generation
+        files under a compactor-unique directory (gen + pid suffix),
+        so racers never overwrite each other's data files; the
+        manifest rename is the single winner-takes-all commit point
+        and the loser's directory is an orphan the next GC removes."""
         import ray as _ray
 
         committed = self.store.committed_epochs()
-        if through_epoch is None:
-            through_epoch = committed[-1] if committed else -1
+        max_committed = committed[-1] if committed else -1
+        if through_epoch is None or through_epoch > max_committed:
+            through_epoch = max_committed
         prev = self.latest_compaction()
         base_t = prev["through_epoch"] if prev else -1
         new_epochs = [e for e in committed if base_t < e <= through_epoch]
@@ -410,10 +422,13 @@ class TransferParserPipeline:
             for pid, info in prev["partitions"].items():
                 per_pid.setdefault(int(pid), []).insert(0, info["file"])
         gen = (self.compactions()[-1] + 1) if self.compactions() else 0
+        out_dir = os.path.join(
+            self.store.root, "compact", f"gen={gen}-{os.getpid()}"
+        )
         task = cached_remote("xfer_compact", _compact_pid)
         results = _ray.get(
             [
-                task.remote(self.store.root, gen, pid, files)
+                task.remote(out_dir, pid, files)
                 for pid, files in sorted(per_pid.items())
             ]
         )
@@ -421,6 +436,7 @@ class TransferParserPipeline:
             "gen": gen,
             "through_epoch": through_epoch,
             "base_gen": prev["gen"] if prev else None,
+            "dir": out_dir,
             "committed_at": time.time(),
             "partitions": {
                 str(r["pid"]): {"file": r["file"], "rows": r["rows"]}
@@ -436,10 +452,14 @@ class TransferParserPipeline:
     def gc_compacted(self) -> dict:
         """Delete data now fully covered by the latest committed
         compaction generation: the original per-epoch partition files
-        of epochs <= its through_epoch, and every older generation's
-        directory. Epoch manifests are kept (they are the cursor and
-        the lineage); safe to run anytime after `compact` — readers
-        only consult committed manifests."""
+        of epochs <= its through_epoch, and every compact/ directory
+        other than the latest generation's own (older generations AND
+        orphans left by crashed or racing compactors). Epoch manifests
+        are kept (they are the cursor and the lineage). Safe w.r.t.
+        WRITERS anytime; a ledger() scan that listed its files before
+        the compaction committed can still hold the old paths, so run
+        GC when no long scan is in flight (or let such a reader retry
+        on FileNotFoundError — the re-list sees the compacted view)."""
         latest = self.latest_compaction()
         if latest is None:
             return {"deleted": 0}
@@ -457,11 +477,19 @@ class TransferParserPipeline:
             d = os.path.join(self.store.root, f"epoch={e}")
             if os.path.isdir(d) and not os.listdir(d):
                 os.rmdir(d)
-        for gen in self.compactions():
-            if gen == latest["gen"]:
-                continue
-            d = os.path.join(self.store.root, "compact", f"gen={gen}")
-            if os.path.isdir(d):
+        keep_dir = latest.get("dir")
+        if not keep_dir and latest["partitions"]:
+            # pre-"dir" manifests: derive from any partition file
+            keep_dir = os.path.dirname(
+                next(iter(latest["partitions"].values()))["file"]
+            )
+        keep = os.path.abspath(keep_dir) if keep_dir else None
+        comp_root = os.path.join(self.store.root, "compact")
+        if os.path.isdir(comp_root):
+            for name in os.listdir(comp_root):
+                d = os.path.join(comp_root, name)
+                if os.path.abspath(d) == keep or not os.path.isdir(d):
+                    continue
                 for f in os.listdir(d):
                     os.remove(os.path.join(d, f))
                     deleted += 1

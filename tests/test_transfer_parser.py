@@ -190,7 +190,10 @@ def test_compaction_preserves_ledger_and_shrinks_read_set(tmp_path):
     pipe.run()
     before = _sorted(pipe.ledger().to_pandas())
     n_before = len(pipe.epoch_files())
-    m = pipe.compact()
+    # a future through_epoch must CLAMP to the max committed epoch —
+    # recording uncovered epochs as covered would drop them from reads
+    # and let GC delete them unfolded
+    m = pipe.compact(through_epoch=10**6)
     assert m is not None and m["through_epoch"] == 3 and m["base_gen"] is None
     # epoch files still on disk until GC; reader already prefers the gen
     assert len(pipe.epoch_files()) <= 8
@@ -225,7 +228,10 @@ def test_incremental_compaction_across_appends(tmp_path):
     m = pipe.compact()
     assert m["gen"] == 1 and m["base_gen"] == 0 and m["through_epoch"] == 3
     pipe.gc_compacted()
-    assert not os.path.isdir(os.path.join(root, "compact", "gen=0"))
+    # only the latest generation's dir survives GC
+    assert os.listdir(os.path.join(root, "compact")) == [
+        os.path.basename(m["dir"])
+    ]
     pd.testing.assert_frame_equal(_sorted(pipe.ledger().to_pandas()), mid)
     from cosmwasm_etl_ray.pipelines.queries_transfers import transfer_ledger
 
@@ -240,15 +246,17 @@ def test_crash_mid_compaction_is_invisible(tmp_path):
     pipe = TransferParserPipeline(SF, root, n_epochs=2, num_partitions=4)
     pipe.run()
     before = _sorted(pipe.ledger().to_pandas())
-    # simulate: gen files written for SOME pids, then crash before the
-    # compaction manifest lands
+    # simulate: gen files written for SOME pids (under a crashed
+    # compactor's unique dir), then crash before the manifest lands
     per_pid = pipe._own_epoch_partitions(pipe.store.committed_epochs())
     pid, files = next(iter(sorted(per_pid.items())))
-    _compact_pid(pipe.store.root, 0, pid, files)
-    assert os.path.isdir(os.path.join(root, "compact", "gen=0"))
+    orphan = os.path.join(root, "compact", "gen=0-99999")
+    _compact_pid(orphan, pid, files)
+    assert os.path.isdir(orphan)
     assert pipe.latest_compaction() is None
     pd.testing.assert_frame_equal(_sorted(pipe.ledger().to_pandas()), before)
-    # the re-run overwrites the orphan files and commits
+    # the re-run commits its own generation; GC sweeps the orphan dir
     assert pipe.compact()["gen"] == 0
     pipe.gc_compacted()
+    assert not os.path.isdir(orphan)
     pd.testing.assert_frame_equal(_sorted(pipe.ledger().to_pandas()), before)
