@@ -645,7 +645,16 @@ def lookup_state(
             }
         )
         return ray.data.from_arrow(empty), []
-    ds = ray.data.read_parquet(files).map_batches(probe, batch_format="pandas")
+    # scan-level pushdown: the repo membership test runs inside the
+    # parquet read (decode skips non-matching rows; statistics can skip
+    # whole row groups) — the probe's exact (repo, path) merge still
+    # does the precise cut
+    import pyarrow.compute as pc
+
+    repo_set = pa.array(sorted(set(keys["repo"])), pa.string())
+    ds = ray.data.read_parquet(
+        files, filter=pc.field("repo").isin(repo_set)
+    ).map_batches(probe, batch_format="pandas")
     return ds, files
 
 
