@@ -315,7 +315,9 @@ class TransferParserPipeline:
         return {"epoch": epoch, "skipped": False, "rows": n_rows}
 
     # -- whole run ----------------------------------------------------
-    def run(self, max_concurrent: int = 4) -> list[dict]:
+    def run(
+        self, max_concurrent: int = 4, compact_every: int | None = None
+    ) -> list[dict]:
         """Epochs are INDEPENDENT here (append sink, no cross-epoch
         state — unlike the CDC merge), so waves of them run
         concurrently: each thread just submits raw tasks and blocks on
@@ -327,9 +329,14 @@ class TransferParserPipeline:
         → 5.3 s at 8; default 4 keeps ≤4 epochs of refs in flight)."""
         plan = self.plan_epochs()
         if max_concurrent <= 1 or len(plan) == 1:
-            return [self.run_epoch(e, lo, hi) for e, (lo, hi) in enumerate(plan)]
+            out = []
+            for e, (lo, hi) in enumerate(plan):
+                out.append(self.run_epoch(e, lo, hi))
+                self._maybe_compact(compact_every)
+            self._maybe_compact(compact_every, final=True)
+            return out
 
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import ThreadPoolExecutor, as_completed
 
         from cosmwasm_etl_ray.compat import ensure_thread_safe_lazy_imports
 
@@ -340,9 +347,32 @@ class TransferParserPipeline:
                 pool.submit(self.run_epoch, e, lo, hi): e
                 for e, (lo, hi) in enumerate(plan)
             }
-            for f, e in futs.items():
-                results[e] = f.result()  # first error propagates
+            for f in as_completed(futs):
+                results[futs[f]] = f.result()  # first error propagates
+                # compaction interleaves with in-flight epochs safely:
+                # compact() clamps to COMMITTED epochs and GC touches
+                # only generations + covered epoch files
+                self._maybe_compact(compact_every)
+        self._maybe_compact(compact_every, final=True)
         return results
+
+    def _maybe_compact(
+        self, every: int | None, final: bool = False
+    ) -> None:
+        """Fold + GC once >= ``every`` committed epochs sit above the
+        latest generation (always fold the tail when ``final``). The
+        run loop is the only compactor here, called from one thread."""
+        if every is None:
+            return
+        committed = self.store.committed_epochs()
+        if not committed:
+            return
+        prev = self.latest_compaction()
+        base_t = prev["through_epoch"] if prev else -1
+        pending = sum(1 for e in committed if e > base_t)
+        if pending >= every or (final and pending > 0):
+            if self.compact() is not None:
+                self.gc_compacted()
 
     # -- compaction ---------------------------------------------------
     # The append sink accretes one file per pid per epoch; at many
@@ -397,9 +427,10 @@ class TransferParserPipeline:
         the committed compaction manifest, or None when there is
         nothing new to fold.
 
-        ``through_epoch`` is CLAMPED to the max committed epoch — a
-        future value would record coverage of epochs never folded, so
-        later reads would drop them and GC would delete them unfolded.
+        ``through_epoch`` is CLAMPED to the CONTIGUOUS committed prefix
+        (concurrent waves commit out of order): covering epoch 3 while
+        epoch 1 is still in flight would record 0..3 as folded, drop
+        epoch 1 from later reads, and let GC delete its files unfolded.
 
         Concurrent compactors are safe: each writes its generation
         files under a compactor-unique directory (gen + pid suffix),
@@ -409,9 +440,13 @@ class TransferParserPipeline:
         import ray as _ray
 
         committed = self.store.committed_epochs()
-        max_committed = committed[-1] if committed else -1
-        if through_epoch is None or through_epoch > max_committed:
-            through_epoch = max_committed
+        max_contiguous = -1
+        for i, e in enumerate(committed):
+            if e != i:
+                break
+            max_contiguous = e
+        if through_epoch is None or through_epoch > max_contiguous:
+            through_epoch = max_contiguous
         prev = self.latest_compaction()
         base_t = prev["through_epoch"] if prev else -1
         new_epochs = [e for e in committed if base_t < e <= through_epoch]

@@ -260,3 +260,22 @@ def test_crash_mid_compaction_is_invisible(tmp_path):
     pipe.gc_compacted()
     assert not os.path.isdir(orphan)
     pd.testing.assert_frame_equal(_sorted(pipe.ledger().to_pandas()), before)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_with_periodic_compaction(tmp_path):
+    """run(compact_every=2) interleaves fold+GC with the epoch waves
+    and still produces the identical ledger, fully compacted."""
+    from cosmwasm_etl_ray.pipelines.queries_transfers import transfer_ledger
+
+    pipe = TransferParserPipeline(
+        SF, str(tmp_path / "store"), n_epochs=5, num_partitions=4
+    )
+    pipe.run(max_concurrent=3, compact_every=2)
+    assert pipe.compactions(), "at least one generation committed"
+    latest = pipe.latest_compaction()
+    assert latest["through_epoch"] == 4  # final fold covers the tail
+    assert len(pipe.epoch_files()) <= 4
+    got = _sorted(pipe.ledger().to_pandas())
+    want = _sorted(transfer_ledger(SF).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
