@@ -279,3 +279,29 @@ def test_run_with_periodic_compaction(tmp_path):
     got = _sorted(pipe.ledger().to_pandas())
     want = _sorted(transfer_ledger(SF).to_pandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compaction_never_covers_past_a_commit_gap(tmp_path):
+    """Epochs commit out of order under concurrent waves; compaction
+    coverage must clamp to the contiguous committed prefix or the gap
+    epoch's rows are lost at GC."""
+    from cosmwasm_etl_ray.pipelines.queries_transfers import transfer_ledger
+
+    pipe = TransferParserPipeline(
+        SF, str(tmp_path / "store"), n_epochs=3, num_partitions=4
+    )
+    plan = pipe.plan_epochs()
+    pipe.run_epoch(0, *plan[0])
+    pipe.run_epoch(2, *plan[2])  # epoch 1 "in flight"
+    m = pipe.compact()
+    assert m["through_epoch"] == 0  # NOT 2
+    pipe.gc_compacted()
+    pipe.run_epoch(1, *plan[1])
+    m2 = pipe.compact()
+    assert m2["through_epoch"] == 2
+    pipe.gc_compacted()
+    pd.testing.assert_frame_equal(
+        _sorted(pipe.ledger().to_pandas()),
+        _sorted(transfer_ledger(SF).to_pandas()),
+    )
