@@ -425,3 +425,142 @@ def query_lsh_index(
         return g[["query_id", "neighbor_id", "rank"]]
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- PQ index
+
+
+def _kmeans_l2(X: np.ndarray, k: int, iters: int = 12, seed: int = 11) -> np.ndarray:
+    """Deterministic L2 k-means for PQ sub-quantizers (subvectors are
+    not unit-norm, so the cosine variant doesn't apply)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    centroids = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = -2.0 * (X @ centroids.T) + (centroids**2).sum(1)[None, :]
+        assign = d2.argmin(1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(0)
+    return centroids
+
+
+def build_pq_index(
+    db: "ray.data.Dataset",
+    index_dir: str,
+    m: int = 8,
+    seed: int = 11,
+    train_cap: int = 4096,
+) -> dict:
+    """Product-quantization index: each normalized vector compresses to
+    m uint8 codes (one 256-centroid sub-quantizer per d/m-dim slice),
+    so the serving artifact is m bytes/vector instead of 8·d — 64× at
+    d=64, m=8. Sub-quantizers train on the same bounded deterministic
+    sample as IVF; codes write as m uint8 columns (vectorized gathers
+    at query time). The full-precision embeddings never need to be
+    read again for search — the compression is what makes a 10^10-
+    vector corpus scannable from memory-speed storage."""
+    from cosmwasm_etl_ray.functions.similarity import train_sample
+
+    db = db.materialize()
+    n = db.count()
+    sample_df = train_sample(db, train_cap, seed, min_rows=m)
+    S = _normalize(np.array(sample_df["embedding"].tolist()))
+    d = S.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds_ = d // m
+    codebooks = np.stack(
+        [_kmeans_l2(S[:, j * ds_:(j + 1) * ds_], 256, seed=seed + j) for j in range(m)]
+    )  # (m, kc, ds_); kc < 256 only for tiny corpora
+    cref = ray.put(codebooks)
+
+    class Encode:
+        def __init__(self):
+            self.cb = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            X = _normalize(_embedding_matrix(batch))
+            out = {"vec_id": batch["vec_id"].to_numpy().astype("int64")}
+            mm, _, dd = self.cb.shape
+            for j in range(mm):
+                sub = X[:, j * dd:(j + 1) * dd]
+                cb = self.cb[j]
+                d2 = -2.0 * (sub @ cb.T) + (cb**2).sum(1)[None, :]
+                out[f"c{j}"] = d2.argmin(1).astype("uint8")
+            return pd.DataFrame(out)
+
+    os.makedirs(index_dir, exist_ok=True)
+    _coalesced(
+        db.map_batches(Encode, batch_format="pandas", concurrency=(1, 8)), n
+    ).write_parquet(os.path.join(index_dir, "codes"))
+    meta = {
+        "kind": "pq",
+        "m": int(m),
+        "dim": int(d),
+        "seed": seed,
+        "n_vectors": int(n),
+        "codebooks": codebooks.tolist(),
+    }
+    tmp = os.path.join(index_dir, f"_meta.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "_meta.json"))
+    return meta
+
+
+def query_pq_index(
+    index_dir: str, queries_df: pd.DataFrame, k: int = 10
+) -> "ray.data.Dataset":
+    """Asymmetric-distance top-k over the CODES ONLY: per query an
+    (m × kc) table of subspace inner products against the codebooks;
+    each code batch scores as m table gathers + adds (pure numpy
+    indexing, no per-row work). Approximate by construction — grade it
+    with a recall contract, like every sketch in this repo."""
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    cb = np.array(meta["codebooks"], dtype=np.float64)  # (m, kc, ds)
+    m = cb.shape[0]
+    ds_ = cb.shape[2]
+    Q = _normalize(np.array(queries_df["embedding"].tolist()))
+    qids = queries_df["vec_id"].to_numpy()
+    # T[j][q, c] = <q_slice_j, codebook_j[c]>  — sum over j approximates q·x
+    T = np.stack([Q[:, j * ds_:(j + 1) * ds_] @ cb[j].T for j in range(m)])
+    ref = ray.put((qids, T))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.T = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mm = self.T.shape[0]
+            ids = batch["vec_id"].to_numpy()
+            codes = [batch[f"c{j}"].to_numpy() for j in range(mm)]
+            s = self.T[0][:, codes[0]].copy()  # (q, n)
+            for j in range(1, mm):
+                s += self.T[j][:, codes[j]]
+            kk = min(k, s.shape[1])
+            idx = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(len(self.qids)):
+                for j in idx[qi]:
+                    rows.append((self.qids[qi], ids[j], s[qi, j]))
+            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc"])
+
+    codes_ds = ray.data.read_parquet(os.path.join(index_dir, "codes"))
+    partials = codes_ds.map_batches(
+        Score, batch_format="pandas", batch_size=8192, concurrency=(1, 8)
+    )
+
+    def final_topk_pq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["adc", "neighbor_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(
+        final_topk_pq, batch_format="pandas"
+    )

@@ -350,3 +350,47 @@ def test_semantic_neardup_matches_driver_scan(ray_session, sf_dir):
     # pairs never cross buckets
     lab = emb.set_index("vec_id")["label"]
     assert (lab.reindex(out["a"]).to_numpy() == lab.reindex(out["b"]).to_numpy()).all()
+
+
+def test_pq_index_deterministic_compressed_and_recalls(ray_session, sf_dir, tmp_path):
+    """PQ index: (a) two builds over the same corpus produce identical
+    code tables (seeded sub-quantizers on the deterministic sample),
+    (b) the serving artifact is an order of magnitude smaller than the
+    embeddings, (c) ADC top-10 overlaps the exact top-10 by >= the
+    gate bar for every query."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cosmwasm_etl_ray.functions.ann_index import (
+        build_pq_index,
+        query_pq_index,
+    )
+    from cosmwasm_etl_ray.pipelines.queries_textml import _split_queries_db
+
+    qdf, db = _split_queries_db(sf_dir)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    meta = build_pq_index(db, a, m=16, seed=11)
+    build_pq_index(db, b, m=16, seed=11)
+    assert meta["m"] == 16 and meta["dim"] == 64
+
+    def codes(root):
+        files = sorted(glob.glob(os.path.join(root, "codes", "*.parquet")))
+        df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        return df.sort_values("vec_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(codes(a), codes(b))
+
+    code_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(a, "codes", "*.parquet"))
+    )
+    emb_bytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+    assert code_bytes * 4 < emb_bytes  # ~32x raw; parquet overhead eats some
+
+    approx = query_pq_index(a, qdf, k=10).to_pandas()
+    exact = brute_force_topk(db, qdf, k=10).to_pandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    g = approx.groupby("query_id")["neighbor_id"].apply(set)
+    assert approx.groupby("query_id").size().eq(10).all()
+    assert all(len(e[q] & g[q]) >= 3 for q in e.index)
