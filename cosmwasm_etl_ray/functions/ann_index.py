@@ -638,3 +638,151 @@ def query_pq_index_rerank(
     return scored.groupby("query_id").map_groups(
         final_topk_rr, batch_format="pandas"
     )
+
+
+def build_ivfpq_index(
+    db: "ray.data.Dataset",
+    index_dir: str,
+    n_lists: int = 16,
+    m: int = 16,
+    seed: int = 11,
+    train_cap: int = 4096,
+) -> dict:
+    """IVF+PQ composite — the two scale levers in one artifact: codes
+    are hive-partitioned by coarse list (probe reads prune to
+    n_probe/n_lists of the FILES) and each vector inside is m uint8 PQ
+    codes (each file is 32× smaller than raw embeddings). Probe IO =
+    (n_probe/n_lists) × (m/8d) of a brute full-precision scan. One
+    training sample feeds both quantizers."""
+    from cosmwasm_etl_ray.functions.similarity import train_sample
+
+    db = db.materialize()
+    n = db.count()
+    sample_df = train_sample(db, train_cap, seed, min_rows=max(n_lists, m))
+    S = _normalize(np.array(sample_df["embedding"].tolist()))
+    d = S.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds_ = d // m
+    centroids = _kmeans_lite(S, n_lists, seed=seed)
+    codebooks = np.stack(
+        [_kmeans_l2(S[:, j * ds_:(j + 1) * ds_], 256, seed=seed + j) for j in range(m)]
+    )
+    ref = ray.put((centroids, codebooks))
+
+    class AssignEncode:
+        def __init__(self):
+            self.centroids, self.cb = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            X = _normalize(_embedding_matrix(batch))
+            assign = np.argmax(X @ self.centroids.T, axis=1).astype("int64")
+            out = {
+                "vec_id": batch["vec_id"].to_numpy().astype("int64"),
+                # hive write strips the partition column from the files;
+                # keep an in-file duplicate for the per-query probe mask
+                "list_id": assign,
+                "list_assign": assign,
+            }
+            mm, _, dd = self.cb.shape
+            for j in range(mm):
+                sub = X[:, j * dd:(j + 1) * dd]
+                cb = self.cb[j]
+                d2 = -2.0 * (sub @ cb.T) + (cb**2).sum(1)[None, :]
+                out[f"c{j}"] = d2.argmin(1).astype("uint8")
+            return pd.DataFrame(out)
+
+    os.makedirs(index_dir, exist_ok=True)
+    _coalesced(
+        db.map_batches(AssignEncode, batch_format="pandas", concurrency=(1, 8)), n
+    ).write_parquet(os.path.join(index_dir, "codes"), partition_cols=["list_id"])
+    meta = {
+        "kind": "ivfpq",
+        "n_lists": int(len(centroids)),
+        "m": int(m),
+        "dim": int(d),
+        "seed": seed,
+        "n_vectors": int(n),
+        "centroids": centroids.tolist(),
+        "codebooks": codebooks.tolist(),
+    }
+    tmp = os.path.join(index_dir, f"_meta.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "_meta.json"))
+    return meta
+
+
+def query_ivfpq_index(
+    index_dir: str,
+    queries_df: pd.DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+) -> "ray.data.Dataset":
+    """ADC top-k over only the probed lists' code files (path-pruned
+    read of compressed codes — neither the corpus width nor the full
+    precision is ever touched)."""
+    import glob as _glob
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    centroids = np.array(meta["centroids"], dtype=np.float64)
+    cb = np.array(meta["codebooks"], dtype=np.float64)
+    m = cb.shape[0]
+    ds_ = cb.shape[2]
+    Q = _normalize(np.array(queries_df["embedding"].tolist()))
+    qids = queries_df["vec_id"].to_numpy()
+    qprobe = np.argsort(-(Q @ centroids.T), axis=1)[:, :n_probe]
+    needed = sorted({int(v) for v in qprobe.ravel()})
+    probe_files = [
+        f
+        for l in needed
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, "codes", f"list_id={l}", "*.parquet"))
+        )
+    ]
+    if not probe_files:
+        return _empty_topk()
+    T = np.stack([Q[:, j * ds_:(j + 1) * ds_] @ cb[j].T for j in range(m)])
+    ref = ray.put((qids, T, qprobe))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.T, self.qprobe = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mm = self.T.shape[0]
+            ids = batch["vec_id"].to_numpy()
+            xlist = batch["list_assign"].to_numpy()
+            codes = [batch[f"c{j}"].to_numpy() for j in range(mm)]
+            s = self.T[0][:, codes[0]].copy()
+            for j in range(1, mm):
+                s += self.T[j][:, codes[j]]
+            rows = []
+            for qi in range(len(self.qids)):
+                mask = np.isin(xlist, self.qprobe[qi])
+                if not mask.any():
+                    continue
+                sq = s[qi][mask]
+                idm = ids[mask]
+                kk = min(k, len(sq))
+                top = np.argpartition(-sq, kk - 1)[:kk]
+                for j in top:
+                    rows.append((self.qids[qi], idm[j], sq[j]))
+            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc"])
+
+    partials = ray.data.read_parquet(probe_files).map_batches(
+        Score, batch_format="pandas", batch_size=8192, concurrency=(1, 8)
+    )
+
+    def final_topk_ivfpq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["adc", "neighbor_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(
+        final_topk_ivfpq, batch_format="pandas"
+    )
