@@ -17,6 +17,9 @@ def _run_cli(*args):
         capture_output=True, text=True, cwd="/root/repo",
         env={"PATH": "/usr/bin:/bin", "HOME": "/root", "RAY_ADDRESS": "local",
              "PYTHONPATH": "/root/repo"},
+        # a wedged child Ray session (e.g. object-store contention from
+        # other local clusters) must FAIL the test, not hang the suite
+        timeout=600,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     text = out.stdout.strip()
