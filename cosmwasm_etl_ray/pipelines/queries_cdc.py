@@ -581,22 +581,15 @@ WHERE s1.path IS NULL OR s2.path IS NULL OR s1."commit" <> s2."commit"
 
 
 _LOOKUP_K = 16
-_STORE_CACHE: dict[str, object] = {}
 
 
 def _disk_store(sf_dir: str):
-    """A replayed DISK store per sf_dir (built once per process): the
-    lookup serving path needs real partition files and a manifest, not
-    the storeless quick replay."""
-    from cosmwasm_etl_ray.pipelines.replay import apply_epoch
-    from cosmwasm_etl_ray.state.manifest import StateStore
-
-    if sf_dir in _STORE_CACHE:
-        return _STORE_CACHE[sf_dir]
-    store = StateStore(_tmp_store_root("cdc_lookup_store_"))
-    apply_epoch(changes_from_documents(sf_dir), store, 0, _CFG, ("all", "all"))
-    _STORE_CACHE[sf_dir] = store
-    return store
+    """A replayed DISK store per sf_dir: the lookup serving path needs
+    real partition files and a manifest, not the storeless quick
+    replay. Shares the two-epoch diff store (its latest manifest IS
+    the full final state — LWW is epoch-split invariant), so each gate
+    process builds one store, not two."""
+    return _two_epoch_store(sf_dir)
 
 
 def cdc_state_lookup(sf_dir: str) -> "ray.data.Dataset":
