@@ -211,6 +211,65 @@ def main() -> int:
     sset = set(zip(served["query_id"], served["neighbor_id"]))
     res["ann_index_recall_at_10"] = round(len(tset & sset) / max(1, len(tset)), 4)
 
+    # ---- PQ family: 32x-compressed codes (ADC scan), two-stage
+    # rerank, and the IVF+PQ composite (path-pruned + compressed)
+    import glob as _glob
+
+    from cosmwasm_etl_ray.functions.ann_index import (
+        build_ivfpq_index,
+        build_pq_index,
+        query_ivfpq_index,
+        query_pq_index,
+        query_pq_index_rerank,
+    )
+
+    def _recall(df: pd.DataFrame) -> float:
+        s = set(zip(df["query_id"], df["neighbor_id"]))
+        return round(len(tset & s) / max(1, len(tset)), 4)
+
+    pq_dir = os.path.join(args.out, "pq_index")
+    if os.path.isdir(pq_dir):
+        shutil.rmtree(pq_dir)
+    t0 = time.time()
+    build_pq_index(emb, pq_dir, m=16)
+    res["pq_build_sec"] = round(time.time() - t0, 2)
+    res["pq_code_mb"] = round(
+        sum(
+            os.path.getsize(f)
+            for f in _glob.glob(os.path.join(pq_dir, "codes", "*.parquet"))
+        )
+        / 1e6,
+        2,
+    )
+    res["emb_mb"] = round(
+        sum(
+            os.path.getsize(f)
+            for f in _glob.glob(os.path.join(args.out, "emb", "*.parquet"))
+        )
+        / 1e6,
+        2,
+    )
+    t0 = time.time()
+    res["pq_recall_at_10"] = _recall(query_pq_index(pq_dir, qdf, k=10).to_pandas())
+    res["pq_scan_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    res["pq_rerank_recall_at_10"] = _recall(
+        query_pq_index_rerank(pq_dir, qdf, emb, k=10, candidates=50).to_pandas()
+    )
+    res["pq_rerank_sec"] = round(time.time() - t0, 2)
+
+    ivfpq_dir = os.path.join(args.out, "ivfpq_index")
+    if os.path.isdir(ivfpq_dir):
+        shutil.rmtree(ivfpq_dir)
+    t0 = time.time()
+    build_ivfpq_index(emb, ivfpq_dir, n_lists=64, m=16)
+    res["ivfpq_build_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    res["ivfpq_recall_at_10"] = _recall(
+        query_ivfpq_index(ivfpq_dir, qdf, k=10, n_probe=8).to_pandas()
+    )
+    res["ivfpq_probe_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps(res))
     ray.shutdown()
     return 0
