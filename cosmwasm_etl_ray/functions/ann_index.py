@@ -227,15 +227,9 @@ def query_ivf_index(
         Probe, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
     )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["cos", "neighbor_id"], ascending=[False, True], kind="stable"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _topk_reducer("cos", k), batch_format="pandas"
+    )
 
 
 # --------------------------------------------------------------- LSH index
@@ -416,15 +410,9 @@ def query_lsh_index(
         Score, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
     )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["cos", "neighbor_id"], ascending=[False, True], kind="stable"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _topk_reducer("cos", k), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------- PQ index
@@ -446,6 +434,65 @@ def _kmeans_l2(X: np.ndarray, k: int, iters: int = 12, seed: int = 11) -> np.nda
     return centroids
 
 
+def _topk_reducer(score_col: str, k: int):
+    """Named per-query top-k reducer factory (map_groups needs a fn
+    with ``__name__``): ONE tie-break rule — score desc, neighbor_id
+    asc — for every ANN serving path, so indexed/composite variants
+    cannot silently diverge."""
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [score_col, "neighbor_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return final_topk
+
+
+def _train_codebooks(S: np.ndarray, m: int, seed: int) -> np.ndarray:
+    """One 256-centroid L2 sub-quantizer per d/m-dim slice of the
+    training sample. (m, kc, d/m); kc < 256 only for tiny corpora."""
+    d = S.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds_ = d // m
+    return np.stack(
+        [_kmeans_l2(S[:, j * ds_:(j + 1) * ds_], 256, seed=seed + j) for j in range(m)]
+    )
+
+
+def _encode_codes(X: np.ndarray, cb: np.ndarray) -> dict:
+    """PQ-encode normalized vectors against the codebooks → one uint8
+    column per subspace (shared by the PQ and IVF+PQ builders)."""
+    out = {}
+    mm, _, dd = cb.shape
+    for j in range(mm):
+        sub = X[:, j * dd:(j + 1) * dd]
+        c = cb[j]
+        d2 = -2.0 * (sub @ c.T) + (c**2).sum(1)[None, :]
+        out[f"c{j}"] = d2.argmin(1).astype("uint8")
+    return out
+
+
+def _adc_tables(Q: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Per-query subspace inner-product lookup tables: T[j][q, c] =
+    <q_slice_j, codebook_j[c]> — summing over j approximates q·x."""
+    m, _, ds_ = cb.shape
+    return np.stack([Q[:, j * ds_:(j + 1) * ds_] @ cb[j].T for j in range(m)])
+
+
+def _adc_scores(T: np.ndarray, batch: pd.DataFrame) -> np.ndarray:
+    """(q, batch) approximate inner products via m table gathers."""
+    mm = T.shape[0]
+    codes = [batch[f"c{j}"].to_numpy() for j in range(mm)]
+    s = T[0][:, codes[0]].copy()
+    for j in range(1, mm):
+        s += T[j][:, codes[j]]
+    return s
+
+
 def build_pq_index(
     db: "ray.data.Dataset",
     index_dir: str,
@@ -465,15 +512,10 @@ def build_pq_index(
 
     db = db.materialize()
     n = db.count()
-    sample_df = train_sample(db, train_cap, seed, min_rows=m)
+    sample_df = train_sample(db, train_cap, seed, min_rows=m, n=n)
     S = _normalize(np.array(sample_df["embedding"].tolist()))
     d = S.shape[1]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    ds_ = d // m
-    codebooks = np.stack(
-        [_kmeans_l2(S[:, j * ds_:(j + 1) * ds_], 256, seed=seed + j) for j in range(m)]
-    )  # (m, kc, ds_); kc < 256 only for tiny corpora
+    codebooks = _train_codebooks(S, m, seed)
     cref = ray.put(codebooks)
 
     class Encode:
@@ -483,12 +525,7 @@ def build_pq_index(
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             X = _normalize(_embedding_matrix(batch))
             out = {"vec_id": batch["vec_id"].to_numpy().astype("int64")}
-            mm, _, dd = self.cb.shape
-            for j in range(mm):
-                sub = X[:, j * dd:(j + 1) * dd]
-                cb = self.cb[j]
-                d2 = -2.0 * (sub @ cb.T) + (cb**2).sum(1)[None, :]
-                out[f"c{j}"] = d2.argmin(1).astype("uint8")
+            out.update(_encode_codes(X, self.cb))
             return pd.DataFrame(out)
 
     os.makedirs(index_dir, exist_ok=True)
@@ -521,12 +558,9 @@ def query_pq_index(
     with open(os.path.join(index_dir, "_meta.json")) as f:
         meta = json.load(f)
     cb = np.array(meta["codebooks"], dtype=np.float64)  # (m, kc, ds)
-    m = cb.shape[0]
-    ds_ = cb.shape[2]
     Q = _normalize(np.array(queries_df["embedding"].tolist()))
     qids = queries_df["vec_id"].to_numpy()
-    # T[j][q, c] = <q_slice_j, codebook_j[c]>  — sum over j approximates q·x
-    T = np.stack([Q[:, j * ds_:(j + 1) * ds_] @ cb[j].T for j in range(m)])
+    T = _adc_tables(Q, cb)
     ref = ray.put((qids, T))
 
     class Score:
@@ -534,12 +568,8 @@ def query_pq_index(
             self.qids, self.T = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            mm = self.T.shape[0]
             ids = batch["vec_id"].to_numpy()
-            codes = [batch[f"c{j}"].to_numpy() for j in range(mm)]
-            s = self.T[0][:, codes[0]].copy()  # (q, n)
-            for j in range(1, mm):
-                s += self.T[j][:, codes[j]]
+            s = _adc_scores(self.T, batch)  # (q, n)
             kk = min(k, s.shape[1])
             idx = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
             rows = []
@@ -552,17 +582,8 @@ def query_pq_index(
     partials = codes_ds.map_batches(
         Score, batch_format="pandas", batch_size=8192, concurrency=(1, 8)
     )
-
-    def final_topk_pq(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["adc", "neighbor_id"], ascending=[False, True], kind="stable"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
-
     return partials.groupby("query_id").map_groups(
-        final_topk_pq, batch_format="pandas"
+        _topk_reducer("adc", k), batch_format="pandas"
     )
 
 
@@ -576,11 +597,13 @@ def query_pq_index_rerank(
     """Two-stage retrieval, the canonical ANN serving shape: stage 1
     scans only the PQ codes and keeps each query's top ``candidates``
     by asymmetric distance; stage 2 re-scores JUST those rows with
-    exact cosine against the full-precision vectors (a membership
-    filter pushed into the embedding scan — candidate-bounded IO, not
-    corpus-bounded) and emits the exact-ranked top k. Buys back the
-    recall the 32× code compression gives up while still never
-    brute-scanning the corpus at full precision."""
+    exact cosine and emits the exact-ranked top k. COMPUTE is
+    candidate-bounded (the q×|corpus| matmul never happens); the
+    embedding READ here is still a corpus scan with a per-batch
+    membership cut, because ``db`` is an arbitrary Dataset — at scale
+    stage 2 should fetch candidates by id from a key-partitioned
+    store (`replay.lookup_state` is that shape). Buys back the recall
+    the 32× code compression gives up."""
     cand = (
         query_pq_index(index_dir, queries_df, k=candidates)
         .to_pandas()  # q × candidates rows — small by construction
@@ -591,8 +614,6 @@ def query_pq_index_rerank(
     Q = _normalize(np.array(queries_df["embedding"].tolist()))
     qids = queries_df["vec_id"].to_numpy()
     ref = ray.put((qids, Q, cand_pairs, need_ids))
-
-    import pyarrow.compute as pc
 
     class Rerank:
         def __init__(self):
@@ -622,21 +643,11 @@ def query_pq_index_rerank(
                         rows.append((qid, nid, sims[qi, j]))
             return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
 
-    # scan-level pushdown bounds deserialization to candidate rows
     scored = db.map_batches(
         Rerank, batch_format="pandas", batch_size=8192, concurrency=(1, 8)
     )
-
-    def final_topk_rr(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["cos", "neighbor_id"], ascending=[False, True], kind="stable"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
-
     return scored.groupby("query_id").map_groups(
-        final_topk_rr, batch_format="pandas"
+        _topk_reducer("cos", k), batch_format="pandas"
     )
 
 
@@ -658,16 +669,11 @@ def build_ivfpq_index(
 
     db = db.materialize()
     n = db.count()
-    sample_df = train_sample(db, train_cap, seed, min_rows=max(n_lists, m))
+    sample_df = train_sample(db, train_cap, seed, min_rows=max(n_lists, m), n=n)
     S = _normalize(np.array(sample_df["embedding"].tolist()))
     d = S.shape[1]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    ds_ = d // m
     centroids = _kmeans_lite(S, n_lists, seed=seed)
-    codebooks = np.stack(
-        [_kmeans_l2(S[:, j * ds_:(j + 1) * ds_], 256, seed=seed + j) for j in range(m)]
-    )
+    codebooks = _train_codebooks(S, m, seed)
     ref = ray.put((centroids, codebooks))
 
     class AssignEncode:
@@ -684,12 +690,7 @@ def build_ivfpq_index(
                 "list_id": assign,
                 "list_assign": assign,
             }
-            mm, _, dd = self.cb.shape
-            for j in range(mm):
-                sub = X[:, j * dd:(j + 1) * dd]
-                cb = self.cb[j]
-                d2 = -2.0 * (sub @ cb.T) + (cb**2).sum(1)[None, :]
-                out[f"c{j}"] = d2.argmin(1).astype("uint8")
+            out.update(_encode_codes(X, self.cb))
             return pd.DataFrame(out)
 
     os.makedirs(index_dir, exist_ok=True)
@@ -728,8 +729,6 @@ def query_ivfpq_index(
         meta = json.load(f)
     centroids = np.array(meta["centroids"], dtype=np.float64)
     cb = np.array(meta["codebooks"], dtype=np.float64)
-    m = cb.shape[0]
-    ds_ = cb.shape[2]
     Q = _normalize(np.array(queries_df["embedding"].tolist()))
     qids = queries_df["vec_id"].to_numpy()
     qprobe = np.argsort(-(Q @ centroids.T), axis=1)[:, :n_probe]
@@ -743,7 +742,7 @@ def query_ivfpq_index(
     ]
     if not probe_files:
         return _empty_topk()
-    T = np.stack([Q[:, j * ds_:(j + 1) * ds_] @ cb[j].T for j in range(m)])
+    T = _adc_tables(Q, cb)
     ref = ray.put((qids, T, qprobe))
 
     class Score:
@@ -751,13 +750,9 @@ def query_ivfpq_index(
             self.qids, self.T, self.qprobe = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            mm = self.T.shape[0]
             ids = batch["vec_id"].to_numpy()
             xlist = batch["list_assign"].to_numpy()
-            codes = [batch[f"c{j}"].to_numpy() for j in range(mm)]
-            s = self.T[0][:, codes[0]].copy()
-            for j in range(1, mm):
-                s += self.T[j][:, codes[j]]
+            s = _adc_scores(self.T, batch)
             rows = []
             for qi in range(len(self.qids)):
                 mask = np.isin(xlist, self.qprobe[qi])
@@ -774,15 +769,6 @@ def query_ivfpq_index(
     partials = ray.data.read_parquet(probe_files).map_batches(
         Score, batch_format="pandas", batch_size=8192, concurrency=(1, 8)
     )
-
-    def final_topk_ivfpq(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["adc", "neighbor_id"], ascending=[False, True], kind="stable"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
-
     return partials.groupby("query_id").map_groups(
-        final_topk_ivfpq, batch_format="pandas"
+        _topk_reducer("adc", k), batch_format="pandas"
     )
