@@ -644,6 +644,50 @@ def custkey_order_hist(sf_dir: str) -> pd.DataFrame:
     return hist.sort_values("n_orders").reset_index(drop=True)
 
 
+def orders_above_cust_avg(sf_dir: str) -> "ray.data.Dataset":
+    """Correlated scalar subquery (o_totalprice > this customer's
+    average) rewritten as aggregate + join-back: the per-customer mean
+    derives from EXACT integer cent sums in ONE partial-agg shuffle,
+    the orders stream joins back on custkey, and the comparison runs
+    as integer cross-multiplication (price_cents · n > sum_cents — no
+    float mean ever materializes, so the emitted row set is bit-stable
+    under any partitioning). Output: the qualifying orders with the
+    customer's exact average in cents."""
+    def cents_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(cents_proj, batch_format="pyarrow").materialize()
+    per_cust = grouped_agg(
+        orders,
+        keys=["o_custkey"],
+        spec={"sum_cents": ("price_cents", "sum"), "n_orders": ("price_cents", "count")},
+        final="shuffle",
+    )
+    joined = hash_join(
+        orders,
+        per_cust,
+        on="o_custkey",
+        left_cols={"o_custkey": "int64", "o_orderkey": "int64", "price_cents": "int64"},
+        right_cols={"o_custkey": "int64", "sum_cents": "int64", "n_orders": "int64"},
+    )
+
+    def above(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["price_cents"] * df["n_orders"] > df["sum_cents"]
+        out = df[keep].copy()
+        out["avg_cents"] = out["sum_cents"] // out["n_orders"]
+        return out[["o_orderkey", "o_custkey", "price_cents", "avg_cents"]]
+
+    return joined.map_batches(above, batch_format="pandas")
+
+
 BIG_QTY = 250  # big-order cutoff: ~p99 of per-order quantity sums
 
 
@@ -783,6 +827,7 @@ QUERIES = {
     "events_pivot": events_pivot,
     "orders_late_exists": orders_late_exists,
     "custkey_order_hist": custkey_order_hist,
+    "orders_above_cust_avg": orders_above_cust_avg,
     "big_orders": big_orders,
     "approx_distinct_parts": approx_distinct_parts,
     "quantile_sketch_events": quantile_sketch_events,
@@ -834,6 +879,21 @@ FROM (
     GROUP BY c.c_custkey
 )
 GROUP BY n_orders
+""",
+    # integer cross-multiplication comparison, exact // average —
+    # mirrors the engine's no-float-mean arithmetic
+    "orders_above_cust_avg": """
+WITH c AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+       c.sum_cents // c.n_orders AS avg_cents
+FROM orders o JOIN c USING (o_custkey)
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * c.n_orders > c.sum_cents
 """,
     "big_orders": f"""
 SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
