@@ -578,7 +578,19 @@ def query_pq_index(
                     rows.append((self.qids[qi], ids[j], s[qi, j]))
             return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc"])
 
-    codes_ds = ray.data.read_parquet(os.path.join(index_dir, "codes"))
+    # base codes + every REGISTERED increment (unregistered dirs are
+    # invisible — crash-safe by construction, like the IVF increments)
+    import glob as _glob
+
+    roots = [os.path.join(index_dir, "codes")] + [
+        os.path.join(index_dir, f"codes-inc-{g}")
+        for g in range(int(meta.get("n_increments", 0)))
+    ]
+    # read_parquet accepts ONE dir or a list of FILES — expand the dirs
+    code_files = [
+        f for r in roots for f in sorted(_glob.glob(os.path.join(r, "*.parquet")))
+    ]
+    codes_ds = ray.data.read_parquet(code_files)
     partials = codes_ds.map_batches(
         Score, batch_format="pandas", batch_size=8192, concurrency=(1, 8)
     )
@@ -772,3 +784,50 @@ def query_ivfpq_index(
     return partials.groupby("query_id").map_groups(
         _topk_reducer("adc", k), batch_format="pandas"
     )
+
+
+def append_pq_index(db: "ray.data.Dataset", index_dir: str) -> dict:
+    """Add vectors to a PQ index WITHOUT retraining: encode against
+    the frozen codebooks into a self-contained increment directory
+    ``codes-inc-<g>`` (built under a tmp name, renamed whole, then
+    registered in the sidecar — the same directory-granular commit as
+    append_ivf_index, so a crash leaves the increment invisible).
+    Quantization drift discipline is identical to IVF append: the
+    sidecar's n_appended/n_vectors ratio is the rebuild trigger."""
+    import shutil
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    cref = ray.put(np.array(meta["codebooks"], dtype=np.float64))
+
+    class Encode:
+        def __init__(self):
+            self.cb = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            X = _normalize(_embedding_matrix(batch))
+            out = {"vec_id": batch["vec_id"].to_numpy().astype("int64")}
+            out.update(_encode_codes(X, self.cb))
+            return pd.DataFrame(out)
+
+    db = db.materialize()  # consumed twice: count + encode/write
+    n_new = db.count()
+    gen = int(meta.get("n_increments", 0))
+    final_dir = os.path.join(index_dir, f"codes-inc-{gen}")
+    tmp_dir = f"{final_dir}.tmp.{os.getpid()}"
+    _coalesced(
+        db.map_batches(Encode, batch_format="pandas", concurrency=(1, 8)), n_new
+    ).write_parquet(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)  # an empty increment still renames
+    if os.path.exists(final_dir):  # stale uncommitted prior attempt
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)
+
+    meta["n_increments"] = gen + 1
+    meta["n_vectors"] = int(meta["n_vectors"]) + int(n_new)
+    meta["n_appended"] = int(meta.get("n_appended", 0)) + int(n_new)
+    tmp = os.path.join(index_dir, f"_meta.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "_meta.json"))
+    return meta

