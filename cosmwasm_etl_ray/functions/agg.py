@@ -408,6 +408,7 @@ def grouped_quantiles(
     value_col: str,
     qs_e2: list[int],
     shards: int = 16,
+    mode: str = "disc",
 ) -> "ray.data.Dataset":
     """EXACT discrete quantiles per group over an integer measure.
 
@@ -452,8 +453,22 @@ def grouped_quantiles(
             n = int(cum[-1])
             row = {group_col: grp}
             for q in qs_e2:
-                rank = max(1, -(-q * n // 100))  # exact ceil, 1-based
-                row[f"p{q:02d}"] = int(vals[np.searchsorted(cum, rank)])
+                if mode == "disc":
+                    rank = max(1, -(-q * n // 100))  # exact ceil, 1-based
+                    row[f"p{q:02d}"] = int(vals[np.searchsorted(cum, rank)])
+                else:
+                    # quantile_cont: 0-based position h = q·(n-1),
+                    # linear interpolation between the straddling order
+                    # statistics. lo/rem are EXACT integers (q_e2·(n-1)
+                    # split by //100 and %100), so the straddle indices
+                    # can't misselect on a float epsilon; the residual
+                    # frac division is the same double both engines
+                    # compute, and the gate rounds floats to 4dp.
+                    num = q * (n - 1)
+                    lo, rem = num // 100, num % 100
+                    v_lo = float(vals[np.searchsorted(cum, lo + 1)])
+                    v_hi = float(vals[np.searchsorted(cum, lo + 2)]) if rem else v_lo
+                    row[f"p{q:02d}"] = v_lo + (rem / 100.0) * (v_hi - v_lo)
             rows.append(row)
         return pd.DataFrame(rows)
 

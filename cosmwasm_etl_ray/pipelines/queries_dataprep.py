@@ -262,6 +262,21 @@ def domain_quantiles(sf_dir: str) -> "ray.data.Dataset":
     return grouped_quantiles(ds, "lang", "n_chars", [50, 90, 99])
 
 
+def domain_quantiles_cont(sf_dir: str) -> "ray.data.Dataset":
+    """Interpolated (quantile_cont) per-domain quantiles over the same
+    (group, value)-count combiner as the discrete variant: the
+    straddling order statistics are selected by EXACT integer position
+    arithmetic (q·(n-1) split by //100 and %100 — a float position can
+    misselect on an epsilon), only the final interpolation runs in
+    float, which the gate rounds to 4dp."""
+    from cosmwasm_etl_ray.functions.agg import grouped_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_quantiles(ds, "lang", "n_chars", [25, 50, 75, 90], mode="cont")
+
+
 def pretrain_chunks(sf_dir: str, doc_pred=None) -> "ray.data.Dataset":
     """The composed flagship prep pipeline — what a pretraining run
     actually executes before tokenization: clean (corpus_filter's
@@ -326,6 +341,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "domain_topk": domain_topk,
     "domain_quantiles": domain_quantiles,
+    "domain_quantiles_cont": domain_quantiles_cont,
     "corpus_filter": corpus_filter_docs,
     "sample_split": sample_split,
     "split_summary": split_summary,
@@ -418,6 +434,14 @@ SELECT lang,
        CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
        CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90,
        CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+FROM documents GROUP BY lang
+""",
+    "domain_quantiles_cont": """
+SELECT lang,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.50) AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       quantile_cont(n_chars, 0.90) AS p90
 FROM documents GROUP BY lang
 """,
     # the learned vocab restated: id = 1-based rank by (count desc,

@@ -688,6 +688,37 @@ def orders_above_cust_avg(sf_dir: str) -> "ray.data.Dataset":
     return joined.map_batches(above, batch_format="pandas")
 
 
+_MELT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_unpivot_stats(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT (wide → long reshape) as a streaming per-batch melt:
+    each batch's four measure columns stack into (measure, cents) long
+    rows — a pure flat map, no exchange — and the long stream reduces
+    to one exact-integer row per measure (melt is the inverse of
+    events_pivot's crosstab). Sums run in 1e-2 units so the ~1e11
+    totals are bit-identical under any partitioning; the SQL twin is
+    the UNION-ALL restatement of the same unpivot."""
+    ds = _read(sf_dir, "lineitem", _MELT_MEASURES)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        long = df.melt(value_vars=_MELT_MEASURES, var_name="measure")
+        return pd.DataFrame(
+            {
+                "measure": long["measure"],
+                "cents": np.round(long["value"].to_numpy() * 100).astype("int64"),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(melt, batch_format="pandas"),
+        keys=["measure"],
+        spec={"total_e2": ("cents", "sum"), "n": ("cents", "count")},
+        final="driver",
+    )
+    return out.sort_values("measure").reset_index(drop=True)
+
+
 BIG_QTY = 250  # big-order cutoff: ~p99 of per-order quantity sums
 
 
@@ -828,6 +859,7 @@ QUERIES = {
     "orders_late_exists": orders_late_exists,
     "custkey_order_hist": custkey_order_hist,
     "orders_above_cust_avg": orders_above_cust_avg,
+    "lineitem_unpivot_stats": lineitem_unpivot_stats,
     "big_orders": big_orders,
     "approx_distinct_parts": approx_distinct_parts,
     "quantile_sketch_events": quantile_sketch_events,
@@ -879,6 +911,24 @@ FROM (
     GROUP BY c.c_custkey
 )
 GROUP BY n_orders
+""",
+    "lineitem_unpivot_stats": """
+SELECT measure,
+       CAST(sum(cents) AS BIGINT) AS total_e2,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+        SELECT 'l_quantity' AS measure,
+               CAST(round(l_quantity * 100) AS BIGINT) AS cents FROM lineitem
+    UNION ALL
+        SELECT 'l_extendedprice', CAST(round(l_extendedprice * 100) AS BIGINT)
+        FROM lineitem
+    UNION ALL
+        SELECT 'l_discount', CAST(round(l_discount * 100) AS BIGINT)
+        FROM lineitem
+    UNION ALL
+        SELECT 'l_tax', CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
+)
+GROUP BY measure
 """,
     # integer cross-multiplication comparison, exact // average —
     # mirrors the engine's no-float-mean arithmetic
