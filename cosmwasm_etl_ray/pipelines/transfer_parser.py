@@ -38,7 +38,9 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import time
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -435,69 +437,133 @@ class TransferParserPipeline:
         Concurrent compactors are safe: each writes its generation
         files under a compactor-unique directory (gen + pid suffix),
         so racers never overwrite each other's data files; the
-        manifest rename is the single winner-takes-all commit point
-        and the loser's directory is an orphan the next GC removes."""
+        manifest is committed with an EXCLUSIVE create (tmp + hard
+        link — atomic like rename, but fails instead of overwriting),
+        so exactly one racer wins a generation number. A loser
+        discards its directory and retries against the winner's state
+        (usually: nothing left to fold — return the winner's
+        manifest). gc_compacted() only sweeps a foreign compact dir
+        once a committed manifest EXISTS for that dir's generation —
+        an in-flight compactor's dir (gen not yet committed) is never
+        touched, and a loser whose dir is swept after losing simply
+        recomputes here. Last-writer-wins os.replace committing is
+        exactly what this protocol replaces: it let a slow racer
+        overwrite the winner's manifest with one pointing at a
+        GC-swept directory, losing every folded row."""
         import ray as _ray
 
-        committed = self.store.committed_epochs()
-        max_contiguous = -1
-        for i, e in enumerate(committed):
-            if e != i:
-                break
-            max_contiguous = e
-        if through_epoch is None or through_epoch > max_contiguous:
-            through_epoch = max_contiguous
-        prev = self.latest_compaction()
-        base_t = prev["through_epoch"] if prev else -1
-        new_epochs = [e for e in committed if base_t < e <= through_epoch]
-        if not new_epochs:
-            return None
-        per_pid = self._own_epoch_partitions(new_epochs)
-        if prev:
-            for pid, info in prev["partitions"].items():
-                per_pid.setdefault(int(pid), []).insert(0, info["file"])
-        gen = (self.compactions()[-1] + 1) if self.compactions() else 0
-        out_dir = os.path.join(
-            self.store.root, "compact", f"gen={gen}-{os.getpid()}"
-        )
         task = cached_remote("xfer_compact", _compact_pid)
-        results = _ray.get(
-            [
-                task.remote(out_dir, pid, files)
-                for pid, files in sorted(per_pid.items())
-            ]
-        )
-        manifest = {
-            "gen": gen,
-            "through_epoch": through_epoch,
-            "base_gen": prev["gen"] if prev else None,
-            "dir": out_dir,
-            "committed_at": time.time(),
-            "partitions": {
-                str(r["pid"]): {"file": r["file"], "rows": r["rows"]}
-                for r in results
-            },
-        }
-        tmp = f"{self._cpath(gen)}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._cpath(gen))
-        return manifest
+        while True:
+            committed = self.store.committed_epochs()
+            max_contiguous = -1
+            for i, e in enumerate(committed):
+                if e != i:
+                    break
+                max_contiguous = e
+            t = through_epoch
+            if t is None or t > max_contiguous:
+                t = max_contiguous
+            prev = self.latest_compaction()
+            base_t = prev["through_epoch"] if prev else -1
+            new_epochs = [e for e in committed if base_t < e <= t]
+            if not new_epochs:
+                return None
+            per_pid = self._own_epoch_partitions(new_epochs)
+            if prev:
+                for pid, info in prev["partitions"].items():
+                    per_pid.setdefault(int(pid), []).insert(0, info["file"])
+            gens = self.compactions()
+            plan_sig = (tuple(gens), base_t)
+            gen = (gens[-1] + 1) if gens else 0
+            # pid alone is NOT unique enough: two racers in one process
+            # (threads) would share a workspace and the loser's cleanup
+            # would delete the winner's committed data files
+            tok = f"{os.getpid()}-{uuid.uuid4().hex[:6]}"
+            out_dir = os.path.join(
+                self.store.root, "compact", f"gen={gen}-{tok}"
+            )
+            try:
+                results = _ray.get(
+                    [
+                        task.remote(out_dir, pid, files)
+                        for pid, files in sorted(per_pid.items())
+                    ]
+                )
+            except FileNotFoundError:
+                # a racer committed AND GC'd between our plan and our
+                # fold: the planned source files are gone. Re-plan from
+                # the winner's state — but only if the store actually
+                # advanced, else the file is genuinely missing: raise.
+                shutil.rmtree(out_dir, ignore_errors=True)
+                latest = self.latest_compaction()
+                now_sig = (
+                    tuple(self.compactions()),
+                    latest["through_epoch"] if latest else -1,
+                )
+                if now_sig == plan_sig:
+                    raise
+                continue
+            manifest = {
+                "gen": gen,
+                "through_epoch": t,
+                "base_gen": prev["gen"] if prev else None,
+                "dir": out_dir,
+                "committed_at": time.time(),
+                "partitions": {
+                    str(r["pid"]): {"file": r["file"], "rows": r["rows"]}
+                    for r in results
+                },
+            }
+            tmp = f"{self._cpath(gen)}.tmp.{tok}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            try:
+                os.link(tmp, self._cpath(gen))
+            except FileExistsError:
+                # a racer committed this gen first: our fold may
+                # duplicate (or lag) the winner's coverage — discard it
+                # and re-plan from the winner's manifest
+                os.remove(tmp)
+                shutil.rmtree(out_dir, ignore_errors=True)
+                latest = self.latest_compaction()
+                if latest is not None and latest["through_epoch"] >= t:
+                    return latest
+                continue
+            os.remove(tmp)
+            return manifest
 
     def gc_compacted(self) -> dict:
         """Delete data now fully covered by the latest committed
         compaction generation: the original per-epoch partition files
         of epochs <= its through_epoch, and every compact/ directory
-        other than the latest generation's own (older generations AND
-        orphans left by crashed or racing compactors). Epoch manifests
-        are kept (they are the cursor and the lineage). Safe w.r.t.
-        WRITERS anytime; a ledger() scan that listed its files before
-        the compaction committed can still hold the old paths, so run
-        GC when no long scan is in flight (or let such a reader retry
-        on FileNotFoundError — the re-list sees the compacted view)."""
+        whose generation has a COMMITTED manifest but is not the
+        latest generation's own dir (older generations, plus loser
+        dirs from compact()'s exclusive-create race — their owners
+        detect the collision and recompute, so sweeping is safe). A
+        dir whose generation has NO committed manifest is an
+        in-flight compactor's workspace and is never touched; a
+        crashed compactor's orphan is reclaimed as soon as its gen
+        number is committed by someone else. Epoch manifests are kept
+        (they are the cursor and the lineage). Before deleting any
+        source epoch file we verify every file the latest manifest
+        points at actually exists — if the generation is damaged, GC
+        refuses rather than deleting the only remaining copy. Safe
+        w.r.t. WRITERS anytime; a ledger() scan that listed its files
+        before the compaction committed can still hold the old paths,
+        so run GC when no long scan is in flight (or let such a
+        reader retry on FileNotFoundError — the re-list sees the
+        compacted view)."""
         latest = self.latest_compaction()
         if latest is None:
             return {"deleted": 0}
+        missing = [
+            info["file"]
+            for info in latest["partitions"].values()
+            if not os.path.exists(info["file"])
+        ]
+        if missing:
+            return {"deleted": 0, "aborted_missing": missing}
+        committed_gens = set(self.compactions())
         deleted = 0
         covered = [
             e for e in self.store.committed_epochs()
@@ -525,6 +591,9 @@ class TransferParserPipeline:
                 d = os.path.join(comp_root, name)
                 if os.path.abspath(d) == keep or not os.path.isdir(d):
                     continue
+                m = re.match(r"gen=(\d+)", name)
+                if m is None or int(m.group(1)) not in committed_gens:
+                    continue  # in-flight workspace — leave it alone
                 for f in os.listdir(d):
                     os.remove(os.path.join(d, f))
                     deleted += 1

@@ -305,3 +305,111 @@ def test_compaction_never_covers_past_a_commit_gap(tmp_path):
         _sorted(pipe.ledger().to_pandas()),
         _sorted(transfer_ledger(SF).to_pandas()),
     )
+
+@pytest.mark.usefixtures("ray_session")
+def test_racing_compactors_lose_no_data(tmp_path):
+    """ADVICE r3 (high): two compactors race on the same generation.
+    The loser must NOT overwrite the winner's manifest (the old
+    os.replace commit did, pointing reads at a GC-swept dir and losing
+    every folded row). With the exclusive-create commit the loser
+    detects the collision, discards its own directory, and returns the
+    winner's manifest; the ledger survives GC bit-for-bit."""
+    import json as _json
+
+    root = str(tmp_path / "store")
+    pipe_b = TransferParserPipeline(SF, root, n_epochs=3, num_partitions=4)
+    pipe_b.run()
+    before = _sorted(pipe_b.ledger().to_pandas())
+
+    def stale_pipe():
+        """A compactor whose first plan reads the state as it was just
+        before the winner committed (no generations yet)."""
+        p = TransferParserPipeline(SF, root, n_epochs=3, num_partitions=4)
+        real = p.compactions
+        calls = {"n": 0}
+
+        def stale_compactions():
+            calls["n"] += 1
+            return [] if calls["n"] <= 2 else real()
+
+        p.compactions = stale_compactions
+        return p
+
+    # --- interleaving 1: B commits gen 0; A (stale plan) folds the
+    # same epochs and collides on the exclusive manifest create ---
+    pipe_a = stale_pipe()
+    m_b = pipe_b.compact()
+    assert m_b["gen"] == 0
+    with open(pipe_b._cpath(0)) as f:
+        manifest_before = _json.load(f)
+    m_a = pipe_a.compact()
+    assert m_a is not None and m_a["dir"] == m_b["dir"]
+    with open(pipe_b._cpath(0)) as f:
+        assert _json.load(f) == manifest_before  # never overwritten
+    # A's loser dir is gone (self-cleaned), only the winner's survives
+    assert os.listdir(os.path.join(root, "compact")) == [
+        os.path.basename(m_b["dir"])
+    ]
+
+    # --- interleaving 2: B has ALSO GC'd; a second stale racer's fold
+    # hits missing epoch files, re-plans, and finds nothing to do ---
+    pipe_b.gc_compacted()
+    pipe_a2 = stale_pipe()
+    assert pipe_a2.compact() is None
+    with open(pipe_b._cpath(0)) as f:
+        assert _json.load(f) == manifest_before
+    assert os.listdir(os.path.join(root, "compact")) == [
+        os.path.basename(m_b["dir"])
+    ]
+    pipe_a2.gc_compacted()
+    pd.testing.assert_frame_equal(_sorted(pipe_a2.ledger().to_pandas()), before)
+    pd.testing.assert_frame_equal(_sorted(pipe_b.ledger().to_pandas()), before)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gc_leaves_inflight_compactor_dirs(tmp_path):
+    """A compact dir whose generation has NO committed manifest is a
+    live compactor's workspace: GC must not sweep it (the old sweep
+    deleted it as an orphan, so the racer later committed a manifest
+    pointing at nothing). Once the gen number is committed, loser and
+    crash orphans for that gen become sweepable."""
+    root = str(tmp_path / "store")
+    pipe = TransferParserPipeline(SF, root, n_epochs=2, num_partitions=4)
+    pipe.run()
+    assert pipe.compact()["gen"] == 0
+    # in-flight: gen 1 not committed anywhere
+    inflight = os.path.join(root, "compact", "gen=1-77777")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "pid=0.parquet"), "w") as f:
+        f.write("inflight")
+    # loser: a second gen-0 dir while gen 0 IS committed
+    loser = os.path.join(root, "compact", "gen=0-88888")
+    os.makedirs(loser)
+    with open(os.path.join(loser, "pid=0.parquet"), "w") as f:
+        f.write("loser")
+    pipe.gc_compacted()
+    assert os.path.isdir(inflight), "in-flight workspace swept"
+    assert not os.path.isdir(loser), "committed-gen loser dir kept"
+    os.remove(os.path.join(inflight, "pid=0.parquet"))
+    os.rmdir(inflight)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gc_refuses_when_latest_generation_damaged(tmp_path):
+    """If the latest manifest points at files that don't exist, GC must
+    refuse to delete the source epoch files — they are the only copy."""
+    root = str(tmp_path / "store")
+    pipe = TransferParserPipeline(SF, root, n_epochs=2, num_partitions=4)
+    pipe.run()
+    before = _sorted(pipe.ledger().to_pandas())
+    m = pipe.compact()
+    victim = next(iter(m["partitions"].values()))["file"]
+    os.remove(victim)
+    gc = pipe.gc_compacted()
+    assert gc["deleted"] == 0 and gc["aborted_missing"] == [victim]
+    # every pre-compaction epoch file is still on disk
+    epoch_files = glob.glob(os.path.join(root, "epoch=*", "*.parquet"))
+    assert epoch_files, "GC deleted epoch files behind a damaged gen"
+    # and the data is recoverable by re-reading the epochs directly
+    got = _sorted(pd.concat(map(pd.read_parquet, epoch_files)))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), before)
