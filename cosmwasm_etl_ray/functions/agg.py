@@ -425,6 +425,10 @@ def grouped_quantiles(
     measure is discrete/bounded (lengths, counts, scores in fixed
     units); an unbounded-cardinality measure at 100 TB wants a sketch
     (t-digest) instead, which trades this oracle-exactness away."""
+    if mode not in ("disc", "cont"):
+        raise ValueError(
+            f"grouped_quantiles: unknown mode {mode!r} (disc|cont)"
+        )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

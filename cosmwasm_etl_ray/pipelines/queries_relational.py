@@ -825,9 +825,13 @@ def events_pivot(sf_dir: str) -> pd.DataFrame:
         import numpy as np
 
         u = t["user_id"].to_numpy(zero_copy_only=False)
+        # DuckDB's // TRUNCATES toward zero on negatives while numpy
+        # floors — sign-split divide mirrors the oracle exactly (same
+        # hazard as label_centroids; no-op on today's non-negative ids)
+        b = np.sign(u) * (np.abs(u) // 10)
         return pa.table(
             {
-                "bucket": pa.array(np.floor_divide(u, 10), type=pa.int64()),
+                "bucket": pa.array(b, type=pa.int64()),
                 "event_type": t["event_type"],
             }
         )

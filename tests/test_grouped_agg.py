@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 import ray.data
 
@@ -268,6 +269,16 @@ def test_grouped_quantiles_exact_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got[["g", "p01", "p50", "p90", "p99"]], expect
     )
+
+
+def test_grouped_quantiles_rejects_unknown_mode(ray_session):
+    """A typo'd mode ('discrete', 'cont.') must raise at entry, not
+    silently fall through to the interpolated branch."""
+    from cosmwasm_etl_ray.functions.agg import grouped_quantiles
+
+    ds = ray.data.from_pandas(pd.DataFrame({"g": ["a"], "v": [1]}))
+    with pytest.raises(ValueError, match="unknown mode"):
+        grouped_quantiles(ds, "g", "v", [50], mode="discrete")
 
 
 def test_grouped_agg_nullable_measure_sql_parity(ray_session):
