@@ -7,7 +7,21 @@ set is 5-20× faster and shuffles ~nothing. This is the same
 partial/final structure the merge fold uses, applied to sums.
 
 ``grouped_agg`` supports sum / count / min / max / mean (mean
-decomposes into sum+count partials). Two final-reduce modes:
+decomposes into sum+count partials), plus two overflow-safe sums for
+money-class integer measures (the reference carries DECIMAL(40)/big.Int
+end to end — /root/reference/pkg/util/decimals.go:12-59):
+
+- ``sum_checked``: int64 sum with a no-overflow CERTIFICATE — partials
+  carry (sum, max|v|, count); every fold (batch and final) verifies
+  count × max|v| < 2^62 and RAISES when the bound can't prove the int64
+  sum didn't wrap. Same speed class as "sum"; loud instead of silently
+  wrong.
+- ``sum_exact``: arbitrary-precision exact sum — per-batch partials
+  split each value into hi/lo 32-bit halves (two int64 sums, wrap-free
+  for < 2^31-row batches), the small final fold recombines in Python
+  ints and emits exact DECIMAL STRINGS (Arrow-safe past ±2^63).
+
+Two final-reduce modes:
 
 - ``final="driver"`` (default): the partial set reduces driver-side —
   bounded by groups × batches; use when group cardinality is small
@@ -188,9 +202,17 @@ def grouped_agg(
     driver_limit: int = 200_000,
     exchange: str = "direct",
 ):
-    """spec: output_col → (source_col, op) with op ∈ sum|count|min|max|mean.
+    """spec: output_col → (source_col, op) with op ∈
+    sum|count|min|max|mean|sum_checked|sum_exact.
     final="driver" returns a pandas DataFrame (small by contract);
     final="shuffle" returns a Dataset (high-cardinality keys).
+
+    sum_checked: int64 sum that RAISES when count × max|v| ≥ 2^62
+    (the certificate that the sum provably didn't wrap — every subset
+    prefix is bounded by Σ|v| ≤ count × max|v|). sum_exact: exact
+    arbitrary-precision sum via hi/lo 32-bit split partials, emitted
+    as decimal STRINGS (values past ±2^63 can't ride an int64 or an
+    Arrow conversion). Both require an integer measure.
 
     Driver mode ENFORCES its small-cardinality contract: if the
     collected partial set exceeds ``driver_limit`` rows the reduce
@@ -201,20 +223,80 @@ def grouped_agg(
     # shared row-count partial would diverge on nullable measures)
     plan: dict[str, tuple[str, str]] = {}
     means: dict[str, str] = {}
+    checked: list[str] = []
+    exact: list[str] = []
+    derived: dict[str, tuple[str, str]] = {}  # aux col → (src, kind)
     for out, (src, op) in spec.items():
         if op == "mean":
             plan[f"__sum_{out}"] = (src, "sum")
             plan[f"__cnt_{out}"] = (src, "count")
             means[out] = f"__sum_{out}"
+        elif op == "sum_checked":
+            derived[f"__abs_{out}"] = (src, "abs")
+            plan[f"__cks_{out}"] = (src, "sum")
+            plan[f"__ckm_{out}"] = (f"__abs_{out}", "max")
+            plan[f"__ckc_{out}"] = (src, "count")
+            checked.append(out)
+        elif op == "sum_exact":
+            derived[f"__hiv_{out}"] = (src, "hi")
+            derived[f"__lov_{out}"] = (src, "lo")
+            plan[f"__his_{out}"] = (f"__hiv_{out}", "sum")
+            plan[f"__los_{out}"] = (f"__lov_{out}", "sum")
+            exact.append(out)
         else:
             plan[out] = (src, op)
 
+    _I64_MIN = np.iinfo(np.int64).min
+
+    def _derive(df: pd.DataFrame) -> pd.DataFrame:
+        if not derived:
+            return df
+        df = df.copy()
+        for name, (src, kind) in derived.items():
+            v = df[src].to_numpy()
+            if v.dtype.kind not in "iu":
+                raise ValueError(
+                    f"grouped_agg: sum_checked/sum_exact need an integer "
+                    f"measure; {src!r} is {v.dtype}"
+                )
+            v = v.astype(np.int64, copy=False)
+            if kind == "abs":
+                if len(v) and (v == _I64_MIN).any():
+                    raise ValueError(
+                        f"grouped_agg sum_checked: {src!r} holds INT64_MIN "
+                        f"(|v| not representable) — use sum_exact"
+                    )
+                df[name] = np.abs(v)
+            elif kind == "hi":
+                df[name] = v >> 32  # arithmetic shift: exact for negatives
+            else:
+                df[name] = v & 0xFFFFFFFF
+        return df
+
+    def _certify(frame: pd.DataFrame) -> None:
+        # count × max|v| < 2^62 ⇒ every int64 prefix sum was wrap-free
+        # (float compare with a 2× margin absorbs the cast imprecision)
+        for out in checked:
+            bound = (
+                frame[f"__ckm_{out}"].to_numpy().astype(np.float64)
+                * frame[f"__ckc_{out}"].to_numpy()
+            )
+            if len(bound) and np.nanmax(bound) >= float(2**62):
+                raise ValueError(
+                    f"grouped_agg sum_checked({out!r}): count × max|v| "
+                    f"≥ 2^62 — the int64 sum can't be certified wrap-free; "
+                    f"use op 'sum_exact'"
+                )
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = _derive(df)
         g = df.groupby(keys, sort=False)
         cols = {}
         for out, (src, op) in plan.items():
             cols[out] = getattr(g[src], _PARTIAL_OPS[op])()
-        return pd.DataFrame(cols).reset_index()
+        res = pd.DataFrame(cols).reset_index()
+        _certify(res)
+        return res
 
     def reduce_partials(partials: pd.DataFrame) -> pd.DataFrame:
         if partials.empty and not set(keys) <= set(partials.columns):
@@ -226,13 +308,34 @@ def grouped_agg(
         fin = {}
         for out, (src, op) in plan.items():
             if op in ("sum", "count"):
-                fin[out] = g[out].sum()
+                if any(out == f"__{p}_{e}" for e in exact for p in ("his", "los")):
+                    # hi/lo partial folds leave int64 range at scale
+                    # (2^47-magnitude partials × many blocks) — the
+                    # final set is small by contract, so Python-int
+                    # (object) summation is exact and cheap here
+                    fin[out] = g[out].apply(
+                        lambda s: sum(int(x) for x in s)
+                    )
+                else:
+                    fin[out] = g[out].sum()
             else:
                 fin[out] = getattr(g[out], op)()
         res = pd.DataFrame(fin).reset_index()
+        _certify(res)
         for out, sum_col in means.items():
             res[out] = res[sum_col] / res[f"__cnt_{out}"]
             res = res.drop(columns=[sum_col, f"__cnt_{out}"])
+        for out in checked:
+            res[out] = res[f"__cks_{out}"]
+            res = res.drop(
+                columns=[f"__cks_{out}", f"__ckm_{out}", f"__ckc_{out}"]
+            )
+        for out in exact:
+            res[out] = [
+                str((int(h) << 32) + int(lo))
+                for h, lo in zip(res[f"__his_{out}"], res[f"__los_{out}"])
+            ]
+            res = res.drop(columns=[f"__his_{out}", f"__los_{out}"])
         return res[keys + list(spec.keys())]  # order columns as spec
 
     partial_ds = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)

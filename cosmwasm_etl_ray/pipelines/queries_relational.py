@@ -66,8 +66,8 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         keys=["l_returnflag", "l_linestatus"],
         spec={
             "sum_qty": ("qty", "sum"),
-            "cents": ("cents", "sum"),
-            "disc_e4": ("disc_e4", "sum"),
+            "cents": ("cents", "sum_checked"),
+            "disc_e4": ("disc_e4", "sum_checked"),
             "count_order": ("qty", "count"),
         },
     )
@@ -89,6 +89,11 @@ def _li_rev_partials(sf_dir: str) -> "ray.data.Dataset":
 
     def rev_partial(t: pa.Table) -> pa.Table:
         t2 = pa.table({"o_orderkey": t["l_orderkey"], "rev_e4": _rev_e4(t)})
+        # certificate: the Arrow group_by sum below wraps silently on
+        # int64 overflow — prove count × max|v| < 2^62 or raise
+        from cosmwasm_etl_ray.functions.money import certify_sum_bound
+
+        certify_sum_bound(t2["rev_e4"])
         return t2.group_by("o_orderkey").aggregate([("rev_e4", "sum")]).rename_columns(
             ["o_orderkey", "rev_e4"]
         )
@@ -98,7 +103,11 @@ def _li_rev_partials(sf_dir: str) -> "ray.data.Dataset":
 
 def _fold_rev(rhs: pd.DataFrame) -> pd.DataFrame:
     """Final fold of per-batch revenue partials — global per key inside
-    each hash bucket."""
+    each hash bucket. Certified wrap-free (same bound as the batch
+    partial, over the partial values)."""
+    from cosmwasm_etl_ray.functions.money import certify_sum_bound_np
+
+    certify_sum_bound_np(rhs["rev_e4"].to_numpy())
     return rhs.groupby("o_orderkey", as_index=False, sort=False)["rev_e4"].sum()
 
 
@@ -194,7 +203,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         right_cols={"o_orderkey": "int64", "rev_e4": "int64"},
     )
     agg = grouped_agg(
-        joined, keys=["n_name"], spec={"rev_e4": ("rev_e4", "sum")}, final="driver"
+        joined, keys=["n_name"], spec={"rev_e4": ("rev_e4", "sum_checked")}, final="driver"
     )
     agg["revenue"] = agg["rev_e4"] / 10000.0
     return agg[["n_name", "revenue"]]
@@ -235,7 +244,7 @@ def status_revenue_hashjoin(sf_dir: str) -> pd.DataFrame:
     agg = grouped_agg(
         joined,
         keys=["o_orderstatus"],
-        spec={"rev_e4": ("rev_e4", "sum"), "n_items": ("rev_e4", "count")},
+        spec={"rev_e4": ("rev_e4", "sum_checked"), "n_items": ("rev_e4", "count")},
     )
     agg["revenue"] = agg["rev_e4"] / 10000.0
     return agg[["o_orderstatus", "revenue", "n_items"]]
@@ -668,7 +677,7 @@ def orders_above_cust_avg(sf_dir: str) -> "ray.data.Dataset":
     per_cust = grouped_agg(
         orders,
         keys=["o_custkey"],
-        spec={"sum_cents": ("price_cents", "sum"), "n_orders": ("price_cents", "count")},
+        spec={"sum_cents": ("price_cents", "sum_checked"), "n_orders": ("price_cents", "count")},
         final="shuffle",
     )
     joined = hash_join(
@@ -713,7 +722,7 @@ def lineitem_unpivot_stats(sf_dir: str) -> pd.DataFrame:
     out = grouped_agg(
         ds.map_batches(melt, batch_format="pandas"),
         keys=["measure"],
-        spec={"total_e2": ("cents", "sum"), "n": ("cents", "count")},
+        spec={"total_e2": ("cents", "sum_checked"), "n": ("cents", "count")},
         final="driver",
     )
     return out.sort_values("measure").reset_index(drop=True)
@@ -856,8 +865,39 @@ def events_pivot(sf_dir: str) -> pd.DataFrame:
     return wide.sort_values("bucket").reset_index(drop=True)
 
 
+def revenue_bigsum(sf_dir: str) -> pd.DataFrame:
+    """Exact money sums PAST int64 — the DECIMAL(40)/big.Int headroom
+    the reference carries (/root/reference/pkg/util/decimals.go:12-59,
+    parser/dex/util.go:72-79). Each lineitem's rev_e4 rescales to 1e-10
+    units (×1e8, per-element CHECKED multiply), driving the
+    per-returnflag sums to ~1e23 ≫ 2^63; grouped_agg op "sum_exact"
+    (hi/lo 32-bit split partials, Python-int final) carries them
+    exactly and emits decimal strings. Oracle: HUGEINT sums → VARCHAR."""
+    from cosmwasm_etl_ray.functions.money import scale_checked
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_discount"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "rev_e10": scale_checked(_rev_e4(t), 100_000_000),
+            }
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["l_returnflag"],
+        spec={"big_rev": ("rev_e10", "sum_exact"), "n_items": ("rev_e10", "count")},
+    )
+    return agg.sort_values("l_returnflag").reset_index(drop=True)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "revenue_bigsum": revenue_bigsum,
     "lineitem_rollup": lineitem_rollup,
     "events_pivot": events_pivot,
     "orders_late_exists": orders_late_exists,
@@ -881,6 +921,17 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "revenue_bigsum": """
+SELECT l_returnflag,
+       CAST(sum(
+           CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                AS HUGEINT) * 100000000
+       ) AS VARCHAR) AS big_rev,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+""",
     "lineitem_rollup": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -140,7 +140,7 @@ def transfer_pair_flows(sf_dir: str) -> pd.DataFrame:
     return grouped_agg(
         _ledger_ds(sf_dir),
         keys=["pair", "token", "ttype"],
-        spec={"net_amount": ("amount", "sum"), "n": ("amount", "count")},
+        spec={"net_amount": ("amount", "sum_checked"), "n": ("amount", "count")},
         final="driver",
     )
 

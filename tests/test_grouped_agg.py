@@ -340,3 +340,112 @@ def test_heavy_hitters_total_key_not_special(ray_session):
     assert got == {"__total__": 60, "other": 40}
     shares = dict(zip(out["key"], out["share_e4"]))
     assert shares["__total__"] == 6000
+
+
+# ------------------------- overflow-safe money sums (VERDICT r3 #1)
+
+def test_sum_exact_past_int64(ray_session):
+    """A group sum past 2^63 comes back as the exact decimal string —
+    the DECIMAL(40)/big.Int headroom the reference carries
+    (/root/reference/pkg/util/decimals.go:12-59)."""
+    vals = [2**62, 2**62, 2**62, 2**62, -17]  # sum = 2^64 - 17 > int64
+    df = pd.DataFrame({"k": ["a"] * 5, "v": np.array(vals, dtype=np.int64)})
+    for final in ("driver", "shuffle"):
+        got = grouped_agg(
+            ray.data.from_pandas(df).repartition(3),
+            keys=["k"],
+            spec={"total": ("v", "sum_exact")},
+            batch_size=2,
+            final=final,
+            shards=4,
+        )
+        if final == "shuffle":
+            got = got.to_pandas()
+        assert got["total"].tolist() == [str(sum(vals))]
+
+
+def test_sum_exact_mixed_signs_matches_python():
+    rng = np.random.default_rng(11)
+    v = rng.integers(-(2**61), 2**61, 5000, dtype=np.int64)
+    k = rng.integers(0, 13, 5000).astype(str)
+    df = pd.DataFrame({"k": k, "v": v})
+    got = grouped_agg(
+        ray.data.from_pandas(df).repartition(6),
+        keys=["k"],
+        spec={"total": ("v", "sum_exact")},
+        batch_size=512,
+    ).set_index("k")["total"]
+    expect = df.groupby("k")["v"].apply(lambda s: str(sum(int(x) for x in s)))
+    for key, val in expect.items():
+        assert got[key] == val
+
+
+def test_sum_checked_matches_sum_under_bound():
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 5, 4000).astype(str),
+         "v": rng.integers(-(10**9), 10**9, 4000, dtype=np.int64)}
+    )
+    got = grouped_agg(
+        ray.data.from_pandas(df).repartition(4),
+        keys=["k"],
+        spec={"total": ("v", "sum_checked")},
+        batch_size=512,
+    ).set_index("k")["total"]
+    expect = df.groupby("k")["v"].sum()
+    for key, val in expect.items():
+        assert got[key] == val
+
+
+def test_sum_checked_raises_when_uncertifiable():
+    """count × max|v| ≥ 2^62 ⇒ raise, never a silently-wrapped int64."""
+    df = pd.DataFrame({"k": ["a"] * 4, "v": np.array([2**61] * 4, dtype=np.int64)})
+    # the raise fires inside a Ray task → surfaces as RayTaskError
+    with pytest.raises(Exception, match="sum_checked"):
+        grouped_agg(
+            ray.data.from_pandas(df),
+            keys=["k"],
+            spec={"total": ("v", "sum_checked")},
+        )
+
+
+def test_sum_checked_rejects_int64_min():
+    df = pd.DataFrame({"k": ["a"], "v": np.array([np.iinfo(np.int64).min])})
+    with pytest.raises(Exception, match="INT64_MIN"):
+        grouped_agg(
+            ray.data.from_pandas(df),
+            keys=["k"],
+            spec={"total": ("v", "sum_checked")},
+        )
+
+
+def test_checked_sums_reject_float_measure():
+    df = pd.DataFrame({"k": ["a", "a"], "v": [1.5, 2.5]})
+    with pytest.raises(Exception, match="integer measure"):
+        grouped_agg(
+            ray.data.from_pandas(df),
+            keys=["k"],
+            spec={"total": ("v", "sum_exact")},
+        )
+
+
+def test_rev_e4_checked_kernel_raises_on_element_overflow():
+    """Per-element products past int64 raise ArrowInvalid (checked
+    kernels) instead of wrapping — parser/dex/util.go:72-79 semantics."""
+    import pyarrow as pa
+
+    from cosmwasm_etl_ray.functions.money import rev_e4, scale_checked
+
+    price = pa.chunked_array([pa.array([1.0e15], pa.float64())])
+    disc = pa.chunked_array([pa.array([0.0], pa.float64())])
+    with pytest.raises(pa.lib.ArrowInvalid):
+        rev_e4(price, disc)  # 1e17 cents × 100 = 1e19 > 2^63
+
+    ok = rev_e4(
+        pa.chunked_array([pa.array([100.0])]),
+        pa.chunked_array([pa.array([0.05])]),
+    )
+    assert ok.to_pylist() == [10000 * 95]
+
+    with pytest.raises(pa.lib.ArrowInvalid):
+        scale_checked(pa.array([2**40], pa.int64()), 2**30)
