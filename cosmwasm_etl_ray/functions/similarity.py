@@ -240,30 +240,44 @@ def ivf_topk(
 
 
 def embedding_neardup_pairs(
-    db: "ray.data.Dataset", threshold: float = 0.45, method: str = "auto"
+    db: "ray.data.Dataset",
+    threshold: float = 0.45,
+    method: str = "auto",
+    with_cos: bool = False,
 ) -> "ray.data.Dataset":
     """All pairs (a < b) with cosine ≥ threshold.
 
-    Two physical plans, both free of driver materialization:
+    Three physical plans, all free of driver materialization:
 
-    - ``exact``: blocked all-pairs. The corpus is materialized into the
-      OBJECT STORE as per-chunk (ids, matrix) blocks; a Dataset over
-      chunk-index pairs (i ≤ j) drives tasks that fetch exactly two
-      chunks each and matmul them. O(N²) compute spread over the
-      cluster, O(chunk²) memory per task, nothing on the driver. This
-      is inherently quadratic — correct for low thresholds, where LSH
-      provably cannot prune (at cos≈0.45 the per-plane collision
-      probability is ~0.65 and the tables needed for recall cost more
-      than brute force).
     - ``lsh``: hyperplane-bucketed candidates + exact within-bucket
       verify — sub-quadratic, for high thresholds (cos ≥ ~0.7) where
       bucket collision keeps recall ~1.
-    - ``auto`` picks lsh when threshold ≥ 0.7.
+    - ``centroid``: coarse k-means buckets (multi-assign) + exact
+      within-bucket verify — the sub-quadratic plan for LOW thresholds,
+      where hyperplane LSH provably can't prune (at cos≈0.45 the
+      per-plane collision probability is ~0.65 and the tables needed
+      for recall cost more than brute force). Candidate work ≈
+      N²·m²/n_lists; recall is a measured CONTRACT (the gate bands it),
+      precision 1.0 (exact verify). This is the 100 TB path below 0.7.
+    - ``exact``: blocked all-pairs — the TRUTH/measurement harness, and
+      the only exhaustive-guarantee plan. The corpus is materialized
+      into the OBJECT STORE as per-chunk (ids, matrix) blocks; a
+      Dataset over chunk-index pairs (i ≤ j) drives tasks that fetch
+      exactly two chunks each and matmul them. O(N²) compute spread
+      over the cluster, O(chunk²) memory per task, nothing on the
+      driver — but nc² tasks: use it to CALIBRATE the contract on a
+      sample, never as the at-scale operator.
+    - ``auto`` picks lsh when threshold ≥ 0.7, else centroid.
+
+    ``with_cos=True`` (exact method only) adds the cosine column —
+    the recall-contract gates band their truth by it.
     """
     if method == "auto":
-        method = "lsh" if threshold >= 0.7 else "exact"
+        method = "lsh" if threshold >= 0.7 else "centroid"
     if method == "lsh":
         return _neardup_pairs_lsh(db, threshold)
+    if method == "centroid":
+        return _neardup_pairs_centroid(db, threshold)
 
     def pack(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["vec_id"].to_numpy()
@@ -297,11 +311,19 @@ def embedding_neardup_pairs(
                     lo = np.minimum(ids_a[ai], ids_b[bj])
                     hi = np.maximum(ids_a[ai], ids_b[bj])
                     keep = lo < hi  # drop self-pairs; orient a < b
-                    frames.append(pd.DataFrame({"vec_id_a": lo[keep], "vec_id_b": hi[keep]}))
+                    cols = {"vec_id_a": lo[keep], "vec_id_b": hi[keep]}
+                    if with_cos:
+                        cols["cos"] = sims[ai, bj][keep]
+                    frames.append(pd.DataFrame(cols))
         if not frames:
-            return pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"),
-                                 "vec_id_b": pd.Series(dtype="int64")})
-        return pd.concat(frames, ignore_index=True).drop_duplicates()
+            empty = {"vec_id_a": pd.Series(dtype="int64"),
+                     "vec_id_b": pd.Series(dtype="int64")}
+            if with_cos:
+                empty["cos"] = pd.Series(dtype="float64")
+            return pd.DataFrame(empty)
+        return pd.concat(frames, ignore_index=True).drop_duplicates(
+            ["vec_id_a", "vec_id_b"]
+        )
 
     return pairs_idx.map_batches(compare, batch_format="pandas", batch_size=1)
 
@@ -343,6 +365,16 @@ def _neardup_pairs_lsh(
         return out
 
     melted = db.map_batches(bucketize, batch_format="pandas", batch_size=4096)
+    return _verify_bucketed_pairs(melted, threshold, max_bucket)
+
+
+def _verify_bucketed_pairs(
+    melted: "ray.data.Dataset", threshold: float, max_bucket: int
+) -> "ray.data.Dataset":
+    """Shared tail of the bucketed near-dup plans (lsh/centroid):
+    within-bucket all-pairs + exact cosine verify inside each hash
+    shard (candidate-bounded — Σ bucket², never corpus²), then global
+    pair dedup. Input: (vec_id, bkey, emb-bytes, _shard) melt."""
 
     def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -369,3 +401,75 @@ def _neardup_pairs_lsh(
         lambda df: df.rename(columns={"doc_a": "vec_id_a", "doc_b": "vec_id_b"}),
         batch_format="pandas",
     )
+
+
+def _neardup_pairs_centroid(
+    db: "ray.data.Dataset",
+    threshold: float,
+    n_lists: int = 32,
+    n_assign: int = 3,
+    n_tables: int = 2,
+    seed: int = 17,
+    shards: int = 64,
+    max_bucket: int = 8192,
+) -> "ray.data.Dataset":
+    """Centroid-bucketed near-dup for thresholds BELOW the hyperplane-LSH
+    regime (VERDICT r3 #2 — the former all-pairs path): a coarse
+    k-means quantizer trains on a bounded deterministic sample
+    (broadcast once via ray.put), every vector melts into its n_assign
+    nearest lists, and pairs verify exactly within each list. A pair is
+    discovered iff its members share ≥1 assigned list — the multi-assign
+    is the 'adjacent-bucket margin': weak pairs (cos 0.4-0.6) usually
+    straddle a centroid boundary that a single-assign IVF would split.
+
+    n_tables independent quantizers (different k-means seeds) multiply
+    recall the way LSH tables do — a mid-cosine pair missed by one
+    partition of the space is usually recovered by another (recall ≈
+    1-(1-p)^T for per-table share-probability p).
+
+    Candidate work ≈ Σ bucket² ≈ N²·n_tables·n_assign²/n_lists —
+    sub-quadratic whenever n_lists ≫ n_tables·n_assign² and buckets
+    stay balanced (max_bucket caps degenerates, same discipline as the
+    MinHash-LSH banding). Recall is a measured CONTRACT
+    (queries_textml bands it against the exact truth); precision is
+    1.0 (exact verify). Scale n_lists ~ O(√N) to hold per-bucket size
+    as the corpus grows."""
+    train_cap = max(4096, 256 * n_lists)
+    sample_df = train_sample(db, train_cap, seed, min_rows=n_lists)
+    sample = _normalize(np.array(sample_df["embedding"].tolist()))
+    cents = np.stack(
+        [_kmeans_lite(sample, n_lists, seed=seed + 101 * t) for t in range(n_tables)]
+    )  # (T, k, dim)
+    cref = ray.put(cents)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            X = _normalize(_embedding_matrix(batch))
+            ids = batch["vec_id"].to_numpy()
+            emb_bytes = [v.tobytes() for v in X]
+            parts = []
+            for t in range(len(self.C)):
+                sims = X @ self.C[t].T
+                m = min(n_assign, sims.shape[1])
+                top = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+                for a in range(m):
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": ids,
+                                "bkey": (t * n_lists + top[:, a]).astype(np.int64),
+                                "emb": emb_bytes,
+                            }
+                        )
+                    )
+            out = pd.concat(parts, ignore_index=True)
+            out["_shard"] = (out["bkey"] % shards).astype("int32")
+            return out
+
+    melted = db.map_batches(
+        Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+    return _verify_bucketed_pairs(melted, threshold, max_bucket)

@@ -94,8 +94,49 @@ def dedup_exact_prefix(sf_dir: str) -> "ray.data.Dataset":
     return exact_dedup_keep_min(_docs(sf_dir), key, "key20")
 
 
-def embedding_neardup(sf_dir: str) -> "ray.data.Dataset":
-    return embedding_neardup_pairs(_emb(sf_dir), threshold=0.45)
+# Recall bars for the centroid-bucketed near-dup per cosine band
+# (floor(cos*10)); set well under the measured deterministic recall at
+# sf0.01 AND sf0.1 (seed 17, 32 lists × 3 assigns × 2 quantizer
+# tables: band4 .94/1.0, band5 .92/1.0, band6 1.0/1.0).
+_NEARDUP_BARS = {4: 0.75, 5: 0.8}
+_NEARDUP_DEFAULT_BAR = 0.9
+
+
+def embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    """Recall contract for the CENTROID-BUCKETED near-dup at threshold
+    0.45 (below the hyperplane-LSH regime — VERDICT r3 #2). The
+    production path is candidate-bounded (multi-assign k-means buckets,
+    Σ bucket² work, no nc² task fan-out); the exact all-pairs plan runs
+    ONLY as the truth harness, affordable at gate scale. Bands by true
+    cosine: "of the n_pairs true pairs in band b, the bucketed plan
+    recovered ≥ bar(b)". The SQL twin restates the band structure
+    (cband, n_pairs — hash-checked exactly) plus the contract
+    (recall_ok all true)."""
+    db = _emb(sf_dir)
+    truth = embedding_neardup_pairs(
+        db, threshold=0.45, method="exact", with_cos=True
+    ).to_pandas()
+    got = embedding_neardup_pairs(db, threshold=0.45).to_pandas()  # centroid
+    found = set(zip(got["vec_id_a"], got["vec_id_b"]))
+    truth["cband"] = np.floor(truth["cos"] * 10).astype("int64")
+    truth["hit"] = [
+        (a, b) in found for a, b in zip(truth["vec_id_a"], truth["vec_id_b"])
+    ]
+    g = (
+        truth.groupby("cband")
+        .agg(n_pairs=("hit", "size"), frac=("hit", "mean"))
+        .reset_index()
+    )
+    g["recall_ok"] = [
+        f >= _NEARDUP_BARS.get(int(b), _NEARDUP_DEFAULT_BAR)
+        for b, f in zip(g["cband"], g["frac"])
+    ]
+    return (
+        g[["cband", "n_pairs", "recall_ok"]]
+        .astype({"cband": "int64", "n_pairs": "int64"})
+        .sort_values("cband")
+        .reset_index(drop=True)
+    )
 
 
 def _split_queries_db(sf_dir: str):
@@ -918,9 +959,13 @@ SELECT substr(text, 1, 20) AS key20,
 FROM documents GROUP BY substr(text, 1, 20)
 """,
     "embedding_neardup": """
-SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+SELECT CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10)
+            AS BIGINT) AS cband,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       true AS recall_ok
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+GROUP BY 1
 """,
     "ann_topk": """
 SELECT query_id, neighbor_id, rank FROM (

@@ -165,9 +165,12 @@ def fold_override(df: pd.DataFrame) -> pd.DataFrame:
         out_parts.append(folded.reset_index())
     # tombstones for keys with no live suffix
     dead = df[is_del].drop_duplicates(KEY_COLS, keep="last")
-    if out_parts:
-        live_keys = out_parts[0][KEY_COLS].apply(tuple, axis=1)
-        dead = dead[~dead[KEY_COLS].apply(tuple, axis=1).isin(set(live_keys))]
+    if out_parts and len(dead):
+        # vectorized anti-join on the key columns (a per-row
+        # tuple-apply here sat inside the merge actor's hot path)
+        dead_idx = pd.MultiIndex.from_frame(dead[KEY_COLS])
+        live_idx = pd.MultiIndex.from_frame(out_parts[0][KEY_COLS])
+        dead = dead[~dead_idx.isin(live_idx)]
     out_parts.append(dead)
     out = pd.concat(out_parts, ignore_index=True)
     return out[list(df.columns)]

@@ -48,7 +48,13 @@ def detect_hot_keys(
         .groupby(["repo", "path"])
         .aggregate(Sum("n", alias_name="n_events"))
     )
-    hot = counts.filter(lambda r: r["n_events"] > threshold).to_pandas()
+
+    def above(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized batch filter — a per-row Python lambda here was
+        # the hot-set detector's slowest stage at corpus cardinality
+        return df[df["n_events"] > threshold]
+
+    hot = counts.map_batches(above, batch_format="pandas").to_pandas()
     return set(zip(hot["repo"], hot["path"]))
 
 

@@ -108,10 +108,10 @@ def validate_store(
             | (m["content_sha_state"] != m["content_sha_src"])
         ].copy()
         if exceptions and len(bad):
-            keep = ~bad.apply(
-                lambda r: (r["repo"], r["path"]) in exceptions, axis=1
-            )
-            bad = bad[keep]
+            # vectorized key-set anti-join (MultiIndex isin) — no
+            # per-row tuple apply on an unbounded mismatch frame
+            exc_idx = pd.MultiIndex.from_tuples(sorted(exceptions))
+            bad = bad[~pd.MultiIndex.from_frame(bad[["repo", "path"]]).isin(exc_idx)]
         bad["presence"] = bad["_merge"].astype(str)
         return bad.drop(columns=["_merge"])
 
@@ -154,8 +154,8 @@ def append_exceptions(
     p = exceptions_path(store)
     if os.path.exists(p):
         cur = pd.read_parquet(p)
-        have = set(zip(cur["repo"], cur["path"]))
-        new = new[~new.apply(lambda r: (r["repo"], r["path"]) in have, axis=1)]
+        have = pd.MultiIndex.from_frame(cur[["repo", "path"]])
+        new = new[~pd.MultiIndex.from_frame(new[["repo", "path"]]).isin(have)]
         if new.empty:
             return 0
         allrows = pd.concat([cur, new], ignore_index=True)

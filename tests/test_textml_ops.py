@@ -129,6 +129,47 @@ def test_neardup_lsh_matches_exact_at_high_threshold(ray_session):
     assert len(lsh & exact) / len(exact) >= 0.9  # recall
 
 
+def test_neardup_centroid_low_threshold(ray_session):
+    """The sub-quadratic path BELOW the LSH regime (auto dispatches
+    here for threshold < 0.7): multi-assign k-means buckets, exact
+    within-bucket verify — precision 1.0, recall ≥ 0.85 on clustered
+    vectors with mid-cosine (0.45-0.7) neighbor structure."""
+    from cosmwasm_etl_ray.functions.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((6, 32)) * 2
+    X = np.vstack(
+        [c + 0.9 * rng.standard_normal((40, 32)) for c in centers]
+    )  # in-cluster cosines spread across ~0.3-0.8
+    df = pd.DataFrame({"vec_id": list(range(len(X))), "embedding": list(X)})
+    ds = ray.data.from_pandas(df)
+
+    def pairset(d):
+        return {(a, b) for a, b in zip(d["vec_id_a"], d["vec_id_b"])}
+
+    exact = pairset(embedding_neardup_pairs(ds, 0.45, method="exact").to_pandas())
+    got = pairset(embedding_neardup_pairs(ds, 0.45).to_pandas())  # auto→centroid
+    assert len(exact) >= 100
+    assert got <= exact  # exact verify ⇒ zero false positives
+    assert len(got & exact) / len(exact) >= 0.85
+
+
+def test_neardup_exact_with_cos_column(ray_session):
+    """with_cos=True (truth harness) carries the cosine for banding."""
+    from cosmwasm_etl_ray.functions.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((30, 16))
+    X[1] = X[0] + 0.1 * rng.standard_normal(16)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": list(range(30)), "embedding": list(X)})
+    )
+    out = embedding_neardup_pairs(ds, 0.9, method="exact", with_cos=True).to_pandas()
+    assert {"vec_id_a", "vec_id_b", "cos"} <= set(out.columns)
+    assert ((out["cos"] >= 0.9) & (out["cos"] <= 1.0 + 1e-12)).all()
+    assert (0, 1) in set(zip(out["vec_id_a"], out["vec_id_b"]))
+
+
 def test_ivf_ann_recall_vs_brute_force(sf_dir):
     from cosmwasm_etl_ray.functions.similarity import ivf_topk
 
