@@ -895,9 +895,34 @@ def revenue_bigsum(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def events_prev_gap(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user gap to the previous event (µs) — the ordered per-key
+    as-of pattern (J5, /root/reference/aggregator/task.go:558-578)
+    routed through ``asof_join_groups``: shard by user hash, sort
+    (user, ts) within the shard, per-key vectorized diff. Oracle:
+    LAG window. First event per user → null gap (float NaN twin)."""
+    from cosmwasm_etl_ray.functions.joins import asof_join_groups
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")  # ts-tie → id
+        t = g["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "gap_us": t.diff().to_numpy(),
+            }
+        )
+
+    return asof_join_groups(ev, "user_id", "ts", per_user)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_bigsum": revenue_bigsum,
+    "events_prev_gap": events_prev_gap,
     "lineitem_rollup": lineitem_rollup,
     "events_pivot": events_pivot,
     "orders_late_exists": orders_late_exists,
@@ -921,6 +946,13 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_prev_gap": """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) AS BIGINT) AS gap_us
+FROM events
+""",
     "revenue_bigsum": """
 SELECT l_returnflag,
        CAST(sum(

@@ -167,13 +167,27 @@ class FakeResizer:
         )
 
 
-def media_features(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+def media_features(
+    docs: "ray.data.Dataset",
+    decoder: type = FakeDecoder,
+    decoder_kwargs: dict | None = None,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
     """The full multimodal plumbing pipeline: synthesize → decode
-    (actor pool, small batches for wide binary rows) → features."""
+    (actor pool, small batches for wide binary rows) → features.
+
+    ``decoder`` is the EXTENSION POINT: any callable class whose
+    ``__init__`` does the one-time setup (codec/model load — once per
+    actor) and whose ``__call__`` maps a pyarrow batch of MEDIA_SCHEMA
+    rows to a feature table drops in without touching the pipeline —
+    the contract a real Pillow/ffmpeg decoder satisfies when the
+    environment grows those libraries (tests/test_multimodal.py pins
+    it with a third-party stand-in)."""
     media = synthesize_media(docs)
     return media.map_batches(
-        FakeDecoder,
+        decoder,
+        fn_constructor_kwargs=decoder_kwargs or {},
         batch_format="pyarrow",
-        batch_size=256,
+        batch_size=batch_size,
         concurrency=(1, 4),
     )

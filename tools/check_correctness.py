@@ -123,6 +123,8 @@ def main() -> int:
         else:
             print(f"ok   {name}: rows={len(mine)} hash match [{dt:.1f}s]")
     ray.shutdown()
+    ran = len(qs if not only else (only & set(qs))) + len(unknown)
+    print(f"== {ran - failures}/{ran} ok, {failures} failed ==")
     return 1 if failures else 0
 
 
