@@ -363,6 +363,8 @@ def replay_files(
     todo, start = pending_files(files, store)
     epochs = plan_epochs(todo, cfg)
     if cfg.state_tier == "actor" and epochs:
+        if cfg.merge_exchange == "direct":
+            return _replay_files_actor_direct(epochs, start, store, cfg)
         return _replay_files_actor(epochs, start, store, cfg)
     if (
         cfg.merge_exchange == "direct"
@@ -580,6 +582,99 @@ def _replay_files_actor(
                 offset_range=(batch[0], batch[-1]),
                 input_rows=rows,
                 applied_rows=rows - stats["invalid"],
+            )
+        )
+    return out
+
+
+def _replay_files_actor_direct(
+    epochs: list[list[str]], start: int, store, cfg: EngineConfig
+) -> list[dict]:
+    """The COMPOSED multi-node path (all three levers together):
+
+    - direct fused prep (``merge_exchange="direct"``): read→flag→
+      combine→pid-split as raw tasks, no Dataset executor ramp;
+    - actor-resident merge state (``state_tier="actor"``): prep's
+      per-pid slices ship STRAIGHT to the owning StateShard actor (the
+      ObjectRefs pass through — nothing lands on the driver), and the
+      prior state never re-reads from disk between epochs — the lever
+      that wins when state lives on remote/throttled storage
+      (tools/crossover_state_tier.py measures the crossover);
+    - epoch overlap (``pipeline_epochs``): epoch e+1's prep tasks run
+      while e's applies and flush drain (checkpoint purity holds — e+1
+      slices are SUBMITTED to the actors only after flush(e) returns).
+
+    Durability is unchanged: every epoch checkpoints dirty partitions +
+    manifest; crash recovery loads the last committed epoch and
+    re-applies the tail. Quarantine rows drop shard-side (counted in
+    the manifest) like the plain actor path."""
+    import ray as _ray
+
+    from cosmwasm_etl_ray.state.actor_state import ActorStateTier
+
+    P = cfg.num_partitions
+    latest = store.latest_epoch()
+    if latest is not None:
+        committed_p = store.manifest(latest).get("num_partitions")
+        if committed_p is not None and committed_p != P:
+            raise ValueError(
+                f"store was built with num_partitions={committed_p}; "
+                f"config asks for {P} — refusing to mix"
+            )
+
+    tier = ActorStateTier.from_store(store, cfg, num_actors=cfg.actor_state_shards)
+    prep = cached_remote(("replay_prep", P), _prep_split_shard, num_returns=P)
+    ruleset_ref = _ray.put(cfg.rules) if cfg.rules is not None else None
+    ncpu = int(_ray.cluster_resources().get("CPU", 32))
+
+    def launch_prep(batch: list[str]):
+        rows = sum(pq.read_metadata(f).num_rows for f in batch)
+        target = max(cfg.batch_size, -(-rows // (2 * ncpu)))
+        per_pid: list[list] = [[] for _ in range(P)]
+        for path, rgs in _plan_shards(batch, target):
+            refs = prep.remote(
+                path, rgs, P, ruleset_ref, not cfg.override_coalesce
+            )
+            if P == 1:
+                refs = [refs]
+            for p, r in enumerate(refs):
+                per_pid[p].append(r)
+        return rows, per_pid
+
+    order = [(start + i, b) for i, b in enumerate(epochs)]
+    preps: dict[int, tuple] = {}
+
+    def maybe_launch(i: int) -> None:
+        if i < len(order) and cfg.pipeline_epochs:
+            e, batch = order[i]
+            if not store.is_committed(e) and i not in preps:
+                preps[i] = launch_prep(batch)
+
+    out: list[dict] = []
+    maybe_launch(0)
+    for i, (e, batch) in enumerate(order):
+        if store.is_committed(e):
+            out.append(store.manifest(e))
+            maybe_launch(i + 1)
+            continue
+        rows, per_pid = preps.pop(i) if i in preps else launch_prep(batch)
+        # overlap: the NEXT epoch's prep tasks stream while this
+        # epoch's applies + flush drain on the actors
+        maybe_launch(i + 1)
+        apply_refs = []
+        for p in range(P):
+            h = tier._handle(p)
+            for r in per_pid[p]:
+                apply_refs.append(h.apply.remote(p, r))
+        counts = _ray.get(apply_refs)
+        invalid = sum(c[1] for c in counts)
+        out.append(
+            tier.flush(
+                store,
+                e,
+                offset_range=(batch[0], batch[-1]),
+                input_rows=rows,
+                applied_rows=rows - invalid,
             )
         )
     return out

@@ -47,6 +47,22 @@ OP_COL = "op"
 META_COLS = KEY_COLS + [SEQ_COL, OP_COL, "pid"]
 
 
+def read_state_table(path: str) -> pa.Table:
+    """Read a partition state file, with an OPTIONAL simulated-remote-
+    storage throttle: GRAFT_STATE_READ_MBPS > 0 sleeps bytes/rate after
+    the read (pure test/bench harness — default off). The disk path
+    pays this once per partition per EPOCH (the cheap-restart re-read);
+    the actor tier pays it once per partition per RECOVERY — the
+    crossover tools/crossover_state_tier.py measures."""
+    t = pq.read_table(path)
+    mbps = float(os.environ.get("GRAFT_STATE_READ_MBPS", "0") or 0)
+    if mbps > 0:
+        import time
+
+        time.sleep(t.nbytes / (mbps * 1e6))
+    return t
+
+
 def fold_partial(df: pd.DataFrame) -> pd.DataFrame:
     """Whole-row LWW partial fold: max-commit row per key, deletes kept.
 
@@ -272,7 +288,7 @@ class MergeWithState:
         prior = self.prior_files.get(pid)
         if prior is not None:
             allrows = pa.concat_tables(
-                [pq.read_table(prior), group], promote_options="permissive"
+                [read_state_table(prior), group], promote_options="permissive"
             )
         else:
             allrows = group

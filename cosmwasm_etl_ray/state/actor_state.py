@@ -48,15 +48,32 @@ class StateShard:
         self.pending: dict[int, list] = {}
         self.dirty: set[int] = set()
 
-    def apply(self, pid: int, partial: "pa.Table") -> int:
+    def apply(self, pid: int, partial: "pa.Table") -> tuple[int, int]:
         # applies only BUFFER (zero-copy table refs); the LWW fold is
         # deferred to the epoch fold point (_fold_pid, at flush /
         # read). LWW is order-free, so folding once per epoch over
         # [prior, *partials] is exactly the per-apply fold's result —
         # without re-taking the full state table per inbound batch.
-        self.pending.setdefault(pid, []).append(partial)
-        self.dirty.add(pid)
-        return partial.num_rows
+        #
+        # Accepts RAW flagged slices too (the composed direct-prep
+        # path ships _prep_split_shard outputs straight here): a
+        # ``valid`` column is filtered shard-side (invalid rows drop,
+        # counted), None/empty parts no-op. Returns (applied, invalid).
+        if partial is None or partial.num_rows == 0:
+            return (0, 0)
+        if "valid" in partial.column_names:
+            valid = partial["valid"].combine_chunks()
+            n_ok = int(pc.sum(valid).as_py() or 0)
+            n_bad = partial.num_rows - n_ok
+            if n_bad:
+                partial = partial.filter(valid)
+            partial = partial.drop_columns(["valid"])
+        else:
+            n_ok, n_bad = partial.num_rows, 0
+        if partial.num_rows:
+            self.pending.setdefault(pid, []).append(partial)
+            self.dirty.add(pid)
+        return (n_ok, n_bad)
 
     def _fold_pid(self, pid: int) -> None:
         parts = self.pending.pop(pid, [])
@@ -233,13 +250,15 @@ class ActorStateTier:
 
     @classmethod
     def from_store(cls, store, cfg: EngineConfig, num_actors: int = 8):
-        """Recover the tier from the last flushed checkpoint."""
-        import pyarrow.parquet as pq
+        """Recover the tier from the last flushed checkpoint. Uses the
+        same (optionally throttled) state read as the disk merge —
+        paid ONCE per recovery here vs once per epoch there."""
+        from cosmwasm_etl_ray.stages.merge import read_state_table
 
         tier = cls(cfg, num_actors=num_actors)
         per_actor: list[dict[int, pa.Table]] = [{} for _ in range(num_actors)]
         for pid, path in store.partition_files().items():
-            per_actor[pid % num_actors][pid] = pq.read_table(path)
+            per_actor[pid % num_actors][pid] = read_state_table(path)
         ray.get(
             [
                 tier.actors[i].load.remote(per_actor[i])

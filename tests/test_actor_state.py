@@ -118,3 +118,82 @@ def test_replay_files_actor_tier_crash_resume(tmp_path):
         _sorted_state(read_state(disk).to_pandas()),
         _sorted_state(read_state(store).to_pandas()),
     )
+
+
+COMPOSED_CFG = EngineConfig(
+    num_partitions=8, epoch_max_events=15_000, batch_size=2048,
+    state_tier="actor", merge_exchange="direct", pipeline_epochs=True,
+    actor_state_shards=4,
+)
+
+
+def test_composed_levers_match_disk(tmp_path):
+    """COMPOSITION (VERDICT r3 #6): state_tier='actor' +
+    merge_exchange='direct' + pipeline_epochs TOGETHER — direct fused
+    prep tasks ship per-pid slices straight to the resident shards,
+    epoch e+1's prep overlaps e's flush. Committed store must be
+    indistinguishable from the plain disk path, including quarantine
+    counts in the manifests."""
+    log = _log(tmp_path, seed=65)
+
+    disk = StateStore(str(tmp_path / "disk"))
+    disk_manifests = replay_files(log["files"], disk, CFG)
+
+    comp = StateStore(str(tmp_path / "composed"))
+    manifests = replay_files(log["files"], comp, COMPOSED_CFG)
+
+    pd.testing.assert_frame_equal(
+        _sorted_state(read_state(disk).to_pandas()),
+        _sorted_state(read_state(comp).to_pandas()),
+    )
+    assert len(manifests) == len(disk_manifests)
+    for dm, cm in zip(disk_manifests, manifests):
+        assert dm["offset_range"] == cm["offset_range"]
+        assert dm["counts"]["input_events"] == cm["counts"]["input_events"]
+        assert dm["counts"]["quarantined"] == cm["counts"]["quarantined"]
+
+
+def test_composed_levers_crash_resume(tmp_path):
+    """Composed path: replay the head, 'crash' (fresh pool), resume over
+    the full list — converges to the disk replay."""
+    log = _log(tmp_path, seed=66)
+    files = sorted(log["files"])
+
+    store = StateStore(str(tmp_path / "ckpt2"))
+    replay_files(files[:2], store, COMPOSED_CFG)
+    assert len(store.committed_epochs()) >= 1
+
+    replay_files(files, store, COMPOSED_CFG)
+
+    disk = StateStore(str(tmp_path / "disk2"))
+    replay_files(files, disk, CFG)
+    pd.testing.assert_frame_equal(
+        _sorted_state(read_state(disk).to_pandas()),
+        _sorted_state(read_state(store).to_pandas()),
+    )
+
+
+def test_state_read_throttle_env(tmp_path, monkeypatch):
+    """GRAFT_STATE_READ_MBPS simulates remote state storage: read time
+    gains ~bytes/rate; default (unset/0) adds nothing."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cosmwasm_etl_ray.stages.merge import read_state_table
+
+    p = str(tmp_path / "part.parquet")
+    t = pa.table({"x": list(range(200_000))})  # ~1.6 MB
+    pq.write_table(t, p)
+
+    monkeypatch.delenv("GRAFT_STATE_READ_MBPS", raising=False)
+    t0 = time.time()
+    read_state_table(p)
+    fast = time.time() - t0
+
+    monkeypatch.setenv("GRAFT_STATE_READ_MBPS", "5")  # 5 MB/s → ~0.3s
+    t0 = time.time()
+    read_state_table(p)
+    slow = time.time() - t0
+    assert slow > fast + 0.15
