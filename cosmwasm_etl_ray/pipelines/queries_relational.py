@@ -895,6 +895,62 @@ def revenue_bigsum(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def legacy_price_volume(sf_dir: str) -> pd.DataFrame:
+    """LegacyDec price math, bit-compatible with the reference's
+    aggregator (amount.Quo(10^decimals).Mul(price) over cosmos 18-digit
+    fixed point, /root/reference/aggregator/task.go:436-521 and
+    pkg/util/decimals.go:12-59): per lineitem, volume = quantity at 2
+    decimals (legacy_from_int), a deterministic ~18-digit unit price,
+    Mul with the cosmos chop (round to nearest, exact half to even),
+    then EXACT per-flag sums (Python-int partials per batch — the sums
+    pass 2^63) printed with the canonical 18-digit String(). Oracle:
+    HUGEINT arithmetic reproducing the chop, half-even branch included."""
+    from cosmwasm_etl_ray.functions.legacydec import (
+        ONE,
+        legacy_from_int,
+        legacy_mul,
+        legacy_str,
+    )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_partkey", "l_suppkey"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.round(t["l_quantity"]).to_numpy().astype(np.int64)
+        price = (
+            (t["l_partkey"].to_numpy() % 997 + 1) * 10**15
+            + t["l_suppkey"].to_numpy() * 7
+        )  # deterministic LegacyDec raw price in (0, 1) — fits int64
+        prod = legacy_mul(legacy_from_int(qty, decimals=2), price.astype(object))
+        g = pd.DataFrame(
+            {"l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+             "v": prod}
+        ).groupby("l_returnflag")["v"].agg(["sum", "size"])
+        return pa.table(
+            {
+                "l_returnflag": g.index.to_numpy(),
+                "part": np.array([str(int(v)) for v in g["sum"]], dtype=object),
+                "n": g["size"].to_numpy().astype(np.int64),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    totals: dict[str, int] = {}
+    counts: dict[str, int] = {}
+    for flag, p, n in zip(parts["l_returnflag"], parts["part"], parts["n"]):
+        totals[flag] = totals.get(flag, 0) + int(p)
+        counts[flag] = counts.get(flag, 0) + int(n)
+    flags = sorted(totals)
+    return pd.DataFrame(
+        {
+            "l_returnflag": flags,
+            "vol_legacy": legacy_str([totals[f] for f in flags]),
+            "n_items": np.array([counts[f] for f in flags], dtype=np.int64),
+        }
+    )
+
+
 def events_prev_gap(sf_dir: str) -> "ray.data.Dataset":
     """Per-user gap to the previous event (µs) — the ordered per-key
     as-of pattern (J5, /root/reference/aggregator/task.go:558-578)
@@ -922,6 +978,7 @@ def events_prev_gap(sf_dir: str) -> "ray.data.Dataset":
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_bigsum": revenue_bigsum,
+    "legacy_price_volume": legacy_price_volume,
     "events_prev_gap": events_prev_gap,
     "lineitem_rollup": lineitem_rollup,
     "events_pivot": events_pivot,
@@ -952,6 +1009,36 @@ SELECT event_id, user_id,
            PARTITION BY user_id ORDER BY ts, event_id
        ) AS BIGINT) AS gap_us
 FROM events
+""",
+    "legacy_price_volume": """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS HUGEINT) * CAST(10000000000000000 AS HUGEINT) AS vol,
+         CAST(l_partkey % 997 + 1 AS HUGEINT) * CAST(1000000000000000 AS HUGEINT)
+           + CAST(l_suppkey AS HUGEINT) * 7 AS price
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag,
+         (vol * price) // CAST(1000000000000000000 AS HUGEINT) AS q,
+         (vol * price) % CAST(1000000000000000000 AS HUGEINT) AS r
+  FROM t
+), c AS (
+  SELECT l_returnflag,
+         q + CASE WHEN 2 * r > CAST(1000000000000000000 AS HUGEINT)
+                    OR (2 * r = CAST(1000000000000000000 AS HUGEINT) AND q % 2 = 1)
+                  THEN 1 ELSE 0 END AS v
+  FROM m
+), s AS (
+  SELECT l_returnflag, sum(v) AS total, CAST(count(*) AS BIGINT) AS n_items
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(total // CAST(1000000000000000000 AS HUGEINT) AS VARCHAR)
+         || '.'
+         || lpad(CAST(total % CAST(1000000000000000000 AS HUGEINT) AS VARCHAR), 18, '0')
+         AS vol_legacy,
+       n_items
+FROM s
 """,
     "revenue_bigsum": """
 SELECT l_returnflag,
