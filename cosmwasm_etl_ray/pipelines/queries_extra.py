@@ -106,12 +106,83 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
 def nations_in_use(sf_dir: str) -> pd.DataFrame:
     """Set op: UNION of customer and supplier nation keys, distinct,
     joined to names (semi-join + union + distinct)."""
-    c = _read(sf_dir, "customer", ["c_nationkey"]).unique("c_nationkey")
-    s = _read(sf_dir, "supplier", ["s_nationkey"]).unique("s_nationkey")
-    keys = sorted(set(c) | set(s))
+    # per-batch pc.unique partials + a tiny driver fold: one streaming
+    # pass per table, no all-to-all (Dataset.unique shuffles; the key
+    # domain here is ≤25 values, so the partials are trivially small)
+    def _distinct(ds, col: str) -> set:
+        parts = ds.map_batches(
+            lambda t, c=col: pa.table({c: pc.unique(t[c])}),
+            batch_format="pyarrow",
+        ).to_pandas()
+        return set(parts[col])
+
+    c = _distinct(_read(sf_dir, "customer", ["c_nationkey"]), "c_nationkey")
+    s = _distinct(_read(sf_dir, "supplier", ["s_nationkey"]), "s_nationkey")
+    keys = sorted(c | s)
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     out = nation[nation["n_nationkey"].isin(keys)][["n_nationkey", "n_name"]]
     return out.sort_values("n_nationkey").reset_index(drop=True)
+
+
+def _events_file_roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
+    """Change stream → JSONL/CSV files under /tmp → file-source read →
+    grouped fidelity digest per (repo, op): count, max commit (pins the
+    zero-padding), total content chars (pins ""-vs-null and embedded
+    commas/quotes), max path/lang. The oracle computes the same digest
+    straight from CHANGES_CTE — a hash match proves the text format
+    round-trips every column byte-exactly (S2/S4 source seam on Ray's
+    native file readers, sources/files.py)."""
+    import shutil
+    import tempfile
+
+    from cosmwasm_etl_ray.sources import files as fsrc
+
+    ev = changes_from_documents(sf_dir)
+    tmp = tempfile.mkdtemp(prefix=f"cwer_{fmt}_", dir="/tmp")
+    try:
+        if fmt == "jsonl":
+            fsrc.write_events_jsonl(ev, tmp)
+            back = fsrc.read_events_jsonl(tmp)
+        else:
+            fsrc.write_events_csv(ev, tmp)
+            back = fsrc.read_events_csv(tmp)
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "repo": t["repo"],
+                    "op": t["op"],
+                    "commit": t["commit"],
+                    "path": t["path"],
+                    "lang": t["lang"],
+                    "content_len": pc.cast(
+                        pc.utf8_length(t["content"]), pa.int64()
+                    ),
+                }
+            )
+
+        out = grouped_agg(
+            back.map_batches(prep, batch_format="pyarrow"),
+            keys=["repo", "op"],
+            spec={
+                "n": ("commit", "count"),
+                "max_commit": ("commit", "max"),
+                "sum_len": ("content_len", "sum"),
+                "max_path": ("path", "max"),
+                "max_lang": ("lang", "max"),
+            },
+        )
+        return out.sort_values(["repo", "op"]).reset_index(drop=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def events_jsonl_source(sf_dir: str) -> pd.DataFrame:
+    return _events_file_roundtrip(sf_dir, "jsonl")
+
+
+def events_csv_source(sf_dir: str) -> pd.DataFrame:
+    return _events_file_roundtrip(sf_dir, "csv")
 
 
 def events_props_k(sf_dir: str) -> pd.DataFrame:
@@ -413,7 +484,21 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "nations_in_use": nations_in_use,
     "events_props_k": events_props_k,
+    "events_jsonl_source": events_jsonl_source,
+    "events_csv_source": events_csv_source,
 }
+
+_FILE_SOURCE_DIGEST_SQL = f"""
+WITH {CHANGES_CTE.strip()}
+SELECT repo, op,
+       CAST(count("commit") AS BIGINT) AS n,
+       max("commit") AS max_commit,
+       CAST(sum(length(content)) AS BIGINT) AS sum_len,
+       max(path) AS max_path,
+       max(lang) AS max_lang
+FROM changes
+GROUP BY repo, op
+"""
 
 ORACLE_SQL = {
     # oldest-first 3-term sum; the gate rounds floats to 4dp so the
@@ -533,4 +618,6 @@ FROM events
 WHERE json_extract(props, '$.k') IS NOT NULL
 GROUP BY event_type, CAST(json_extract(props, '$.k') AS BIGINT) // 10
 """,
+    "events_jsonl_source": _FILE_SOURCE_DIGEST_SQL,
+    "events_csv_source": _FILE_SOURCE_DIGEST_SQL,
 }

@@ -1,0 +1,78 @@
+"""File-format ingestion: JSONL and CSV change-event sources.
+
+The reference consumes chain data as JSON documents (RawTx / log JSON,
+/root/reference/parser/dto.go:9-17, collector/datastore/datastore.go
+block JSON) and republishes CSV-ish exports; this module grafts the
+same "events arrive as text files" seam onto Ray Data's native file
+readers: `ray.data.read_json` / `ray.data.read_csv` scale the scan
+across the cluster (one task per file / byte range), so a 100 TB
+JSONL drop is read with the same streaming backpressure as parquet.
+
+Fidelity hazards the normalizer pins down (each has a test):
+
+- ``commit`` is a ZERO-PADDED string whose lexicographic order is the
+  replay order — CSV/JSON type inference would read it as int64 and
+  drop the padding, so both readers force explicit string types;
+- ``content`` is "" on deletes — Arrow's CSV reader treats empty
+  strings as null by default (``strings_can_be_null``), and JSON
+  writers may emit ``null``; the normalizer restores "";
+- ``content`` may contain commas / quotes / newlines — the CSV reader
+  enables ``newlines_in_values`` and relies on standard quoting.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+EVENT_COLUMNS = ("repo", "path", "commit", "lang", "content", "op")
+
+
+def normalize_events(batch: pa.Table) -> pa.Table:
+    """Restore the canonical change-event schema after a lossy text
+    format: column order, all-string types, content null → ""."""
+    cols = {}
+    for name in EVENT_COLUMNS:
+        arr = batch[name]
+        if not pa.types.is_string(arr.type) and not pa.types.is_large_string(
+            arr.type
+        ):
+            arr = pc.cast(arr, pa.string())
+        cols[name] = arr
+    cols["content"] = pc.fill_null(cols["content"], "")
+    return pa.table(cols)
+
+
+def write_events_jsonl(events: "ray.data.Dataset", out_dir: str) -> None:
+    """Partitioned JSONL export — one file per block (resumable shape:
+    a re-run overwrites per-file, never one giant file)."""
+    events.write_json(out_dir)
+
+
+def read_events_jsonl(path: str) -> "ray.data.Dataset":
+    """JSONL change events → canonical event stream."""
+    return ray.data.read_json(path).map_batches(
+        normalize_events, batch_format="pyarrow"
+    )
+
+
+def write_events_csv(events: "ray.data.Dataset", out_dir: str) -> None:
+    events.write_csv(out_dir)
+
+
+def read_events_csv(path: str) -> "ray.data.Dataset":
+    """CSV change events → canonical event stream. Explicit per-column
+    string types (zero-padded commits survive), empty-string ≠ null,
+    embedded newlines allowed."""
+    from pyarrow import csv as pacsv
+
+    convert = pacsv.ConvertOptions(
+        column_types={c: pa.string() for c in EVENT_COLUMNS},
+        strings_can_be_null=False,
+    )
+    parse = pacsv.ParseOptions(newlines_in_values=True)
+    return ray.data.read_csv(
+        path, convert_options=convert, parse_options=parse
+    ).map_batches(normalize_events, batch_format="pyarrow")

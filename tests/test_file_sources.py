@@ -1,0 +1,71 @@
+"""JSONL/CSV source fidelity: zero-padded commits stay strings, ""
+content survives (delete markers), embedded commas/quotes/newlines
+round-trip (sources/files.py)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from cosmwasm_etl_ray.sources.files import (
+    EVENT_COLUMNS,
+    read_events_csv,
+    read_events_jsonl,
+    write_events_csv,
+    write_events_jsonl,
+)
+
+_ROWS = pd.DataFrame(
+    {
+        "repo": ["mono", "repo_01", "repo_01", "mono"],
+        "path": ["src/a", "src/b", "src/c", "src/a"],
+        "commit": ["0000000001", "0001000002", "0000000007", "0002000001"],
+        "lang": ["py", "go", "py", "py"],
+        "content": [
+            "plain v0",
+            'has, commas and "quotes" v1',
+            "line one\nline two v0",
+            "",  # delete marker — must NOT become null
+        ],
+        "op": ["insert", "update", "insert", "delete"],
+    }
+)
+
+
+@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+def test_roundtrip_exact(ray_session, tmp_path, fmt):
+    src = ray.data.from_pandas(_ROWS.copy())
+    out = str(tmp_path / fmt)
+    if fmt == "jsonl":
+        write_events_jsonl(src, out)
+        back = read_events_jsonl(out)
+    else:
+        write_events_csv(src, out)
+        back = read_events_csv(out)
+    got = (
+        back.to_pandas()
+        .sort_values("commit")
+        .reset_index(drop=True)[list(EVENT_COLUMNS)]
+    )
+    want = _ROWS.sort_values("commit").reset_index(drop=True)[list(EVENT_COLUMNS)]
+    pd.testing.assert_frame_equal(got, want)
+    # the commit padding is the replay order — it MUST stay a string
+    assert got["commit"].map(len).eq(10).all()
+    assert (got["content"] == "").sum() == 1  # "" ≠ null
+
+
+@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+def test_schema_is_canonical(ray_session, tmp_path, fmt):
+    src = ray.data.from_pandas(_ROWS.copy())
+    out = str(tmp_path / f"s_{fmt}")
+    if fmt == "jsonl":
+        write_events_jsonl(src, out)
+        back = read_events_jsonl(out)
+    else:
+        write_events_csv(src, out)
+        back = read_events_csv(out)
+    sch = back.schema()
+    assert tuple(sch.names) == EVENT_COLUMNS
+    for t in sch.types:
+        assert pa.types.is_string(t) or pa.types.is_large_string(t)
