@@ -69,3 +69,42 @@ def test_schema_is_canonical(ray_session, tmp_path, fmt):
     assert tuple(sch.names) == EVENT_COLUMNS
     for t in sch.types:
         assert pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+# ---- hypothesis fuzz: hostile content through both formats ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_hostile = st.text(
+    alphabet=st.sampled_from(list('abc,;"\'\n\t |\\{}[]:0123456789é漢')),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_hostile, min_size=1, max_size=6), st.sampled_from(["jsonl", "csv"]))
+def test_fuzz_content_roundtrip(ray_session, tmp_path_factory, contents, fmt):
+    import uuid
+
+    df = pd.DataFrame(
+        {
+            "repo": ["r"] * len(contents),
+            "path": [f"p{i}" for i in range(len(contents))],
+            "commit": [f"{i:010d}" for i in range(len(contents))],
+            "lang": ["py"] * len(contents),
+            "content": contents,
+            "op": ["update"] * len(contents),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("fuzz") / uuid.uuid4().hex)
+    src = ray.data.from_pandas(df)
+    if fmt == "jsonl":
+        write_events_jsonl(src, out)
+        back = read_events_jsonl(out)
+    else:
+        write_events_csv(src, out)
+        back = read_events_csv(out)
+    got = back.to_pandas().sort_values("commit").reset_index(drop=True)
+    assert list(got["content"]) == contents

@@ -112,3 +112,54 @@ def test_reference_pipeline_shape():
         expect = round(Fraction(amt, 10**6) * Fraction(333333333333333333, ONE) * ONE)
         sgn = "" if expect >= 0 else "-"
         assert g == f"{sgn}{abs(expect) // ONE}.{abs(expect) % ONE:018d}"
+
+
+# ---- hypothesis fuzz: every kernel vs exact Fraction arithmetic ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_raw = st.integers(min_value=-(10**40), max_value=10**40)
+_nonzero = _raw.filter(lambda v: v != 0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_raw, _raw), min_size=1, max_size=8))
+def test_fuzz_mul_half_even(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = legacy_mul(a, b)
+    for x, y, g in zip(a, b, got):
+        assert int(g) == round(Fraction(x * y, ONE))  # round() is half-even
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_raw, _nonzero), min_size=1, max_size=8))
+def test_fuzz_quo_truncate_then_chop(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = legacy_quo(a, b)
+    for x, y, g in zip(a, b, got):
+        mag = (abs(x) * ONE * ONE) // abs(y)
+        sgn = 1 if (x < 0) == (y < 0) else -1
+        q, r = divmod(mag, ONE)
+        if 2 * r > ONE or (2 * r == ONE and q % 2 == 1):
+            q += 1
+        assert int(g) == sgn * q
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**30),
+    st.integers(min_value=0, max_value=30),
+    st.text(alphabet="0123456789", min_size=0, max_size=25),
+    st.sampled_from(["", "-", "+"]),
+)
+def test_fuzz_parse_str_roundtrip(ip, _unused, frac, sign):
+    s = f"{sign}{ip}.{frac}" if frac else f"{sign}{ip}"
+    got = int(parse_legacy([s])[0])
+    kept = frac[:18]
+    mag = ip * ONE + (int(kept) * 10 ** (18 - len(kept)) if kept else 0)
+    assert got == (-mag if sign == "-" else mag)
+    # String() of what survived re-parses to the same value
+    assert int(parse_legacy([str(legacy_str([got])[0])])[0]) == got
