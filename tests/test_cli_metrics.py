@@ -18,8 +18,11 @@ def _run_cli(*args):
         env={"PATH": "/usr/bin:/bin", "HOME": "/root", "RAY_ADDRESS": "local",
              "PYTHONPATH": "/root/repo"},
         # a wedged child Ray session (e.g. object-store contention from
-        # other local clusters) must FAIL the test, not hang the suite
-        timeout=600,
+        # other local clusters) must FAIL the test, not hang the suite.
+        # 900 s: a clean run is ~50 s, but neighbor steal windows slow
+        # the whole suite ~1.3-3× (BASELINE.md probes) — one observed
+        # 600 s flake was contention, not a wedge
+        timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     text = out.stdout.strip()
