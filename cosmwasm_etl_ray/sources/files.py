@@ -30,9 +30,20 @@ import ray.data
 EVENT_COLUMNS = ("repo", "path", "commit", "lang", "content", "op")
 
 
-def normalize_events(batch: pa.Table) -> pa.Table:
+def normalize_events(batch: pa.Table, empty_extras_null: bool = False) -> pa.Table:
     """Restore the canonical change-event schema after a lossy text
-    format: column order, all-string types, content null → ""."""
+    format: column order, all-string types, content null → "".
+
+    Additive-evolution columns (anything beyond the canonical six,
+    e.g. the generator's nullable ``mode``) are PRESERVED after them in
+    arrival order — an export/import round-trip must not silently drop
+    evolved columns. An all-null extra column infers Arrow ``null`` in
+    shards written before the evolution point (the per-block schema
+    drift CLAUDE.md documents); it is stabilized to ``string`` here so
+    unioned blocks agree. ``empty_extras_null`` (the CSV reader):
+    CSV cannot distinguish null from "" (the writer emits both as an
+    empty field), so extras resolve "" → null, matching evolution's
+    backfilled-null convention; JSONL keeps the exact distinction."""
     cols = {}
     for name in EVENT_COLUMNS:
         arr = batch[name]
@@ -42,6 +53,21 @@ def normalize_events(batch: pa.Table) -> pa.Table:
             arr = pc.cast(arr, pa.string())
         cols[name] = arr
     cols["content"] = pc.fill_null(cols["content"], "")
+    for name in batch.schema.names:
+        if name not in cols:
+            arr = batch[name]
+            if pa.types.is_null(arr.type):
+                arr = pc.cast(arr, pa.string())
+            elif empty_extras_null and (
+                pa.types.is_string(arr.type)
+                or pa.types.is_large_string(arr.type)
+            ):
+                arr = pc.if_else(
+                    pc.equal(pc.fill_null(arr, ""), ""),
+                    pa.scalar(None, type=arr.type),
+                    arr,
+                )
+            cols[name] = arr
     return pa.table(cols)
 
 
@@ -73,6 +99,10 @@ def read_events_csv(path: str) -> "ray.data.Dataset":
         strings_can_be_null=False,
     )
     parse = pacsv.ParseOptions(newlines_in_values=True)
+
+    def norm(t: pa.Table) -> pa.Table:
+        return normalize_events(t, empty_extras_null=True)
+
     return ray.data.read_csv(
         path, convert_options=convert, parse_options=parse
-    ).map_batches(normalize_events, batch_format="pyarrow")
+    ).map_batches(norm, batch_format="pyarrow")

@@ -108,3 +108,24 @@ def test_fuzz_content_roundtrip(ray_session, tmp_path_factory, contents, fmt):
         back = read_events_csv(out)
     got = back.to_pandas().sort_values("commit").reset_index(drop=True)
     assert list(got["content"]) == contents
+
+
+def test_evolved_column_survives_roundtrip(ray_session, tmp_path):
+    """Additive-evolution columns (nullable `mode`) must NOT be dropped
+    by an export/import round-trip. JSONL keeps null-vs-"" exactly; CSV
+    cannot represent the difference, so extras resolve to null (the
+    evolution backfilled-null convention)."""
+    df = _ROWS.copy()
+    df["mode"] = [None, "text", "binary", None]
+    for fmt, reader, writer in (
+        ("jsonl", read_events_jsonl, write_events_jsonl),
+        ("csv", read_events_csv, write_events_csv),
+    ):
+        out = str(tmp_path / f"evo_{fmt}")
+        writer(ray.data.from_pandas(df.copy()), out)
+        got = reader(out).to_pandas().sort_values("commit").reset_index(drop=True)
+        want = df.sort_values("commit").reset_index(drop=True)
+        assert list(got.columns) == list(EVENT_COLUMNS) + ["mode"], fmt
+        assert list(got["mode"].fillna("∅")) == list(want["mode"].fillna("∅")), fmt
+        # canonical six unaffected by the extra column
+        assert (got["content"] == want["content"]).all(), fmt
