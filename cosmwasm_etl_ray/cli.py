@@ -11,6 +11,7 @@ entry point you would hand to ``ray job submit`` on a real cluster:
     python -m cosmwasm_etl_ray.cli quarantine --store S [--replay]
     python -m cosmwasm_etl_ray.cli bootstrap  --store S --snapshot F.parquet
     python -m cosmwasm_etl_ray.cli export     --store S --out DIR
+    python -m cosmwasm_etl_ray.cli import-events --in DIR --out LOGDIR --format jsonl|csv
 
 ``diagnose`` dry-runs a file range through the full parse+fold WITHOUT
 writing anything (/root/reference/cmd/parser/diagnose/main.go:96-120);
@@ -113,6 +114,10 @@ def main(argv=None) -> int:
     tp.add_argument("--store", required=True)
     tp.add_argument("--epochs", type=int, default=4)
     tp.add_argument("--partitions", type=int, default=16)
+    ie = sub.add_parser("import-events")
+    ie.add_argument("--in", dest="in_dir", required=True)
+    ie.add_argument("--out", required=True)
+    ie.add_argument("--format", choices=["jsonl", "csv"], required=True)
     tc = sub.add_parser("transfer-compact")
     tc.add_argument("--store", required=True)
     tc.add_argument("--through-epoch", type=int, default=None)
@@ -159,6 +164,18 @@ def main(argv=None) -> int:
                 "would_quarantine": int(vc["total"].sum() - vc["valid"].sum()),
                 "live_keys": int(live),
             }))
+        finally:
+            _shutdown_ray()
+        return 0
+
+    if args.cmd == "import-events":
+        # normalize-at-the-edge ingest: JSONL/CSV drop → canonical
+        # parquet change log (then `replay --log-dir OUT` runs natively)
+        _init_ray()
+        try:
+            from cosmwasm_etl_ray.sources.files import convert_events_dir
+
+            print(json.dumps(convert_events_dir(args.in_dir, args.out, args.format)))
         finally:
             _shutdown_ray()
         return 0

@@ -129,3 +129,44 @@ def test_evolved_column_survives_roundtrip(ray_session, tmp_path):
         assert list(got["mode"].fillna("∅")) == list(want["mode"].fillna("∅")), fmt
         # canonical six unaffected by the extra column
         assert (got["content"] == want["content"]).all(), fmt
+
+
+def test_import_events_replay_equivalence(ray_session, tmp_path):
+    """JSONL drop → convert_events_dir → replay == replay over a native
+    parquet log of the same events (the import-events CLI path end to
+    end: edge normalization feeds the real engine, final LWW state is
+    bit-identical)."""
+    import glob as _glob
+
+    from cosmwasm_etl_ray.config import EngineConfig
+    from cosmwasm_etl_ray.pipelines.replay import read_state, replay_files
+    from cosmwasm_etl_ray.sources.changes import changes_from_documents
+    from cosmwasm_etl_ray.sources.files import convert_events_dir
+    from cosmwasm_etl_ray.state.manifest import StateStore
+
+    sf = "/root/testdata/sf0.001"
+    jdir = str(tmp_path / "jsonl")
+    changes_from_documents(sf).write_json(jdir)
+    pdir = str(tmp_path / "imported_log")
+    info = convert_events_dir(jdir, pdir, "jsonl")
+    assert info["events"] > 0
+
+    ddir = str(tmp_path / "native_log")
+    changes_from_documents(sf).write_parquet(ddir)
+
+    cfg = EngineConfig(num_partitions=4, epoch_max_events=1000)
+
+    def final(log_dir: str, store_dir: str):
+        files = sorted(_glob.glob(f"{log_dir}/*.parquet"))
+        store = StateStore(str(tmp_path / store_dir))
+        replay_files(files, store, cfg)
+        return (
+            read_state(store)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+
+    a = final(pdir, "store_imported")
+    b = final(ddir, "store_native")
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
