@@ -170,3 +170,29 @@ def test_import_events_replay_equivalence(ray_session, tmp_path):
     a = final(pdir, "store_imported")
     b = final(ddir, "store_native")
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_convert_ignores_stale_tmp_and_is_idempotent(ray_session, tmp_path):
+    """A crashed prior convert leaves only *.tmp.<pid> litter; the glob
+    replay consumes (*.parquet) never sees it, and a re-run overwrites
+    cleanly (tmp+rename commits)."""
+    import glob as _glob
+
+    from cosmwasm_etl_ray.sources.files import convert_events_dir
+
+    jdir = str(tmp_path / "in")
+    ray.data.from_pandas(_ROWS.copy()).write_json(jdir)
+    out = str(tmp_path / "log")
+    import os
+
+    os.makedirs(out)
+    stale = os.path.join(out, "events-00000.parquet.tmp.99999")
+    with open(stale, "w") as f:
+        f.write("torn")
+    r1 = convert_events_dir(jdir, out, "jsonl")
+    r2 = convert_events_dir(jdir, out, "jsonl")  # idempotent re-run
+    assert r1 == r2 and r1["events"] == len(_ROWS)
+    visible = sorted(_glob.glob(f"{out}/*.parquet"))
+    assert len(visible) == r1["files"]
+    assert not any(v.endswith(".tmp.99999") for v in visible)
+    assert os.path.exists(stale)  # litter is inert, not consumed
