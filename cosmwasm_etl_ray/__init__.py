@@ -32,6 +32,10 @@ No module calls ``ray.init()`` — sessions are owned by bench.py / tests.
 
 __version__ = "0.1.0"
 
+from cosmwasm_etl_ray._malloc import tune_malloc as _tune_malloc
+
+_tune_malloc()  # see _malloc.py: slow-first-touch hosts; opt out GRAFT_MALLOC_TUNE=0
+
 
 def __getattr__(name):
     """Lazy public API (keeps `import cosmwasm_etl_ray` cheap — no Ray
