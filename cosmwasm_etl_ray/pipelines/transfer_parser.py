@@ -553,9 +553,15 @@ class TransferParserPipeline:
         so run GC when no long scan is in flight (or let such a
         reader retry on FileNotFoundError — the re-list sees the
         compacted view)."""
-        latest = self.latest_compaction()
-        if latest is None:
+        # ONE snapshot of committed generations: `latest`, the sweep
+        # filter and the newer-gen guard must agree on what "latest"
+        # means, or a racer committing between two reads makes a
+        # just-committed generation look like a sweepable orphan
+        gens = self.compactions()
+        if not gens:
             return {"deleted": 0}
+        latest_gen = gens[-1]
+        latest = self.compaction_manifest(latest_gen)
         missing = [
             info["file"]
             for info in latest["partitions"].values()
@@ -563,7 +569,7 @@ class TransferParserPipeline:
         ]
         if missing:
             return {"deleted": 0, "aborted_missing": missing}
-        committed_gens = set(self.compactions())
+        committed_gens = set(gens)
         deleted = 0
         covered = [
             e for e in self.store.committed_epochs()

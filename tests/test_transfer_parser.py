@@ -395,6 +395,46 @@ def test_gc_leaves_inflight_compactor_dirs(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_gc_snapshot_protects_concurrently_committed_generation(tmp_path):
+    """TOCTOU: a racer commits gen 1 BETWEEN GC reading `latest`
+    (= gen 0) and GC listing committed generations for the dir sweep.
+    With two independent reads, gen 1's dir looked like a
+    committed-gen orphan of a non-latest generation and was swept —
+    poisoning the committed gen-1 manifest (ledger reads
+    FileNotFoundError forever; compact()'s re-plan raises because the
+    store never advances). GC must take ONE generation snapshot, so a
+    generation newer than its `latest` is invisible to the sweep."""
+    root = str(tmp_path / "store")
+    pipe = TransferParserPipeline(SF, root, n_epochs=2, num_partitions=4)
+    pipe.run()
+    before = _sorted(pipe.ledger().to_pandas())
+    m0 = pipe.compact(through_epoch=0)
+    m1 = pipe.compact()
+    assert m0["gen"] == 0 and m1["gen"] == 1
+    # GC whose view of "committed generations" predates gen 1: the
+    # first compactions() call inside gc_compacted sees only gen 0
+    real = pipe.compactions
+    calls = {"n": 0}
+
+    def stale_first():
+        calls["n"] += 1
+        return [0] if calls["n"] == 1 else real()
+
+    pipe.compactions = stale_first
+    pipe.gc_compacted()
+    pipe.compactions = real
+    # gen 1 (the newest committed data) survives intact
+    assert os.path.isdir(m1["dir"]), "concurrently committed gen swept"
+    for info in pipe.compaction_manifest(1)["partitions"].values():
+        assert os.path.exists(info["file"])
+    pd.testing.assert_frame_equal(_sorted(pipe.ledger().to_pandas()), before)
+    # and a later normal GC (snapshot includes gen 1) sweeps gen 0
+    pipe.gc_compacted()
+    assert not os.path.isdir(m0["dir"])
+    pd.testing.assert_frame_equal(_sorted(pipe.ledger().to_pandas()), before)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_gc_refuses_when_latest_generation_damaged(tmp_path):
     """If the latest manifest points at files that don't exist, GC must
     refuse to delete the source epoch files — they are the only copy."""
