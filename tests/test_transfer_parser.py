@@ -453,3 +453,64 @@ def test_gc_refuses_when_latest_generation_damaged(tmp_path):
     # and the data is recoverable by re-reading the epochs directly
     got = _sorted(pd.concat(map(pd.read_parquet, epoch_files)))
     pd.testing.assert_frame_equal(got.reset_index(drop=True), before)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_concurrent_ingest_compact_gc_chaos(tmp_path):
+    """Adversarial interleaving soak: one thread ingests all epochs
+    while two churn threads repeatedly compact + GC the same store
+    (the multi-writer shape both discovered races lived in — the
+    LWW-manifest overwrite and the GC generation-snapshot TOCTOU).
+    No thread may error, and the final ledger must equal a quiet
+    single-writer run's — under ANY interleaving the protocol allows:
+    compaction clamps to the contiguous committed prefix, manifest
+    commits are exclusive-create, GC sweeps only generations in its
+    own snapshot."""
+    import random
+    import threading
+    import time as _time
+
+    quiet = TransferParserPipeline(
+        SF, str(tmp_path / "quiet"), n_epochs=4, num_partitions=4
+    )
+    quiet.run()
+    expected = _sorted(quiet.ledger().to_pandas())
+
+    root = str(tmp_path / "store")
+    pipe = TransferParserPipeline(SF, root, n_epochs=4, num_partitions=4)
+    errs: list = []
+
+    def ingest():
+        try:
+            pipe.run()
+        except Exception as e:  # noqa: BLE001 — recorded and asserted
+            errs.append(("ingest", repr(e)))
+
+    def churn(seed: int):
+        rng = random.Random(seed)
+        p = TransferParserPipeline(SF, root, n_epochs=4, num_partitions=4)
+        try:
+            for _ in range(5):
+                _time.sleep(rng.uniform(0.0, 0.08))
+                p.compact()
+                p.gc_compacted()
+        except Exception as e:  # noqa: BLE001
+            errs.append(("churn", repr(e)))
+
+    threads = [threading.Thread(target=ingest)] + [
+        threading.Thread(target=churn, args=(s,)) for s in (11, 23)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    # settle: fold whatever the churners missed, sweep, then compare
+    pipe.compact()
+    pipe.gc_compacted()
+    pd.testing.assert_frame_equal(_sorted(pipe.ledger().to_pandas()), expected)
+    # the store is left sane: exactly one compact dir (the latest
+    # generation's), every manifest-referenced file present
+    latest = pipe.latest_compaction()
+    for info in latest["partitions"].values():
+        assert os.path.exists(info["file"])
