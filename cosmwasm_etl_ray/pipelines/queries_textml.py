@@ -111,14 +111,38 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
     cosine: "of the n_pairs true pairs in band b, the bucketed plan
     recovered ≥ bar(b)". The SQL twin restates the band structure
     (cband, n_pairs — hash-checked exactly) plus the contract
-    (recall_ok all true)."""
-    db = _emb(sf_dir)
+    (recall_ok all true).
+
+    Band + threshold use a QUANTIZED cosine — components floored to
+    int(1e6·e), dot/norms exact in float64 (|q|≤~5e5 ⇒ 64-dim sums
+    ≪ 2^53), then one correctly-rounded divide/sqrt chain — so numpy
+    and DuckDB produce the bit-identical double and floor(·*10) can
+    never flip a band between engine and oracle (BLAS accumulation
+    order vs DuckDB's sequential loop differ at the last ulp on raw
+    float cosines; a boundary-straddling pair would flake the hash)."""
+    db = _emb(sf_dir).materialize()  # consumed by truth + centroid passes
+    # exact truth at a slightly LOWER float threshold: |float cos −
+    # quantized cos| ≤ ~1e-4, so 0.449 catches every pair whose
+    # quantized cosine lands ≥ 0.45
     truth = embedding_neardup_pairs(
-        db, threshold=0.45, method="exact", with_cos=True
+        db, threshold=0.449, method="exact", with_cos=True
     ).to_pandas()
     got = embedding_neardup_pairs(db, threshold=0.45).to_pandas()  # centroid
     found = set(zip(got["vec_id_a"], got["vec_id_b"]))
-    truth["cband"] = np.floor(truth["cos"] * 10).astype("int64")
+    emb = db.to_pandas()  # 500-2000 rows — gate-scale only
+    q = {
+        int(v): np.floor(np.asarray(e, dtype=np.float64) * 1e6)
+        for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    norm = {v: np.sqrt(np.dot(a, a)) for v, a in q.items()}
+    qcos = np.array(
+        [
+            np.dot(q[a], q[b]) / (norm[a] * norm[b])
+            for a, b in zip(truth["vec_id_a"], truth["vec_id_b"])
+        ]
+    )
+    truth = truth[qcos >= 0.45].reset_index(drop=True)
+    truth["cband"] = np.floor(qcos[qcos >= 0.45] * 10).astype("int64")
     truth["hit"] = [
         (a, b) in found for a, b in zip(truth["vec_id_a"], truth["vec_id_b"])
     ]
@@ -958,13 +982,25 @@ SELECT substr(text, 1, 20) AS key20,
        CAST(count(*) AS BIGINT) AS group_size
 FROM documents GROUP BY substr(text, 1, 20)
 """,
+    # quantized cosine (floor(1e6·e) components, exact-double dot and
+    # norms, one rounded divide) — bit-identical to the engine's numpy
+    # computation, so the band floor can never straddle an ulp
     "embedding_neardup": """
-SELECT CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10)
-            AS BIGINT) AS cband,
+WITH qe AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               e -> floor(CAST(e AS DOUBLE) * 1000000)) AS q
+    FROM embeddings
+), qn AS (
+    SELECT vec_id, q, sqrt(list_inner_product(q, q)) AS nrm FROM qe
+), pairs AS (
+    SELECT list_inner_product(a.q, b.q) / (a.nrm * b.nrm) AS qcos
+    FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+)
+SELECT CAST(floor(qcos * 10) AS BIGINT) AS cband,
        CAST(count(*) AS BIGINT) AS n_pairs,
        true AS recall_ok
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+FROM pairs WHERE qcos >= 0.45
 GROUP BY 1
 """,
     "ann_topk": """

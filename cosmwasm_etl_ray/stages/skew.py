@@ -49,12 +49,16 @@ def detect_hot_keys(
         .aggregate(Sum("n", alias_name="n_events"))
     )
 
-    def above(df: pd.DataFrame) -> pd.DataFrame:
+    def above(tbl: pa.Table) -> pa.Table:
         # vectorized batch filter — a per-row Python lambda here was
         # the hot-set detector's slowest stage at corpus cardinality
-        return df[df["n_events"] > threshold]
+        return tbl.filter(pa.compute.greater(tbl["n_events"], threshold))
 
-    hot = counts.map_batches(above, batch_format="pandas").to_pandas()
+    hot = counts.map_batches(above, batch_format="pyarrow").to_pandas()
+    if hot.empty:
+        # Ray's to_pandas() on an all-empty Dataset returns a COLUMN-LESS
+        # frame (even from Arrow blocks) — hot["repo"] would KeyError
+        return set()
     return set(zip(hot["repo"], hot["path"]))
 
 

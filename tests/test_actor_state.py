@@ -188,6 +188,9 @@ def test_state_read_throttle_env(tmp_path, monkeypatch):
     pq.write_table(t, p)
 
     monkeypatch.delenv("GRAFT_STATE_READ_MBPS", raising=False)
+    read_state_table(p)  # untimed warmup: page-cache the file so `fast`
+    # isn't inflated by a cold/contended first read (observed >0.26 s
+    # under load, which swallowed the 0.32 s throttle margin)
     t0 = time.time()
     read_state_table(p)
     fast = time.time() - t0

@@ -118,6 +118,16 @@ def test_salted_path_equals_combiner_path(sf_dir):
     pd.testing.assert_frame_equal(salted[cols], combiner[cols])
 
 
+def test_detect_hot_keys_empty_when_nothing_exceeds(sf_dir):
+    """Threshold above every per-key count → empty set, not a KeyError.
+
+    Regression: an all-empty pandas filter result loses its columns
+    through Ray's pandas block path; the filter must stay Arrow-level."""
+    changes = changes_from_documents(sf_dir)
+    hot = detect_hot_keys(changes, threshold=10_000_000)
+    assert hot == set()
+
+
 def test_versioned_normalizer_dispatch_by_commit_range():
     """Era-dependent parse logic (mapper-by-height-range graft)."""
     import pyarrow as pa
