@@ -226,7 +226,14 @@ def grouped_agg(
     checked: list[str] = []
     exact: list[str] = []
     derived: dict[str, tuple[str, str]] = {}  # aux col → (src, kind)
+    _OPS = {"sum", "count", "min", "max", "mean", "sum_checked", "sum_exact"}
     for out, (src, op) in spec.items():
+        if op not in _OPS:
+            # entry-time, not a KeyError deep inside a Ray task
+            raise ValueError(
+                f"grouped_agg: unknown op {op!r} for {out!r} "
+                f"(supported: {sorted(_OPS)})"
+            )
         if op == "mean":
             plan[f"__sum_{out}"] = (src, "sum")
             plan[f"__cnt_{out}"] = (src, "count")

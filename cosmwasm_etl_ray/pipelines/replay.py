@@ -111,6 +111,47 @@ def _plan_shards(files: list[str], target_rows: int) -> list[tuple[str, list[int
     return shards
 
 
+def _check_partition_compat(store, P: int) -> None:
+    """num_partitions is part of the store's identity: pid = hash(key) % P
+    routes keys to state files, so replaying with a different P would
+    silently send a key's new events to a different partition than its
+    existing state row. Manifests record P; refuse a mismatch. Shared by
+    every replay path (serial, direct, actor, actor-direct)."""
+    latest = store.latest_epoch()
+    if latest is not None:
+        committed_p = store.manifest(latest).get("num_partitions")
+        if committed_p is not None and committed_p != P:
+            raise ValueError(
+                f"store was built with num_partitions={committed_p}; "
+                f"config asks for {P} — refusing to mix"
+            )
+
+
+def _launch_prep_tasks(
+    batch: list[str], P: int, cfg: EngineConfig, prep, ruleset_ref, ncpu: int
+) -> tuple[int, list[list]]:
+    """Fan out one epoch's read→flag→combine→pid-split prep tasks and
+    return (input_rows, per_pid ref lists). Shared by the direct and
+    actor-direct replay paths — the shard-cap tuning below must stay
+    common to both.
+
+    Shard cap: in-flight ObjectRefs per epoch are shards × P, and the
+    raylet measurably degrades past ~4k small objects in flight
+    (BASELINE.md: 32M-row run 69.8 s → 11.0 s with coarser shards).
+    Bound shards/epoch at 2×NCPU — enough to fill every core — by
+    raising the per-shard row target on large epochs."""
+    rows = sum(pq.read_metadata(f).num_rows for f in batch)
+    target = max(cfg.batch_size, -(-rows // (2 * ncpu)))
+    per_pid: list[list] = [[] for _ in range(P)]
+    for path, rgs in _plan_shards(batch, target):
+        refs = prep.remote(path, rgs, P, ruleset_ref, not cfg.override_coalesce)
+        if P == 1:
+            refs = [refs]
+        for p, r in enumerate(refs):
+            per_pid[p].append(r)
+    return rows, per_pid
+
+
 def _merge_pid_chain(
     state_root: str,
     epoch: int,
@@ -260,18 +301,7 @@ def apply_epoch(
     if store.is_committed(epoch):
         return store.manifest(epoch)
 
-    # num_partitions is part of the store's identity: pid = hash(key) % P
-    # routes keys to state files, so replaying with a different P would
-    # silently send a key's new events to a different partition than its
-    # existing state row. Manifests record P; refuse a mismatch.
-    latest = store.latest_epoch()
-    if latest is not None:
-        committed_p = store.manifest(latest).get("num_partitions")
-        if committed_p is not None and committed_p != cfg.num_partitions:
-            raise ValueError(
-                f"store was built with num_partitions={committed_p}; "
-                f"config asks for {cfg.num_partitions} — refusing to mix"
-            )
+    _check_partition_compat(store, cfg.num_partitions)
 
     prior = store.partition_files()
 
@@ -411,14 +441,7 @@ def _replay_files_direct(
 
     MAX_WAVES = 2
     P = cfg.num_partitions
-    latest = store.latest_epoch()
-    if latest is not None:
-        committed_p = store.manifest(latest).get("num_partitions")
-        if committed_p is not None and committed_p != P:
-            raise ValueError(
-                f"store was built with num_partitions={committed_p}; "
-                f"config asks for {P} — refusing to mix"
-            )
+    _check_partition_compat(store, P)
 
     prep = cached_remote(("replay_prep", P), _prep_split_shard, num_returns=P)
     chain = cached_remote("replay_chain", _merge_pid_chain)
@@ -463,23 +486,8 @@ def _replay_files_direct(
         if store.is_committed(e):
             out.append(store.manifest(e))
             continue
-        rows = sum(pq.read_metadata(f).num_rows for f in batch)
-        # Shard cap: in-flight ObjectRefs per epoch are shards × P, and
-        # the raylet measurably degrades past ~4k small objects in
-        # flight (BASELINE.md: 32M-row run 69.8 s → 11.0 s with coarser
-        # shards). Bound shards/epoch at 2×NCPU — enough to fill every
-        # core — by raising the per-shard row target on large epochs.
         ncpu = int(_ray.cluster_resources().get("CPU", 32))
-        target = max(cfg.batch_size, -(-rows // (2 * ncpu)))
-        per_pid: list[list] = [[] for _ in range(P)]
-        for path, rgs in _plan_shards(batch, target):
-            refs = prep.remote(
-                path, rgs, P, ruleset_ref, not cfg.override_coalesce
-            )
-            if P == 1:
-                refs = [refs]
-            for p, r in enumerate(refs):
-                per_pid[p].append(r)
+        rows, per_pid = _launch_prep_tasks(batch, P, cfg, prep, ruleset_ref, ncpu)
         wave = []
         for p in range(P):
             ref = chain.remote(
@@ -557,14 +565,7 @@ def _replay_files_actor(
     persisted — the dead-letter side output belongs to the disk path."""
     from cosmwasm_etl_ray.state.actor_state import ActorStateTier
 
-    latest = store.latest_epoch()
-    if latest is not None:
-        committed_p = store.manifest(latest).get("num_partitions")
-        if committed_p is not None and committed_p != cfg.num_partitions:
-            raise ValueError(
-                f"store was built with num_partitions={committed_p}; "
-                f"config asks for {cfg.num_partitions} — refusing to mix"
-            )
+    _check_partition_compat(store, cfg.num_partitions)
 
     tier = ActorStateTier.from_store(store, cfg, num_actors=cfg.actor_state_shards)
     out = []
@@ -613,14 +614,7 @@ def _replay_files_actor_direct(
     from cosmwasm_etl_ray.state.actor_state import ActorStateTier
 
     P = cfg.num_partitions
-    latest = store.latest_epoch()
-    if latest is not None:
-        committed_p = store.manifest(latest).get("num_partitions")
-        if committed_p is not None and committed_p != P:
-            raise ValueError(
-                f"store was built with num_partitions={committed_p}; "
-                f"config asks for {P} — refusing to mix"
-            )
+    _check_partition_compat(store, P)
 
     tier = ActorStateTier.from_store(store, cfg, num_actors=cfg.actor_state_shards)
     prep = cached_remote(("replay_prep", P), _prep_split_shard, num_returns=P)
@@ -628,18 +622,7 @@ def _replay_files_actor_direct(
     ncpu = int(_ray.cluster_resources().get("CPU", 32))
 
     def launch_prep(batch: list[str]):
-        rows = sum(pq.read_metadata(f).num_rows for f in batch)
-        target = max(cfg.batch_size, -(-rows // (2 * ncpu)))
-        per_pid: list[list] = [[] for _ in range(P)]
-        for path, rgs in _plan_shards(batch, target):
-            refs = prep.remote(
-                path, rgs, P, ruleset_ref, not cfg.override_coalesce
-            )
-            if P == 1:
-                refs = [refs]
-            for p, r in enumerate(refs):
-                per_pid[p].append(r)
-        return rows, per_pid
+        return _launch_prep_tasks(batch, P, cfg, prep, ruleset_ref, ncpu)
 
     order = [(start + i, b) for i, b in enumerate(epochs)]
     preps: dict[int, tuple] = {}

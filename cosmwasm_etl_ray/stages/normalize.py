@@ -80,12 +80,6 @@ class PartitionAssigner:
         return batch.append_column("pid", pa.array(pid, type=pa.int32()))
 
 
-def with_partition(ds: "ray.data.Dataset", num_partitions: int) -> "ray.data.Dataset":
-    return ds.map_batches(
-        PartitionAssigner(num_partitions), batch_format="pyarrow"
-    )
-
-
 class FlagAndPartition:
     """Single-pass front stage: adds ``valid`` (bool) and ``pid``.
 

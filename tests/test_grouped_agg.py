@@ -449,3 +449,16 @@ def test_rev_e4_checked_kernel_raises_on_element_overflow():
 
     with pytest.raises(pa.lib.ArrowInvalid):
         scale_checked(pa.array([2**40], pa.int64()), 2**30)
+
+
+def test_unknown_op_raises_at_entry():
+    """A typo'd op ('sum_exactt', 'size') raises ValueError BEFORE any
+    Ray task launches — not an opaque KeyError inside map_batches."""
+    df = pd.DataFrame({"k": ["a"], "v": [1]})
+    for bad in ("sum_exactt", "size", "avg"):
+        with pytest.raises(ValueError, match="unknown op"):
+            grouped_agg(
+                ray.data.from_pandas(df),
+                keys=["k"],
+                spec={"total": ("v", bad)},
+            )
