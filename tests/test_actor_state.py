@@ -200,3 +200,38 @@ def test_state_read_throttle_env(tmp_path, monkeypatch):
     read_state_table(p)
     slow = time.time() - t0
     assert slow > fast + 0.15
+
+def test_actor_killed_mid_run_fails_stop_then_recovers(tmp_path):
+    """HARD shard death (ray.kill — the node-loss analogue, vs the
+    soft fresh-pool crashes above): the in-flight epoch fails
+    fail-stop — RayActorError surfaces, flush never runs, so no
+    manifest can commit with that shard's partitions missing — and a
+    fresh replay recovers from the last committed checkpoint and
+    converges to the disk-path state."""
+    import pytest
+
+    import ray
+
+    log = _log(tmp_path, seed=67)
+    files = sorted(log["files"])
+
+    store = StateStore(str(tmp_path / "ckpt3"))
+    replay_files(files[:2], store, ACTOR_CFG)  # commit the head epochs
+    n_head = len(store.committed_epochs())
+    assert n_head >= 1
+
+    tier = ActorStateTier.from_store(store, ACTOR_CFG, num_actors=4)
+    ray.kill(tier.actors[1])
+    with pytest.raises(Exception):
+        tier.apply_changes(ray.data.read_parquet(files[2:]))
+        tier.flush(store, epoch=n_head)
+    assert len(store.committed_epochs()) == n_head  # nothing committed
+
+    replay_files(files, store, ACTOR_CFG)  # fresh pool, recover + tail
+
+    disk = StateStore(str(tmp_path / "disk3"))
+    replay_files(files, disk, CFG)
+    pd.testing.assert_frame_equal(
+        _sorted_state(read_state(disk).to_pandas()),
+        _sorted_state(read_state(store).to_pandas()),
+    )
