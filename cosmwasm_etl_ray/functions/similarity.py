@@ -48,6 +48,11 @@ def train_sample(
     import pyarrow as pa
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty and "vec_id" not in df.columns:
+            # Ray's to_pandas() on an all-empty Dataset is COLUMN-LESS;
+            # restore the column names so the sort (and callers that
+            # index the sample) see the schema instead of a KeyError
+            df = pd.DataFrame(columns=db.schema().names)
         return df.sort_values("vec_id", kind="stable").reset_index(drop=True)
 
     if n is None:  # caller may pass a known count to skip re-executing db

@@ -666,6 +666,19 @@ def _replay_files_actor_direct(
 def read_state(store, epoch: int | None = None) -> "ray.data.Dataset":
     """The live current-state table (tombstones dropped) as a Dataset."""
     files = list(store.partition_files(epoch).values())
+    if not files:
+        # empty store (nothing committed yet): a typed empty Dataset —
+        # read_parquet([]) raises, and callers index these columns
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "path": pa.array([], pa.string()),
+                    "commit": pa.array([], pa.string()),
+                    "content": pa.array([], pa.string()),
+                }
+            )
+        )
     ds = ray.data.read_parquet(files)
     return ds.map_batches(
         lambda df: df[df[OP_COL] != "delete"].drop(

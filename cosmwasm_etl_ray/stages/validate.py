@@ -196,6 +196,12 @@ def snapshot_state(store, epoch: int | None = None) -> str:
         )
 
     snap = state.groupby("repo").map_groups(agg, batch_format="pandas").to_pandas()
+    if snap.empty:
+        # empty store: to_pandas() on an all-empty Dataset is
+        # COLUMN-LESS — restore the schema so sort/parquet work
+        snap = pd.DataFrame(
+            columns=["repo", "live_paths", "total_chars", "max_commit"]
+        )
     e = epoch if epoch is not None else store.latest_epoch()
     out = store.snapshot_path(e if e is not None else 0)
     snap.sort_values("repo").to_parquet(out, index=False)
