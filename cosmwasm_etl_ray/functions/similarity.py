@@ -57,6 +57,10 @@ def train_sample(
 
     if n is None:  # caller may pass a known count to skip re-executing db
         n = db.count()
+    if n == 0:
+        # typed empty without collecting: schema() alone beats
+        # to_pandas()-then-schema() (each re-executes the upstream)
+        return pd.DataFrame(columns=db.schema().names)
     if n <= max(cap, min_rows):
         return canon(db.to_pandas())
     thresh = np.uint64(int((1 << 32) * min(1.0, cap / n)))

@@ -125,7 +125,7 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
     # quantized cos| ≤ ~1e-4, so 0.449 catches every pair whose
     # quantized cosine lands ≥ 0.45
     truth = embedding_neardup_pairs(
-        db, threshold=0.449, method="exact", with_cos=True
+        db, threshold=0.449, method="exact"
     ).to_pandas()
     got = embedding_neardup_pairs(db, threshold=0.45).to_pandas()  # centroid
     found = set(zip(got["vec_id_a"], got["vec_id_b"]))

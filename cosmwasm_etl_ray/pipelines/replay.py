@@ -663,22 +663,29 @@ def _replay_files_actor_direct(
     return out
 
 
+def _empty_state_table() -> "pa.Table":
+    """Typed empty state table (the canonical change-log value columns
+    minus the store-internal op/pid/key64) — ONE definition shared by
+    read_state and lookup_state so an empty store cannot produce two
+    different schemas (the mixed-schema-union hazard)."""
+    return pa.table(
+        {
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "commit": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "content": pa.array([], pa.string()),
+        }
+    )
+
+
 def read_state(store, epoch: int | None = None) -> "ray.data.Dataset":
     """The live current-state table (tombstones dropped) as a Dataset."""
     files = list(store.partition_files(epoch).values())
     if not files:
         # empty store (nothing committed yet): a typed empty Dataset —
         # read_parquet([]) raises, and callers index these columns
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "repo": pa.array([], pa.string()),
-                    "path": pa.array([], pa.string()),
-                    "commit": pa.array([], pa.string()),
-                    "content": pa.array([], pa.string()),
-                }
-            )
-        )
+        return ray.data.from_arrow(_empty_state_table())
     ds = ray.data.read_parquet(files)
     return ds.map_batches(
         lambda df: df[df[OP_COL] != "delete"].drop(
@@ -726,16 +733,7 @@ def lookup_state(
         )
 
     if not files:
-        empty = pa.table(
-            {
-                "repo": pa.array([], pa.string()),
-                "path": pa.array([], pa.string()),
-                "commit": pa.array([], pa.string()),
-                "lang": pa.array([], pa.string()),
-                "content": pa.array([], pa.string()),
-            }
-        )
-        return ray.data.from_arrow(empty), []
+        return ray.data.from_arrow(_empty_state_table()), []
     # scan-level pushdown: the repo membership test runs inside the
     # parquet read (decode skips non-matching rows; statistics can skip
     # whole row groups) — the probe's exact (repo, path) merge still

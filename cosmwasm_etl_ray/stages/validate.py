@@ -198,9 +198,16 @@ def snapshot_state(store, epoch: int | None = None) -> str:
     snap = state.groupby("repo").map_groups(agg, batch_format="pandas").to_pandas()
     if snap.empty:
         # empty store: to_pandas() on an all-empty Dataset is
-        # COLUMN-LESS — restore the schema so sort/parquet work
+        # COLUMN-LESS — restore the schema WITH the non-empty dtypes
+        # (all-object columns would write null-typed parquet, the
+        # per-block schema-drift hazard)
         snap = pd.DataFrame(
-            columns=["repo", "live_paths", "total_chars", "max_commit"]
+            {
+                "repo": pd.Series(dtype="object"),
+                "live_paths": pd.Series(dtype="int64"),
+                "total_chars": pd.Series(dtype="int64"),
+                "max_commit": pd.Series(dtype="object"),
+            }
         )
     e = epoch if epoch is not None else store.latest_epoch()
     out = store.snapshot_path(e if e is not None else 0)

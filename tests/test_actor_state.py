@@ -222,9 +222,11 @@ def test_actor_killed_mid_run_fails_stop_then_recovers(tmp_path):
 
     tier = ActorStateTier.from_store(store, ACTOR_CFG, num_actors=4)
     ray.kill(tier.actors[1])
-    with pytest.raises(Exception):
+    # apply must fail LOUDLY with the actor error (if it ever swallowed
+    # the dead shard and flush committed a manifest missing shard 1's
+    # partitions, that would be silent data loss)
+    with pytest.raises(Exception, match="RayActorError|ActorDiedError|died"):
         tier.apply_changes(ray.data.read_parquet(files[2:]))
-        tier.flush(store, epoch=n_head)
     assert len(store.committed_epochs()) == n_head  # nothing committed
 
     replay_files(files, store, ACTOR_CFG)  # fresh pool, recover + tail
