@@ -24,6 +24,7 @@ import os
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
@@ -687,12 +688,17 @@ def read_state(store, epoch: int | None = None) -> "ray.data.Dataset":
         # read_parquet([]) raises, and callers index these columns
         return ray.data.from_arrow(_empty_state_table())
     ds = ray.data.read_parquet(files)
-    return ds.map_batches(
-        lambda df: df[df[OP_COL] != "delete"].drop(
-            columns=[c for c in (OP_COL, "pid", "key64") if c in df.columns]
-        ),
-        batch_format="pandas",
-    )
+
+    def live_rows(t: "pa.Table") -> "pa.Table":
+        # Arrow-native (zero-copy from the object store): the wide
+        # content strings never convert to pandas just for a tombstone
+        # filter — this is a serving path over the whole state
+        t = t.filter(pc.not_equal(t[OP_COL], pa.scalar("delete")))
+        return t.drop_columns(
+            [c for c in (OP_COL, "pid", "key64") if c in t.column_names]
+        )
+
+    return ds.map_batches(live_rows, batch_format="pyarrow")
 
 
 def lookup_state(
