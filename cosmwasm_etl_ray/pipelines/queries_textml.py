@@ -604,6 +604,42 @@ def media_resize(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_bmp_stats(sf_dir: str) -> "ray.data.Dataset":
+    """REAL image decode through the oracle gate: payloads are
+    spec-compliant 24-bit BMPs (pure-numpy codec, no external libs —
+    stages/multimodal.py encode_bmp24), the actor-pool BmpDecoder
+    parses the actual header + bottom-up BGR pixel grid, and the
+    DECODED per-channel sums hash-check against a DuckDB twin that
+    regenerates the deterministic pixel field ((id·7+y·5+x·3+c·11)
+    mod 256) with cross-joined ranges. A header, stride-padding, or
+    channel-order bug anywhere in encode OR decode flips the sums."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        BmpDecoder,
+        synthesize_bmp_media,
+    )
+
+    media = synthesize_bmp_media(_docs(sf_dir))
+    return media.map_batches(
+        BmpDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
+def media_bmp_resize(sf_dir: str) -> "ray.data.Dataset":
+    """REAL 2-D nearest-neighbor pixel resize through the gate: decode
+    the BMP, resample to 16×16 via out[ty,tx] = px[(ty·h)//16,
+    (tx·w)//16], emit exact channel sums of the RESIZED image — the
+    SQL twin reruns the same index math over the regenerated pixels."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        BmpResizer,
+        synthesize_bmp_media,
+    )
+
+    media = synthesize_bmp_media(_docs(sf_dir))
+    return media.map_batches(
+        BmpResizer, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -867,6 +903,8 @@ QUERIES = {
     "ann_ivf_appended": ann_ivf_appended,
     "media_meta": media_meta,
     "media_resize": media_resize,
+    "media_bmp_stats": media_bmp_stats,
+    "media_bmp_resize": media_bmp_resize,
 }
 
 from cosmwasm_etl_ray.functions.text import FP_BASE, FP_MOD, FP_WINDOW, LangId
@@ -1132,6 +1170,42 @@ SELECT doc_id AS media_id,
        CAST(3 * octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST((doc_id % 24 + 1 + 7) // 8 AS BIGINT) AS n_sampled_frames
 FROM documents
+""",
+    # REAL BMP decode twin: regenerate the deterministic pixel field
+    # ((id*7 + y*5 + x*3 + c*11) % 256) with cross-joined ranges and
+    # sum per channel — equals the engine's sums over DECODED pixels
+    # iff encode and decode both honor the BMP spec end to end
+    "media_bmp_stats": """
+SELECT d.doc_id AS media_id,
+       CAST(8 + d.doc_id % 9 AS BIGINT) AS width,
+       CAST(8 + d.doc_id % 7 AS BIGINT) AS height,
+       CAST(sum((d.doc_id * 7 + t.y * 5 + s.x * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((d.doc_id * 7 + t.y * 5 + s.x * 3 + 11) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((d.doc_id * 7 + t.y * 5 + s.x * 3 + 22) % 256) AS BIGINT) AS sum_b
+FROM documents d
+CROSS JOIN range(14) t(y)
+CROSS JOIN range(16) s(x)
+WHERE t.y < 8 + d.doc_id % 7 AND s.x < 8 + d.doc_id % 9
+GROUP BY d.doc_id
+""",
+    # 2-D nearest-neighbor resize twin: same (ty*h)//16, (tx*w)//16
+    # source-index math over the regenerated pixels (all non-negative,
+    # so DuckDB's truncating // equals numpy's flooring //)
+    "media_bmp_resize": """
+WITH dims AS (
+    SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+)
+SELECT d.doc_id AS media_id,
+       CAST(sum((d.doc_id * 7 + ((t.y * d.h) // 16) * 5
+                 + ((s.x * d.w) // 16) * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((d.doc_id * 7 + ((t.y * d.h) // 16) * 5
+                 + ((s.x * d.w) // 16) * 3 + 11) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((d.doc_id * 7 + ((t.y * d.h) // 16) * 5
+                 + ((s.x * d.w) // 16) * 3 + 22) % 256) AS BIGINT) AS sum_b
+FROM dims d
+CROSS JOIN range(16) t(y)
+CROSS JOIN range(16) s(x)
+GROUP BY d.doc_id
 """,
     # nearest-neighbor byte subsample: out[i] = payload[(i*n)//256]
     # (ASCII corpus: chars == bytes, the same assumption media_meta
