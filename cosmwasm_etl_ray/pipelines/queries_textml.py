@@ -640,6 +640,23 @@ def media_bmp_resize(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_wav_stats(sf_dir: str) -> "ray.data.Dataset":
+    """REAL audio decode through the gate: payloads are canonical
+    16-bit mono PCM WAVs (pure-numpy RIFF codec), the actor-pool
+    WavDecoder walks the chunk list and emits exact integer stats of
+    the DECODED samples; the twin regenerates the closed-form waveform
+    ((id·13 + i·7) mod 65536 − 32768) in SQL."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        WavDecoder,
+        synthesize_wav_media,
+    )
+
+    media = synthesize_wav_media(_docs(sf_dir))
+    return media.map_batches(
+        WavDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -905,6 +922,7 @@ QUERIES = {
     "media_resize": media_resize,
     "media_bmp_stats": media_bmp_stats,
     "media_bmp_resize": media_bmp_resize,
+    "media_wav_stats": media_wav_stats,
 }
 
 from cosmwasm_etl_ray.functions.text import FP_BASE, FP_MOD, FP_WINDOW, LangId
@@ -1205,6 +1223,24 @@ SELECT d.doc_id AS media_id,
 FROM dims d
 CROSS JOIN range(16) t(y)
 CROSS JOIN range(16) s(x)
+GROUP BY d.doc_id
+""",
+    # REAL WAV decode twin: regenerate the closed-form waveform
+    # ((id*13 + i*7) % 65536 - 32768 over n = 64 + id%97 samples) and
+    # aggregate — equals the engine's stats over DECODED samples iff
+    # the RIFF encode and chunk-walking decode are both spec-correct
+    "media_wav_stats": """
+SELECT d.doc_id AS media_id,
+       CAST(64 + d.doc_id % 97 AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(sum((d.doc_id * 13 + t.i * 7) % 65536 - 32768) AS BIGINT) AS sum_amp,
+       CAST(sum(abs((d.doc_id * 13 + t.i * 7) % 65536 - 32768)) AS BIGINT)
+           AS sum_abs_amp,
+       CAST(min((d.doc_id * 13 + t.i * 7) % 65536 - 32768) AS BIGINT) AS min_amp,
+       CAST(max((d.doc_id * 13 + t.i * 7) % 65536 - 32768) AS BIGINT) AS max_amp
+FROM documents d
+CROSS JOIN range(161) t(i)
+WHERE t.i < 64 + d.doc_id % 97
 GROUP BY d.doc_id
 """,
     # nearest-neighbor byte subsample: out[i] = payload[(i*n)//256]

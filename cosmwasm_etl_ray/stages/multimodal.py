@@ -321,6 +321,105 @@ class BmpResizer:
         )
 
 
+# --- REAL audio codec: 16-bit PCM WAV (RIFF), pure numpy ------------------
+
+
+def encode_wav16(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """Encode a 1-D int16 array as a canonical 16-bit mono PCM WAV
+    (RIFF header + fmt + data chunks) — plays in any audio player."""
+    import struct
+
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError(f"expected 1-D int16 samples, got {samples.dtype}")
+    data = samples.tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav16(raw: bytes) -> tuple["np.ndarray", int]:
+    """Decode a 16-bit mono PCM WAV; walks the RIFF chunk list (so
+    writers that insert LIST/INFO chunks still parse). Returns
+    (samples int16, sample_rate). Strict on format: non-PCM, stereo or
+    non-16-bit raise."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid, size = struct.unpack_from("<4sI", raw, pos)
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV variant (fmt={audio_fmt}, "
+                    f"ch={channels}, bits={bits}); only 16-bit mono PCM"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def _wav_samples(doc_id: int) -> "np.ndarray":
+    """Deterministic synthetic audio for doc_id: n = 64 + id%97
+    samples, sample[i] = ((id·13 + i·7) mod 65536) − 32768 — closed
+    form, so the oracle regenerates the exact waveform in SQL."""
+    n = 64 + doc_id % 97
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 13 + i * 7) % 65536 - 32768).astype(np.int16)
+
+
+def synthesize_wav_media(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    def make(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = [encode_wav16(_wav_samples(int(i))) for i in ids]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    return docs.map_batches(make, batch_format="pyarrow", batch_size=512)
+
+
+class WavDecoder:
+    """REAL audio decode stage: parse the RIFF chunks, emit exact int
+    stats of the DECODED samples (n, sum, sum of |s|, min, max) — all
+    SQL-regenerable from the closed-form waveform."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ns, rates, ssum, sabs, smin, smax = [], [], [], [], [], [], []
+        for mid, buf in zip(t["media_id"], t["payload"]):
+            s, rate = decode_wav16(buf.as_py())
+            v = s.astype(np.int64)
+            ids.append(mid.as_py())
+            ns.append(len(v))
+            rates.append(rate)
+            ssum.append(int(v.sum()))
+            sabs.append(int(np.abs(v).sum()))
+            smin.append(int(v.min()))
+            smax.append(int(v.max()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "n_samples": pa.array(ns, type=pa.int64()),
+                "sample_rate": pa.array(rates, type=pa.int64()),
+                "sum_amp": pa.array(ssum, type=pa.int64()),
+                "sum_abs_amp": pa.array(sabs, type=pa.int64()),
+                "min_amp": pa.array(smin, type=pa.int64()),
+                "max_amp": pa.array(smax, type=pa.int64()),
+            }
+        )
+
+
 def media_features(
     docs: "ray.data.Dataset",
     decoder: type = FakeDecoder,

@@ -228,3 +228,45 @@ def test_bmp_resizer_matches_numpy(ray_session, sf_dir):
         assert (int(row.sum_r), int(row.sum_g), int(row.sum_b)) == tuple(
             int(v) for v in s
         )
+
+
+def test_wav_codec_roundtrip_and_golden():
+    """encode_wav16/decode_wav16 are inverses, and hand-built RIFF
+    bytes (with an extra LIST chunk between fmt and data, odd-size
+    word-alignment) pin the chunk-walking decode against the spec."""
+    import struct
+
+    import numpy as np
+
+    from cosmwasm_etl_ray.stages.multimodal import decode_wav16, encode_wav16
+
+    rng = np.random.default_rng(11)
+    for n in (1, 7, 160):
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        out, rate = decode_wav16(encode_wav16(s, rate=8000))
+        assert rate == 8000 and np.array_equal(out, s)
+
+    # golden: fmt + odd-sized LIST chunk (needs the pad byte) + data
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    lst = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # word-aligned
+    data = struct.pack("<4sI", b"data", 4) + struct.pack("<hh", -5, 7)
+    body = fmt + lst + data
+    raw = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    samples, rate = decode_wav16(raw)
+    assert rate == 8000 and samples.tolist() == [-5, 7]
+
+
+def test_wav_decode_rejects_malformed():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cosmwasm_etl_ray.stages.multimodal import decode_wav16, encode_wav16
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav16(b"OggS" + b"\x00" * 40)
+    good = bytearray(encode_wav16(np.zeros(4, np.int16)))
+    struct.pack_into("<H", good, 22, 2)  # claim stereo
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav16(bytes(good))
