@@ -657,6 +657,28 @@ def media_wav_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_y4m_frames(sf_dir: str) -> "ray.data.Dataset":
+    """REAL video decode + frame sampling through the gate: payloads
+    are YUV4MPEG2 streams (the ffmpeg/x264 uncompressed interchange
+    format — ASCII header + FRAME markers + planar C420), the
+    actor-pool Y4mFrameSampler parses the stream, keeps every 2nd
+    frame, and emits exact plane sums of the DECODED pixels; the twin
+    regenerates the closed-form planes in SQL."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        Y4mFrameSampler,
+        synthesize_y4m_media,
+    )
+
+    media = synthesize_y4m_media(_docs(sf_dir))
+    return media.map_batches(
+        Y4mFrameSampler,
+        fn_constructor_kwargs={"stride": 2},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -923,6 +945,7 @@ QUERIES = {
     "media_bmp_stats": media_bmp_stats,
     "media_bmp_resize": media_bmp_resize,
     "media_wav_stats": media_wav_stats,
+    "media_y4m_frames": media_y4m_frames,
 }
 
 from cosmwasm_etl_ray.functions.text import FP_BASE, FP_MOD, FP_WINDOW, LangId
@@ -1242,6 +1265,40 @@ FROM documents d
 CROSS JOIN range(161) t(i)
 WHERE t.i < 64 + d.doc_id % 97
 GROUP BY d.doc_id
+""",
+    # REAL Y4M decode twin: regenerate the closed-form planes
+    # (Y = (id*3 + f*17 + y*5 + x*7) % 256 on the full grid, U/V on the
+    # quarter-res C420 grid) for every 2nd frame and sum — equals the
+    # engine's sums over frames DECODED from the RIFF-style stream
+    "media_y4m_frames": """
+WITH dims AS (
+    SELECT doc_id, 8 + 2 * (doc_id % 5) AS w, 8 + 2 * (doc_id % 4) AS h,
+           2 + doc_id % 5 AS n
+    FROM documents
+), sampled AS (
+    SELECT d.doc_id, d.w, d.h, t.f
+    FROM dims d CROSS JOIN range(7) t(f)
+    WHERE t.f < d.n AND t.f % 2 = 0
+), ysum AS (
+    SELECT s.doc_id, s.f,
+           sum((s.doc_id * 3 + s.f * 17 + yy.y * 5 + xx.x * 7) % 256) AS sum_y
+    FROM sampled s CROSS JOIN range(14) yy(y) CROSS JOIN range(16) xx(x)
+    WHERE yy.y < s.h AND xx.x < s.w
+    GROUP BY s.doc_id, s.f
+), csum AS (
+    SELECT s.doc_id, s.f,
+           sum((s.doc_id + s.f * 29 + cy.y * 3 + cx.x) % 256) AS sum_u,
+           sum((s.doc_id + s.f * 29 + cy.y * 3 + cx.x + 64) % 256) AS sum_v
+    FROM sampled s CROSS JOIN range(7) cy(y) CROSS JOIN range(8) cx(x)
+    WHERE cy.y < s.h // 2 AND cx.x < s.w // 2
+    GROUP BY s.doc_id, s.f
+)
+SELECT y.doc_id AS media_id,
+       CAST(y.f AS BIGINT) AS frame_index,
+       CAST(y.sum_y AS BIGINT) AS sum_y,
+       CAST(c.sum_u AS BIGINT) AS sum_u,
+       CAST(c.sum_v AS BIGINT) AS sum_v
+FROM ysum y JOIN csum c ON y.doc_id = c.doc_id AND y.f = c.f
 """,
     # nearest-neighbor byte subsample: out[i] = payload[(i*n)//256]
     # (ASCII corpus: chars == bytes, the same assumption media_meta

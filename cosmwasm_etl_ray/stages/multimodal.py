@@ -420,6 +420,134 @@ class WavDecoder:
         )
 
 
+# --- REAL video container: Y4M (YUV4MPEG2), pure numpy --------------------
+# The uncompressed interchange format of the ffmpeg/x264 toolchain: an
+# ASCII "YUV4MPEG2 W<w> H<h> F<num>:<den> ..." header line, then per
+# frame an ASCII "FRAME\n" marker followed by raw planar YUV 4:2:0
+# (full-res Y plane, then quarter-res U and V). Needs no codec library.
+
+
+def encode_y4m(frames: "np.ndarray", fps: int = 25) -> bytes:
+    """Encode planar C420 frames as a YUV4MPEG2 stream. ``frames`` is
+    a list of (Y, U, V) tuples with Y (H, W) uint8 and U/V
+    (H//2, W//2) uint8."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0][0].shape
+    if h % 2 or w % 2:
+        raise ValueError("YUV 4:2:0 needs even dimensions")
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()]
+    for y, u, v in frames:
+        if y.shape != (h, w) or u.shape != (h // 2, w // 2) or v.shape != u.shape:
+            raise ValueError("plane shape mismatch")
+        out.append(b"FRAME\n")
+        out.append(y.astype(np.uint8).tobytes())
+        out.append(u.astype(np.uint8).tobytes())
+        out.append(v.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(raw: bytes) -> tuple[list, int, int]:
+    """Decode a C420 Y4M stream → (frames as (Y, U, V) uint8 arrays,
+    width, height). Parses the real header grammar (space-separated
+    tagged params); strict on unsupported chroma modes."""
+    nl = raw.index(b"\n")
+    head = raw[:nl].decode("ascii", errors="strict").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    for tag in head[1:]:
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("C") and tag not in ("C420", "C420jpeg", "C420mpeg2"):
+            raise ValueError(f"unsupported chroma mode {tag}; only C420")
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W or H")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    pos, frames = nl + 1, []
+    while pos < len(raw):
+        fnl = raw.index(b"\n", pos)
+        if raw[pos : pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        pos = fnl + 1
+        y = np.frombuffer(raw, np.uint8, ysz, pos).reshape(h, w)
+        u = np.frombuffer(raw, np.uint8, csz, pos + ysz).reshape(h // 2, w // 2)
+        v = np.frombuffer(raw, np.uint8, csz, pos + ysz + csz).reshape(
+            h // 2, w // 2
+        )
+        frames.append((y, u, v))
+        pos += ysz + 2 * csz
+    return frames, w, h
+
+
+def _y4m_planes(doc_id: int) -> list:
+    """Deterministic closed-form video for doc_id: n = 2 + id%5 frames
+    of w = 8 + 2·(id%5), h = 8 + 2·(id%4); Y[f,y,x] = (id·3 + f·17 +
+    y·5 + x·7) mod 256, U[f,cy,cx] = (id + f·29 + cy·3 + cx) mod 256,
+    V = (U + 64) mod 256 — all SQL-regenerable."""
+    w = 8 + 2 * (doc_id % 5)
+    h = 8 + 2 * (doc_id % 4)
+    n = 2 + doc_id % 5
+    ys = np.arange(h, dtype=np.int64)[:, None] * 5
+    xs = np.arange(w, dtype=np.int64)[None, :] * 7
+    cys = np.arange(h // 2, dtype=np.int64)[:, None] * 3
+    cxs = np.arange(w // 2, dtype=np.int64)[None, :]
+    frames = []
+    for f in range(n):
+        y = ((doc_id * 3 + f * 17 + ys + xs) % 256).astype(np.uint8)
+        u = ((doc_id + f * 29 + cys + cxs) % 256).astype(np.uint8)
+        v = ((doc_id + f * 29 + cys + cxs + 64) % 256).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def synthesize_y4m_media(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    def make(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = [encode_y4m(_y4m_planes(int(i))) for i in ids]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    return docs.map_batches(make, batch_format="pyarrow", batch_size=256)
+
+
+class Y4mFrameSampler:
+    """REAL video decode + frame sampling: parse the Y4M stream, keep
+    every ``stride``-th frame, emit one row per SAMPLED frame with
+    exact plane sums — the flat_map layout FrameSampler stubs, now
+    filled with genuinely decoded pixel data."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, sy, su, sv = [], [], [], [], []
+        for mid, buf in zip(t["media_id"], t["payload"]):
+            frames, w, h = decode_y4m(buf.as_py())
+            for f in range(0, len(frames), self.stride):
+                y, u, v = frames[f]
+                ids.append(mid.as_py())
+                fidx.append(f)
+                sy.append(int(y.astype(np.int64).sum()))
+                su.append(int(u.astype(np.int64).sum()))
+                sv.append(int(v.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_index": pa.array(fidx, type=pa.int64()),
+                "sum_y": pa.array(sy, type=pa.int64()),
+                "sum_u": pa.array(su, type=pa.int64()),
+                "sum_v": pa.array(sv, type=pa.int64()),
+            }
+        )
+
+
 def media_features(
     docs: "ray.data.Dataset",
     decoder: type = FakeDecoder,

@@ -270,3 +270,53 @@ def test_wav_decode_rejects_malformed():
     struct.pack_into("<H", good, 22, 2)  # claim stereo
     with pytest.raises(ValueError, match="mono"):
         decode_wav16(bytes(good))
+
+
+def test_y4m_codec_roundtrip_and_golden():
+    """encode_y4m/decode_y4m roundtrip, plus a hand-built YUV4MPEG2
+    stream (real header grammar: tagged params in one ASCII line, FRAME
+    markers, planar C420 layout) pins the parser against the spec."""
+    import numpy as np
+
+    from cosmwasm_etl_ray.stages.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(13)
+    frames = [
+        (
+            rng.integers(0, 256, (4, 6), dtype=np.uint8),
+            rng.integers(0, 256, (2, 3), dtype=np.uint8),
+            rng.integers(0, 256, (2, 3), dtype=np.uint8),
+        )
+        for _ in range(3)
+    ]
+    got, w, h = decode_y4m(encode_y4m(frames, fps=30))
+    assert (w, h) == (6, 4) and len(got) == 3
+    for (gy, gu, gv), (y, u, v) in zip(got, frames):
+        assert np.array_equal(gy, y) and np.array_equal(gu, u)
+        assert np.array_equal(gv, v)
+
+    # golden: 2x2 single frame, written byte-by-byte
+    raw = (
+        b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\n"
+        + b"FRAME\n"
+        + bytes([1, 2, 3, 4])  # Y plane row-major
+        + bytes([9])           # U (1x1)
+        + bytes([7])           # V (1x1)
+    )
+    fr, w, h = decode_y4m(raw)
+    assert (w, h) == (2, 2) and len(fr) == 1
+    assert fr[0][0].tolist() == [[1, 2], [3, 4]]
+    assert fr[0][1].tolist() == [[9]] and fr[0][2].tolist() == [[7]]
+
+
+def test_y4m_decode_rejects_malformed():
+    import pytest
+
+    from cosmwasm_etl_ray.stages.multimodal import decode_y4m
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"MPEG4 W2 H2\nFRAME\n" + bytes(6))
+    with pytest.raises(ValueError, match="C420"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(12))
+    with pytest.raises(ValueError, match="FRAME"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C420\nXRAME\n" + bytes(6))
