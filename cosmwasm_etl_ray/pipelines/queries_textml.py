@@ -679,6 +679,27 @@ def media_y4m_frames(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_png_stats(sf_dir: str) -> "ray.data.Dataset":
+    """REAL COMPRESSED image decode through the gate: payloads are
+    spec-compliant PNGs (CRC-framed chunks, per-row predictive filters,
+    stdlib-zlib DEFLATE — stages/multimodal.py encode_png_rgb8), with
+    the filter type cycled per row/doc so the corpus exercises every
+    unfilter branch (None/Sub/Up/Average/Paeth). The actor-pool
+    PngDecoder verifies CRCs, inflates and unfilters, and the DECODED
+    per-channel sums hash-check against a DuckDB twin regenerating the
+    closed-form pixel field — a bug anywhere in chunk framing, filter
+    math, or the inflate round-trip flips the sums."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        PngDecoder,
+        synthesize_png_media,
+    )
+
+    media = synthesize_png_media(_docs(sf_dir))
+    return media.map_batches(
+        PngDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -943,6 +964,7 @@ QUERIES = {
     "media_meta": media_meta,
     "media_resize": media_resize,
     "media_bmp_stats": media_bmp_stats,
+    "media_png_stats": media_png_stats,
     "media_bmp_resize": media_bmp_resize,
     "media_wav_stats": media_wav_stats,
     "media_y4m_frames": media_y4m_frames,
@@ -1227,6 +1249,23 @@ FROM documents d
 CROSS JOIN range(14) t(y)
 CROSS JOIN range(16) s(x)
 WHERE t.y < 8 + d.doc_id % 7 AND s.x < 8 + d.doc_id % 9
+GROUP BY d.doc_id
+""",
+    # REAL PNG decode twin: regenerate the closed-form pixel field
+    # ((id·5 + y·7 + x·11 + c·13) mod 256) and aggregate — equals the
+    # engine's sums over pixels decoded back through CRC-checked
+    # chunks, inflate, and all five unfilter branches
+    "media_png_stats": """
+SELECT d.doc_id AS media_id,
+       CAST(9 + d.doc_id % 8 AS BIGINT) AS width,
+       CAST(9 + d.doc_id % 6 AS BIGINT) AS height,
+       CAST(sum((d.doc_id * 5 + t.y * 7 + s.x * 11) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((d.doc_id * 5 + t.y * 7 + s.x * 11 + 13) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((d.doc_id * 5 + t.y * 7 + s.x * 11 + 26) % 256) AS BIGINT) AS sum_b
+FROM documents d
+CROSS JOIN range(15) t(y)
+CROSS JOIN range(17) s(x)
+WHERE t.y < 9 + d.doc_id % 6 AND s.x < 9 + d.doc_id % 8
 GROUP BY d.doc_id
 """,
     # 2-D nearest-neighbor resize twin: same (ty*h)//16, (tx*w)//16

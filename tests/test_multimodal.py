@@ -320,3 +320,125 @@ def test_y4m_decode_rejects_malformed():
         decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(12))
     with pytest.raises(ValueError, match="FRAME"):
         decode_y4m(b"YUV4MPEG2 W2 H2 C420\nXRAME\n" + bytes(6))
+
+
+def test_png_codec_roundtrip_all_modes():
+    """encode_png_rgb8/decode_png_rgb8 are exact inverses for every
+    filter strategy (adaptive, each fixed filter 0-4, cycled) across
+    random sizes — each mode forces its unfilter branch to run."""
+    import numpy as np
+
+    from cosmwasm_etl_ray.stages.multimodal import decode_png_rgb8, encode_png_rgb8
+
+    rng = np.random.default_rng(11)
+    for mode in ["adaptive", 0, 1, 2, 3, 4, ("cycle", 5)]:
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png_rgb8(encode_png_rgb8(px, mode)), px), mode
+
+
+def test_png_adaptive_filter_actually_compresses():
+    """The MSAD heuristic must beat filter-None on a smooth gradient —
+    i.e. the predictive filters are real, not pass-through."""
+    from cosmwasm_etl_ray.stages.multimodal import _png_pixels, encode_png_rgb8
+
+    px = _png_pixels(12345)
+    assert len(encode_png_rgb8(px, "adaptive")) < len(encode_png_rgb8(px, 0)) / 2
+
+
+def test_png_decode_golden_bytes():
+    """Hand-assembled PNG bytes pin the actual format: big-endian
+    chunk lengths, CRC over tag+body, filter byte per scanline, Up
+    filter adds the previous RECONSTRUCTED row — a self-consistent but
+    spec-wrong codec fails HERE even though roundtrips pass."""
+    import struct
+    import zlib
+
+    from cosmwasm_etl_ray.stages.multimodal import decode_png_rgb8
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 2x2 RGB: row0 = filter 0 (raw), row1 = filter 2 (Up: stored
+    # deltas add to row0's reconstruction)
+    row0 = bytes([0, 10, 20, 30, 40, 50, 60])
+    row1 = bytes([2, 1, 2, 3, 4, 5, 6])
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(row0 + row1))
+        + chunk(b"IEND", b"")
+    )
+    px = decode_png_rgb8(raw)
+    assert px.tolist() == [
+        [[10, 20, 30], [40, 50, 60]],
+        [[11, 22, 33], [44, 55, 66]],
+    ]
+
+
+def test_png_decode_multiple_idat_and_ancillary_chunks():
+    """Spec behaviors beyond our own encoder's output: pixel data split
+    across several IDAT chunks and unknown ancillary chunks (tEXt)
+    interleaved — both must decode identically."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cosmwasm_etl_ray.stages.multimodal import decode_png_rgb8, encode_png_rgb8
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    scan = b""
+    for r in range(5):
+        scan += b"\x00" + px[r].tobytes()
+    comp = zlib.compress(scan)
+    mid = len(comp) // 2
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + chunk(b"tEXt", b"Comment\x00hand-built")
+        + chunk(b"IDAT", comp[:mid])
+        + chunk(b"IDAT", comp[mid:])
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png_rgb8(raw), px)
+    # and our own encoder's output parses too (sanity anchor)
+    assert np.array_equal(decode_png_rgb8(encode_png_rgb8(px)), px)
+
+
+def test_png_decode_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from cosmwasm_etl_ray.stages.multimodal import decode_png_rgb8, encode_png_rgb8
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png_rgb8(b"BM" + b"\x00" * 60)
+    good = bytearray(encode_png_rgb8(np.zeros((2, 2, 3), np.uint8)))
+    bad = good.copy()
+    bad[20] = 99  # corrupt an IHDR byte without fixing the CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_rgb8(bytes(bad))
+    bad = good.copy()
+    bad[24] = 16  # bit depth 16 (with a recomputed CRC it's unsupported)
+    import struct
+    import zlib
+
+    body = bytes(bad[16:29])
+    bad[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png_rgb8(bytes(bad))
