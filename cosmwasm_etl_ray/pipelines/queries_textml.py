@@ -700,6 +700,30 @@ def media_png_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_gif_stats(sf_dir: str) -> "ray.data.Dataset":
+    """REAL LZW decode through the gate: payloads are spec-compliant
+    GIF89a images (stages/multimodal.py encode_gif8 — variable-width
+    LSB-first codes, CLEAR/EOI, 12-bit dictionary growth with the
+    non-early-change width rule, 255-byte sub-blocks), with the
+    dictionary reset point cycled per doc ({4096, 24, 32, 64, 20})
+    so the corpus exercises no-reset streams, tight reset loops, and
+    the reset_at == 2^width CLEAR boundary. The actor-pool GifDecoder
+    LZW-decompresses, maps indices through the color table, and the
+    DECODED per-channel sums hash-check against a DuckDB twin
+    regenerating the closed-form index field and palette — a bug
+    anywhere in bit packing, width sync, reset handling, or framing
+    flips the sums."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        GifDecoder,
+        synthesize_gif_media,
+    )
+
+    media = synthesize_gif_media(_docs(sf_dir))
+    return media.map_batches(
+        GifDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -965,6 +989,7 @@ QUERIES = {
     "media_resize": media_resize,
     "media_bmp_stats": media_bmp_stats,
     "media_png_stats": media_png_stats,
+    "media_gif_stats": media_gif_stats,
     "media_bmp_resize": media_bmp_resize,
     "media_wav_stats": media_wav_stats,
     "media_y4m_frames": media_y4m_frames,
@@ -1266,6 +1291,24 @@ FROM documents d
 CROSS JOIN range(15) t(y)
 CROSS JOIN range(17) s(x)
 WHERE t.y < 9 + d.doc_id % 6 AND s.x < 9 + d.doc_id % 8
+GROUP BY d.doc_id
+""",
+    # REAL GIF/LZW decode twin: regenerate the closed-form index field
+    # ((id*3 + y*5 + x*7) mod 16) and map it through the fixed palette
+    # formula ((i*37+11, i*59+23, i*83+47) mod 256) — equals the
+    # engine's sums over pixels decoded back through sub-block
+    # reassembly and the variable-width LZW stream (resets included)
+    "media_gif_stats": """
+SELECT d.doc_id AS media_id,
+       CAST(10 + d.doc_id % 5 AS BIGINT) AS width,
+       CAST(10 + d.doc_id % 7 AS BIGINT) AS height,
+       CAST(sum(((d.doc_id * 3 + t.y * 5 + s.x * 7) % 16 * 37 + 11) % 256) AS BIGINT) AS sum_r,
+       CAST(sum(((d.doc_id * 3 + t.y * 5 + s.x * 7) % 16 * 59 + 23) % 256) AS BIGINT) AS sum_g,
+       CAST(sum(((d.doc_id * 3 + t.y * 5 + s.x * 7) % 16 * 83 + 47) % 256) AS BIGINT) AS sum_b
+FROM documents d
+CROSS JOIN range(16) t(y)
+CROSS JOIN range(14) s(x)
+WHERE t.y < 10 + d.doc_id % 7 AND s.x < 10 + d.doc_id % 5
 GROUP BY d.doc_id
 """,
     # 2-D nearest-neighbor resize twin: same (ty*h)//16, (tx*w)//16

@@ -177,8 +177,9 @@ class FakeResizer:
 # the payload bytes are a spec-compliant BMP (any image viewer opens them),
 # the decoder parses the real header and pixel layout (bottom-up rows, BGR
 # channel order, 4-byte row stride padding), and the resize is a real 2-D
-# nearest-neighbor over decoded pixels. Formats that need compression
-# libraries (JPEG/PNG/audio/video) remain behind DecodeStub.
+# nearest-neighbor over decoded pixels. Later sessions added real
+# WAV/Y4M/PNG/GIF codecs below; only lossy formats (JPEG, compressed
+# video) remain behind DecodeStub.
 # ---------------------------------------------------------------------------
 
 _BMP_HEADER_LEN = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
@@ -788,6 +789,332 @@ class PngDecoder:
             ids.append(mid.as_py())
             hs.append(px.shape[0])
             ws.append(px.shape[1])
+            s = px.sum(axis=(0, 1))
+            sr.append(int(s[0]))
+            sg.append(int(s[1]))
+            sb.append(int(s[2]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+                "sum_r": pa.array(sr, type=pa.int64()),
+                "sum_g": pa.array(sg, type=pa.int64()),
+                "sum_b": pa.array(sb, type=pa.int64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------
+# REAL GIF89a codec (palette-indexed, LZW-compressed). PNG's entropy
+# stage came from stdlib zlib; GIF's LZW has no stdlib implementation,
+# so this is the codec family's from-scratch compression stage:
+# variable-width codes (LSB-first bit packing), CLEAR/EOI control
+# codes, dictionary growth to 12 bits with the GIF (non-early-change)
+# width rule, mid-stream table resets, and 255-byte sub-block framing.
+# Width synchronization invariant (load-bearing, pinned by the golden
+# test): the encoder emits each code BEFORE adding its new table
+# entry, so at every emission the encoder's table is exactly one
+# entry ahead of the decoder's — encoder bumps width when
+# next_code > 2^w after an add; decoder bumps when the entry it just
+# added has code 2^w - 1; these agree at every emission point. An
+# early CLEAR (reset_at < 4096) must apply the encoder's bump rule
+# *virtually* (no entry is added) or the decoder — which bumps after
+# adding the entry the encoder skipped — reads the CLEAR at the wrong
+# width when reset_at == 2^w. (Reference treats media as opaque
+# bytes — collector/datastore stores payloads uninterpreted; the codec
+# family follows the round-3 VERDICT multimodal item.)
+
+
+def _lzw_encode_gif(symbols: "np.ndarray", mcs: int, reset_at: int = 4096) -> bytes:
+    """GIF LZW-compress a 1-D uint8 symbol array (values < 2^mcs).
+
+    reset_at: emit a CLEAR and reset the dictionary when next_code
+    reaches this (4096 = spec maximum; smaller values exercise the
+    reset path on small inputs). Must be >= 2^mcs + 3 so at least one
+    entry fits between resets.
+    """
+    clear = 1 << mcs
+    eoi = clear + 1
+    if reset_at < clear + 3:
+        raise ValueError(f"reset_at {reset_at} < {clear + 3} leaves no table room")
+    reset_at = min(reset_at, 4096)
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    width = mcs + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear, width)
+    prefix = -1
+    for s in symbols:
+        s = int(s)
+        if prefix < 0:
+            prefix = s
+            continue
+        got = table.get((prefix, s), -1)
+        if got >= 0:
+            prefix = got
+            continue
+        emit(prefix, width)
+        if next_code < reset_at:
+            table[(prefix, s)] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:
+            # virtual bump: the decoder adds the entry we skipped and
+            # bumps before reading this CLEAR when reset_at == 2^w
+            cw = width
+            if next_code + 1 > (1 << cw) and cw < 12:
+                cw += 1
+            emit(clear, cw)
+            table.clear()
+            next_code = eoi + 1
+            width = mcs + 1
+        prefix = s
+    if prefix >= 0:
+        emit(prefix, width)
+    emit(eoi, width)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int) -> bytes:
+    """Inverse of _lzw_encode_gif: variable-width LSB-first codes,
+    CLEAR resets, the KwKwK (code == next slot) case, 12-bit cap.
+    Strict: out-of-range codes, truncation before EOI, or a first
+    code that is not a literal all raise."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    literals = [bytes([i]) for i in range(clear)]
+    acc = 0
+    accbits = 0
+    pos = 0
+    n = len(data)
+
+    def read(width: int) -> int:
+        nonlocal acc, accbits, pos
+        while accbits < width:
+            if pos >= n:
+                raise ValueError("GIF LZW stream ended before EOI")
+            acc |= data[pos] << accbits
+            pos += 1
+            accbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        accbits -= width
+        return code
+
+    width = mcs + 1
+    table = list(literals) + [b"", b""]  # CLEAR/EOI placeholders
+    out = bytearray()
+    prev = b""
+    while True:
+        code = read(width)
+        if code == clear:
+            table = list(literals) + [b"", b""]
+            width = mcs + 1
+            prev = b""
+            continue
+        if code == eoi:
+            return bytes(out)
+        if not prev:
+            if code >= clear:
+                raise ValueError(f"GIF LZW first code {code} not a literal")
+            entry = table[code]
+        elif code < len(table):
+            if code == clear or code == eoi:  # unreachable, guarded above
+                raise ValueError("control code in data position")
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table ({len(table)})")
+        out += entry
+        if prev:
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) - 1 == (1 << width) - 1 and width < 12:
+                    width += 1
+        prev = entry
+
+
+def encode_gif8(idx: "np.ndarray", palette: "np.ndarray", reset_at: int = 4096) -> bytes:
+    """Encode an (H, W) uint8 palette-index array + (P, 3) uint8
+    palette as a real single-frame GIF89a: logical screen descriptor,
+    global color table (padded to a power of two), image descriptor,
+    LZW-compressed indices in 255-byte sub-blocks, trailer."""
+    import struct
+
+    if idx.ndim != 2 or idx.dtype != np.uint8:
+        raise ValueError(f"expected (H, W) uint8 indices, got {idx.shape} {idx.dtype}")
+    p = len(palette)
+    if not 2 <= p <= 256:
+        raise ValueError(f"palette size {p} outside [2, 256]")
+    if idx.size and int(idx.max()) >= p:
+        raise ValueError("index beyond palette")
+    h, w = idx.shape
+    bits = max((p - 1).bit_length(), 1)
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (7 << 4) | (bits - 1), 0, 0])
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[:p] = palette
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([mcs])
+    data = _lzw_encode_gif(idx.ravel(), mcs, reset_at)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif8(raw: bytes) -> tuple["np.ndarray", "np.ndarray"]:
+    """Decode a single-frame GIF87a/89a to (indices (H, W) uint8,
+    palette (P, 3) uint8). Walks extension blocks per spec (skipped),
+    supports a local color table overriding the global one, rejects
+    interlace, missing color tables, size mismatches, and truncation —
+    malformed payloads raise (the quarantine path's job)."""
+    import struct
+
+    if raw[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    try:
+        return _decode_gif8_body(raw)
+    except (IndexError, struct.error) as e:  # truncated payload
+        raise ValueError(f"truncated GIF payload: {e}") from e
+
+
+def _decode_gif8_body(raw: bytes) -> tuple["np.ndarray", "np.ndarray"]:
+    import struct
+
+    sw, sh = struct.unpack_from("<HH", raw, 6)
+    packed, _bg, _aspect = raw[10], raw[11], raw[12]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(raw[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(raw):
+        block = raw[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF trailer before any image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", raw, pos)
+        ipacked = raw[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(raw[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        mcs = raw[pos]
+        pos += 1
+        chunks = []
+        while raw[pos] != 0:
+            ln = raw[pos]
+            chunks.append(raw[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        sym = _lzw_decode_gif(b"".join(chunks), mcs)
+        if len(sym) != w * h:
+            raise ValueError(f"GIF pixel count {len(sym)} != {w}x{h}")
+        idx = np.frombuffer(sym, dtype=np.uint8).reshape(h, w)
+        if idx.size and int(idx.max()) >= len(palette):
+            raise ValueError("decoded index beyond color table")
+        return idx, palette.copy()
+    raise ValueError("GIF ended without image data")
+
+
+_GIF_PALETTE = np.stack(
+    [
+        (np.arange(16, dtype=np.int64) * 37 + 11) % 256,
+        (np.arange(16, dtype=np.int64) * 59 + 23) % 256,
+        (np.arange(16, dtype=np.int64) * 83 + 47) % 256,
+    ],
+    axis=1,
+).astype(np.uint8)
+
+
+def _gif_indices(doc_id: int) -> "np.ndarray":
+    """Deterministic synthetic index field — closed form
+    ((id*3 + y*5 + x*7) mod 16), SQL-regenerable through the fixed
+    16-color palette formula (i*37+11, i*59+23, i*83+47) mod 256."""
+    h = 10 + doc_id % 7
+    w = 10 + doc_id % 5
+    y = np.arange(h, dtype=np.int64)[:, None] * 5
+    x = np.arange(w, dtype=np.int64)[None, :] * 7
+    return ((doc_id * 3 + y + x) % 16).astype(np.uint8)
+
+
+def synthesize_gif_media(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """REAL LZW-compressed media table: payload = spec-compliant GIF89a
+    of the deterministic index field. reset_at cycles per doc across
+    {4096, 24, 32, 64, 20} so the gate corpus exercises no-reset
+    streams, tight reset loops, and the reset_at == 2^width boundary
+    (the virtual-bump CLEAR path)."""
+    resets = (4096, 24, 32, 64, 20)
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = [
+            encode_gif8(
+                _gif_indices(int(i)), _GIF_PALETTE, reset_at=resets[int(i) % 5]
+            )
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    return docs.map_batches(make, batch_format="pyarrow", batch_size=512)
+
+
+class GifDecoder:
+    """REAL LZW decode stage: parse framing, LZW-decompress the index
+    stream, map through the color table, emit exact per-channel int
+    sums of the DECODED pixels — same actor contract as PngDecoder.
+    Entropy decode is inherently sequential per payload (as PNG's
+    inflate is); the scale axis is payloads-per-batch across the
+    actor pool."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+        for mid, buf in zip(t["media_id"], t["payload"]):
+            idx, pal = decode_gif8(buf.as_py())
+            px = pal[idx].astype(np.int64)
+            ids.append(mid.as_py())
+            hs.append(idx.shape[0])
+            ws.append(idx.shape[1])
             s = px.sum(axis=(0, 1))
             sr.append(int(s[0]))
             sg.append(int(s[1]))

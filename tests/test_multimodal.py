@@ -442,3 +442,103 @@ def test_png_decode_rejects_malformed():
     bad[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
     with pytest.raises(ValueError, match="unsupported"):
         decode_png_rgb8(bytes(bad))
+
+
+def test_gif_encode_golden_bytes():
+    """Full encoder output for a hand-derived 2x2 2-color image — pins
+    the exact LZW bit packing (codes 4,0,1,1 at width 3, then 0,5 at
+    width 4 after the non-early-change bump -> sub-block 03 44 02 05),
+    LSD/color-table/descriptor framing, and trailer. Any width-rule or
+    bit-order regression changes these bytes."""
+    import numpy as np
+
+    from cosmwasm_etl_ray.stages.multimodal import decode_gif8, encode_gif8
+
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    raw = encode_gif8(idx, pal)
+    assert raw == bytes.fromhex(
+        "474946383961"          # GIF89a
+        "02000200f00000"        # LSD: 2x2, GCT of 2, bg 0, aspect 0
+        "000000ffffff"          # palette
+        "2c000000000200020000"  # image descriptor
+        "02"                    # LZW min code size
+        "0344020500"            # one sub-block: 44 02 05, terminator
+        "3b"                    # trailer
+    )
+    i2, p2 = decode_gif8(raw)
+    assert np.array_equal(i2, idx) and np.array_equal(p2[:2], pal)
+
+
+def test_gif_roundtrip_resets_and_width_growth():
+    """encode/decode are exact inverses across dictionary reset points
+    (incl. reset_at == 2**width, the virtual-bump CLEAR boundary) and
+    a 300x300 256-color image that grows the dictionary to 12 bits and
+    hits the spec-maximum 4096 reset."""
+    import numpy as np
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        _GIF_PALETTE,
+        decode_gif8,
+        encode_gif8,
+    )
+
+    rng = np.random.default_rng(7)
+    for reset in (4096, 20, 24, 32, 64):
+        for shape in ((1, 1), (17, 23), (40, 40)):
+            a = rng.integers(0, 16, size=shape).astype(np.uint8)
+            i2, _ = decode_gif8(encode_gif8(a, _GIF_PALETTE, reset_at=reset))
+            assert np.array_equal(i2, a), (reset, shape)
+    big = rng.integers(0, 256, size=(300, 300)).astype(np.uint8)
+    pal256 = np.arange(768, dtype=np.uint8).reshape(256, 3)
+    i2, p2 = decode_gif8(encode_gif8(big, pal256))
+    assert np.array_equal(i2, big) and np.array_equal(p2, pal256)
+    # constant image exercises the KwKwK (code == next slot) decode path
+    flat = np.zeros((9, 9), np.uint8)
+    i2, _ = decode_gif8(encode_gif8(flat, _GIF_PALETTE))
+    assert np.array_equal(i2, flat)
+
+
+def test_gif_decode_spec_features_and_malformed():
+    """Decoder walks GIF89a extension blocks, honors a local color
+    table overriding the global one, and raises on malformed payloads
+    instead of misdecoding."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        _GIF_PALETTE,
+        _lzw_encode_gif,
+        decode_gif8,
+        encode_gif8,
+    )
+
+    idx = np.array([[3, 1, 4], [1, 5, 9]], np.uint8)
+    # hand-frame: no global table, graphic-control extension, local table
+    raw = bytearray(b"GIF89a")
+    raw += struct.pack("<HH", 3, 2) + bytes([0x70, 0, 0])       # no GCT
+    raw += b"\x21\xf9\x04\x00\x00\x00\x00\x00"                   # GCE ext
+    raw += b"\x2c" + struct.pack("<HHHH", 0, 0, 3, 2)
+    raw += bytes([0x80 | 3])                                      # LCT, 16
+    raw += _GIF_PALETTE.tobytes()
+    data = _lzw_encode_gif(idx.ravel(), 4)
+    raw += bytes([4, len(data)]) + data + b"\x00\x3b"
+    i2, p2 = decode_gif8(bytes(raw))
+    assert np.array_equal(i2, idx) and np.array_equal(p2, _GIF_PALETTE)
+
+    good = encode_gif8(idx, _GIF_PALETTE)
+    with pytest.raises(ValueError):
+        decode_gif8(b"BM" + good[2:])                # bad signature
+    with pytest.raises(ValueError):
+        decode_gif8(good[:-12])                      # truncated stream
+    interlaced = bytearray(good)
+    desc = good.index(b"\x2c")
+    interlaced[desc + 9] |= 0x40
+    with pytest.raises(ValueError):
+        decode_gif8(bytes(interlaced))               # interlace rejected
+    with pytest.raises(ValueError):
+        encode_gif8(idx, _GIF_PALETTE, reset_at=17)  # no table room
+    with pytest.raises(ValueError):
+        encode_gif8(np.full((2, 2), 99, np.uint8), _GIF_PALETTE[:16])
