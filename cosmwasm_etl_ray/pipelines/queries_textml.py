@@ -724,6 +724,28 @@ def media_gif_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_jpeg_stats(sf_dir: str) -> "ray.data.Dataset":
+    """REAL entropy-coded-DCT decode through the gate: payloads are
+    spec-compliant baseline JPEGs (stages/multimodal.py
+    encode_jpeg_gray — marker framing, canonical Huffman tables
+    carried in DHT, zigzag, DC prediction, byte stuffing, vectorized
+    DCT). The corpus is block-constant, which roundtrips the lossy
+    codec EXACTLY (only DC coefficients survive and the DC quantizer
+    equals the DCT's DC gain), so the actor-pool JpegDecoder's decoded
+    pixel sums hash-check against a DuckDB twin regenerating the
+    closed-form per-block field — a bug anywhere in Huffman decode,
+    DC prediction, dequant, dezigzag, or the IDCT flips the sums."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        JpegDecoder,
+        synthesize_jpeg_media,
+    )
+
+    media = synthesize_jpeg_media(_docs(sf_dir))
+    return media.map_batches(
+        JpegDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -990,6 +1012,7 @@ QUERIES = {
     "media_bmp_stats": media_bmp_stats,
     "media_png_stats": media_png_stats,
     "media_gif_stats": media_gif_stats,
+    "media_jpeg_stats": media_jpeg_stats,
     "media_bmp_resize": media_bmp_resize,
     "media_wav_stats": media_wav_stats,
     "media_y4m_frames": media_y4m_frames,
@@ -1309,6 +1332,20 @@ FROM documents d
 CROSS JOIN range(16) t(y)
 CROSS JOIN range(14) s(x)
 WHERE t.y < 10 + d.doc_id % 7 AND s.x < 10 + d.doc_id % 5
+GROUP BY d.doc_id
+""",
+    # REAL JPEG decode twin: the gate corpus is constant per 8x8 block
+    # ((id*7 + (y//8)*13 + (x//8)*29) mod 256), which survives the
+    # lossy DCT path exactly — regenerate the field and sum
+    "media_jpeg_stats": """
+SELECT d.doc_id AS media_id,
+       CAST(9 + d.doc_id % 7 AS BIGINT) AS width,
+       CAST(11 + d.doc_id % 6 AS BIGINT) AS height,
+       CAST(sum((d.doc_id * 7 + (t.y // 8) * 13 + (s.x // 8) * 29) % 256) AS BIGINT) AS sum_gray
+FROM documents d
+CROSS JOIN range(16) t(y)
+CROSS JOIN range(15) s(x)
+WHERE t.y < 11 + d.doc_id % 6 AND s.x < 9 + d.doc_id % 7
 GROUP BY d.doc_id
 """,
     # 2-D nearest-neighbor resize twin: same (ty*h)//16, (tx*w)//16

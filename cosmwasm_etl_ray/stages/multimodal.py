@@ -178,8 +178,8 @@ class FakeResizer:
 # the decoder parses the real header and pixel layout (bottom-up rows, BGR
 # channel order, 4-byte row stride padding), and the resize is a real 2-D
 # nearest-neighbor over decoded pixels. Later sessions added real
-# WAV/Y4M/PNG/GIF codecs below; only lossy formats (JPEG, compressed
-# video) remain behind DecodeStub.
+# WAV/Y4M/PNG/GIF/JPEG codecs below; only compressed video remains
+# behind DecodeStub.
 # ---------------------------------------------------------------------------
 
 _BMP_HEADER_LEN = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
@@ -1127,5 +1127,408 @@ class GifDecoder:
                 "sum_r": pa.array(sr, type=pa.int64()),
                 "sum_g": pa.array(sg, type=pa.int64()),
                 "sum_b": pa.array(sb, type=pa.int64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------
+# REAL baseline JPEG codec (grayscale, ITU-T T.81): SOI/APP0/DQT/SOF0/
+# DHT/SOS/EOI marker framing, canonical Huffman tables carried in DHT
+# and rebuilt by the decoder (Annex C code generation / Annex F
+# decode), zigzag scan, DC prediction with one's-complement amplitude
+# coding, (run, size) AC coding with ZRL/EOB, 0xFF byte stuffing,
+# MSB-first bit packing, vectorized forward/inverse DCT over the block
+# axis. JPEG is lossy in general, but block-constant inputs roundtrip
+# EXACTLY (their DCT has only a DC term and the DC quantizer is 8 =
+# the DCT's own DC gain, so quantize/dequantize is the identity) —
+# which is what lets the gate hash-check real entropy-decoded output
+# against a closed-form SQL twin. (Reference treats media as opaque
+# bytes; codec family per the round-3 VERDICT multimodal item.)
+
+
+def _jpeg_zigzag() -> "np.ndarray":
+    order = []
+    for s in range(15):
+        rng = range(s + 1)
+        for i in (rng if s % 2 else reversed(rng)):
+            j = s - i
+            if i < 8 and j < 8:
+                order.append(i * 8 + j)
+    return np.array(order, dtype=np.int64)
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+_JPEG_DCT = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else 0.5)
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+# DC quant 8 == the DCT DC gain -> flat blocks quantize losslessly;
+# AC quants grow with frequency like the Annex K example tables do
+_JPEG_QUANT = (8 + 2 * (np.arange(8)[:, None] + np.arange(8)[None, :])).astype(
+    np.uint8
+)
+_JPEG_QUANT[0, 0] = 8
+# canonical tables: 12 DC size symbols at length 4 (codes 0..11),
+# 162 AC symbols at length 8 (codes 0..161) — valid Kraft sums, no
+# all-ones code, carried explicitly in DHT so the decoder's Annex-C
+# rebuild is exercised, not assumed
+_JPEG_DC_BITS = [0] * 16
+_JPEG_DC_BITS[3] = 12  # BITS[4] 1-indexed
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0] * 16
+_JPEG_AC_BITS[7] = 162
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Annex C canonical code generation: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _jpeg_amplitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits): one's-complement negative coding."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg_gray(px: "np.ndarray") -> bytes:
+    """Encode an (H, W) uint8 grayscale image as a real baseline JPEG
+    (SOF0, one component, no subsampling, no restart intervals)."""
+    import struct
+
+    if px.ndim != 2 or px.dtype != np.uint8:
+        raise ValueError(f"expected (H, W) uint8 gray, got {px.shape} {px.dtype}")
+    h, w = px.shape
+    if not h or not w:
+        raise ValueError("empty image")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        pad.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coef = np.einsum("ij,bjk,lk->bil", _JPEG_DCT, blocks, _JPEG_DCT)
+    q = np.round(coef / _JPEG_QUANT).astype(np.int64)
+    zz = q.reshape(-1, 64)[:, _JPEG_ZZ]
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    pred = 0
+    for blk in zz:
+        s, amp = _jpeg_amplitude(int(blk[0]) - pred)
+        pred = int(blk[0])
+        bw.put(*dc_codes[s])
+        if s:
+            bw.put(amp, s)
+        run = 0
+        last = 63
+        while last > 0 and blk[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                bw.put(*ac_codes[0xF0])  # ZRL
+                run -= 16
+            s, amp = _jpeg_amplitude(v)
+            bw.put(*ac_codes[(run << 4) | s])
+            bw.put(amp, s)
+            run = 0
+        if last < 63:
+            bw.put(*ac_codes[0x00])  # EOB
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+    out += bytes(_JPEG_QUANT.reshape(64)[_JPEG_ZZ])  # DQT, zigzag order
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    dht = bytearray()
+    dht += b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht += b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first entropy-segment reader with 0xFF-stuffing removal."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xff{nxt:02x} in entropy data"
+                        if nxt is not None
+                        else "JPEG entropy stream truncated"
+                    )
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | self.read(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _jpeg_extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def decode_jpeg_gray(raw: bytes) -> "np.ndarray":
+    """Decode a baseline grayscale JPEG to (H, W) uint8: walk markers
+    (APPn/COM skipped per spec), rebuild Huffman tables from DHT via
+    the canonical Annex-C construction, entropy-decode with byte
+    unstuffing and DC prediction, dequantize, dezigzag, inverse DCT,
+    level-shift, clamp, crop to the SOF0 dimensions. Strict: bad
+    signature, progressive/multi-component/12-bit streams, restart
+    intervals, bad Huffman codes, and truncation all raise."""
+    import struct
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    try:
+        return _decode_jpeg_body(raw)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated JPEG payload: {e}") from e
+
+
+def _decode_jpeg_body(raw: bytes) -> "np.ndarray":
+    import struct
+
+    pos = 2
+    quant: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    dims = None
+    comp_tq = 0
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got 0x{raw[pos]:02x}")
+        marker = raw[pos + 1]
+        (seglen,) = struct.unpack_from(">H", raw, pos + 2)
+        body = raw[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker in (0xC1, 0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xC4, 0xCC):
+            raise ValueError(f"unsupported JPEG process (SOF{marker - 0xC0})")
+        if marker == 0xDD:
+            if body[:2] != b"\x00\x00":
+                raise ValueError("restart intervals unsupported")
+            continue
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_JPEG_ZZ] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                quant[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                codes = _huff_codes(bits, vals)
+                huff[(tc, th)] = {(ln, c): sym for sym, (c, ln) in codes.items()}
+                i += 17 + nv
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 1:
+                raise ValueError(
+                    f"only 8-bit single-component baseline supported (got {prec}-bit, {nc} components)"
+                )
+            if body[7] != 0x11:
+                raise ValueError("subsampled component unsupported")
+            comp_tq = body[8]
+            dims = (h, w)
+        elif marker == 0xDA:
+            if dims is None:
+                raise ValueError("SOS before SOF0")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            if (0, td) not in huff or (1, ta) not in huff:
+                raise ValueError("SOS references missing Huffman table")
+            if comp_tq not in quant:
+                raise ValueError("SOS references missing quant table")
+            return _jpeg_scan(
+                raw, pos, dims, quant[comp_tq], huff[(0, td)], huff[(1, ta)]
+            )
+        elif marker == 0xD9:
+            break
+        # APPn / COM / others: skipped by the length walk
+    raise ValueError("JPEG ended without scan data")
+
+
+def _jpeg_scan(raw, pos, dims, qtbl, dc_tbl, ac_tbl) -> "np.ndarray":
+    h, w = dims
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    br = _JpegBitReader(raw, pos)
+    zz = np.zeros((bh * bw_, 64), dtype=np.int64)
+    pred = 0
+    for b in range(bh * bw_):
+        s = br.huff(dc_tbl)
+        pred += _jpeg_extend(br.read(s), s) if s else 0
+        zz[b, 0] = pred
+        k = 1
+        while k < 64:
+            sym = br.huff(ac_tbl)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63 or size == 0:
+                raise ValueError("corrupt JPEG AC run")
+            zz[b, k] = _jpeg_extend(br.read(size), size)
+            k += 1
+    coef = np.zeros((bh * bw_, 64), dtype=np.int64)
+    coef[:, _JPEG_ZZ] = zz
+    coef = coef.reshape(-1, 8, 8) * qtbl
+    spatial = np.einsum("ji,bjk,kl->bil", _JPEG_DCT, coef.astype(np.float64), _JPEG_DCT)
+    px = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+    full = (
+        px.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+    )
+    return full[:h, :w].copy()
+
+
+def _jpeg_block_values(doc_id: int) -> tuple[int, int, "np.ndarray"]:
+    """Deterministic block-constant field: (h, w, per-8x8-block values
+    ((id*7 + by*13 + bx*29) mod 256)) — exact through the lossy codec
+    (flat blocks have only a DC coefficient; DC quant is the DCT's DC
+    gain), so the decoded pixels are SQL-regenerable."""
+    h = 11 + doc_id % 6
+    w = 9 + doc_id % 7
+    by = np.arange(-(-h // 8), dtype=np.int64)[:, None] * 13
+    bx = np.arange(-(-w // 8), dtype=np.int64)[None, :] * 29
+    return h, w, ((doc_id * 7 + by + bx) % 256).astype(np.uint8)
+
+
+def synthesize_jpeg_media(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """REAL entropy-coded DCT media table: payload = spec-compliant
+    baseline JPEG of the deterministic block-constant field (exact
+    through the codec — see _jpeg_block_values)."""
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            h, w, vals = _jpeg_block_values(int(i))
+            payloads.append(
+                encode_jpeg_gray(np.kron(vals, np.ones((8, 8), np.uint8))[:h, :w])
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    return docs.map_batches(make, batch_format="pyarrow", batch_size=512)
+
+
+class JpegDecoder:
+    """REAL Huffman+DCT decode stage: entropy-decode, dequantize,
+    inverse-DCT each payload, emit exact int sums of the DECODED
+    pixels — same actor contract as PngDecoder/GifDecoder."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ws, hs, sums = [], [], [], []
+        for mid, buf in zip(t["media_id"], t["payload"]):
+            px = decode_jpeg_gray(buf.as_py()).astype(np.int64)
+            ids.append(mid.as_py())
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            sums.append(int(px.sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+                "sum_gray": pa.array(sums, type=pa.int64()),
             }
         )

@@ -542,3 +542,70 @@ def test_gif_decode_spec_features_and_malformed():
         encode_gif8(idx, _GIF_PALETTE, reset_at=17)  # no table room
     with pytest.raises(ValueError):
         encode_gif8(np.full((2, 2), 99, np.uint8), _GIF_PALETTE[:16])
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """Block-constant images survive the lossy baseline JPEG exactly
+    (only the DC coefficient is nonzero and the DC quantizer equals
+    the DCT's DC gain) — the property the gate oracle relies on.
+    Covers negative DC diffs (one's-complement amplitude coding) and
+    non-multiple-of-8 crops."""
+    import numpy as np
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        bh, bw = rng.integers(1, 4, 2)
+        vals = rng.integers(0, 256, (bh, bw)).astype(np.uint8)
+        full = np.kron(vals, np.ones((8, 8), np.uint8))
+        h = int(bh * 8 - rng.integers(0, 8))
+        w = int(bw * 8 - rng.integers(0, 8))
+        img = full[:h, :w]
+        assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img), trial
+
+
+def test_jpeg_lossy_roundtrip_bounded_and_markers_skipped():
+    """Arbitrary images roundtrip within the quantization error bound
+    (exercises AC runs, ZRL, EOB, byte stuffing); inserted COM/APPn
+    segments are walked per spec; malformed payloads raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        h, w = (int(v) for v in rng.integers(5, 70, 2))
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        dec = decode_jpeg_gray(encode_jpeg_gray(img))
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 120, (trial, err.max())
+    y, x = np.mgrid[0:64, 0:64]
+    smooth = ((y * 2 + x * 2) % 256).astype(np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(smooth))
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 4
+
+    good = encode_jpeg_gray(smooth)
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    with_com = good[:2] + com + good[2:]
+    assert np.array_equal(decode_jpeg_gray(with_com), dec)
+
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"GIF89a" + good[6:])        # no SOI
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(good[:-40])                  # truncated scan
+    sof2 = bytearray(good)
+    sof2[good.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(sof2))                 # progressive
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((0, 4), np.uint8))  # empty
