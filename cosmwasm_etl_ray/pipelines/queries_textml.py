@@ -746,6 +746,31 @@ def media_jpeg_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_avi_frames(sf_dir: str) -> "ray.data.Dataset":
+    """REAL compressed-video decode through the gate: payloads are
+    MJPEG AVIs (stages/multimodal.py encode_avi_mjpeg — RIFF/LIST
+    chunk tree, avih/strh/strf headers, per-frame baseline JPEGs in
+    '00dc' chunks with even-byte padding, idx1 index). The actor-pool
+    AviFrameSampler walks the container, entropy-decodes every 2nd
+    frame only, and the sampled DECODED pixel sums hash-check against
+    a DuckDB twin regenerating the closed-form block-constant frames
+    — container framing, frame sampling, and the full JPEG decode
+    path all sit on the hash."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        AviFrameSampler,
+        synthesize_avi_media,
+    )
+
+    media = synthesize_avi_media(_docs(sf_dir))
+    return media.map_batches(
+        AviFrameSampler,
+        fn_constructor_kwargs={"stride": 2},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -1013,6 +1038,7 @@ QUERIES = {
     "media_png_stats": media_png_stats,
     "media_gif_stats": media_gif_stats,
     "media_jpeg_stats": media_jpeg_stats,
+    "media_avi_frames": media_avi_frames,
     "media_bmp_resize": media_bmp_resize,
     "media_wav_stats": media_wav_stats,
     "media_y4m_frames": media_y4m_frames,
@@ -1347,6 +1373,26 @@ CROSS JOIN range(16) t(y)
 CROSS JOIN range(15) s(x)
 WHERE t.y < 11 + d.doc_id % 6 AND s.x < 9 + d.doc_id % 7
 GROUP BY d.doc_id
+""",
+    # REAL MJPEG-AVI decode twin: every-2nd-frame sample over the
+    # regenerated block-constant frames (exact through the per-frame
+    # JPEG; n_frames = 3 + id%4, sampled = even f < n)
+    "media_avi_frames": """
+WITH dims AS (
+    SELECT doc_id, 11 + doc_id % 6 AS h, 9 + doc_id % 7 AS w,
+           3 + doc_id % 4 AS n FROM documents
+)
+SELECT d.doc_id AS media_id,
+       CAST(d.n AS BIGINT) AS n_frames,
+       CAST((d.n + 1) // 2 AS BIGINT) AS n_sampled,
+       CAST(sum((d.doc_id * 5 + f.f * 17 + (t.y // 8) * 13
+                 + (s.x // 8) * 29) % 256) AS BIGINT) AS sum_gray
+FROM dims d
+CROSS JOIN range(6) f(f)
+CROSS JOIN range(16) t(y)
+CROSS JOIN range(15) s(x)
+WHERE f.f < d.n AND f.f % 2 = 0 AND t.y < d.h AND s.x < d.w
+GROUP BY d.doc_id, d.n
 """,
     # 2-D nearest-neighbor resize twin: same (ty*h)//16, (tx*w)//16
     # source-index math over the regenerated pixels (all non-negative,

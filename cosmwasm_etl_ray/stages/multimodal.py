@@ -63,15 +63,18 @@ def synthesize_media(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 class DecodeStub:
-    """Actor-pool decode stage. Real codecs are unavailable in this
-    container: constructing with use_real_codec=True raises, exactly
-    like a missing-import gate would in production."""
+    """Actor-pool decode stage for codecs NOT implemented in-repo
+    (inter-frame video: H.264-class — everything else has a real codec
+    below: BMP/PNG/GIF/JPEG images, WAV audio, Y4M/MJPEG-AVI video).
+    Constructing with use_real_codec=True raises, exactly like a
+    missing-import gate would in production."""
 
     def __init__(self, use_real_codec: bool = False):
         if use_real_codec:
             raise NotImplementedError(
-                "image/audio codecs are not installed in this environment; "
-                "run with use_real_codec=False for the deterministic fake"
+                "inter-frame video codecs (H.264-class) are not installed in "
+                "this environment; use the in-repo codecs (BMP/PNG/GIF/JPEG/"
+                "WAV/Y4M/MJPEG-AVI) or run with use_real_codec=False"
             )
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -1529,6 +1532,191 @@ class JpegDecoder:
                 "media_id": pa.array(ids, type=pa.int64()),
                 "width": pa.array(ws, type=pa.int64()),
                 "height": pa.array(hs, type=pa.int64()),
+                "sum_gray": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------
+# REAL compressed-video codec: MJPEG in an AVI RIFF container (the
+# classic capture-card interchange format; ffmpeg plays these).
+# Composes the baseline-JPEG codec above with real container framing:
+# RIFF/LIST chunk tree (hdrl: avih + strl[strh 'vids'/'MJPG' + strf
+# BITMAPINFOHEADER], movi: one '00dc' chunk per frame with even-byte
+# padding, idx1 keyframe index). Block-constant frames keep the gate
+# exact through the lossy per-frame DCT (see encode_jpeg_gray). Only
+# inter-frame (H.264-class) codecs remain behind DecodeStub.
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(body) % 2 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def encode_avi_mjpeg(frames: list["np.ndarray"] | "np.ndarray", fps: int = 25) -> bytes:
+    """Encode grayscale frames (each (H, W) uint8, same size) as a
+    spec-compliant MJPEG AVI: every frame is a standalone baseline
+    JPEG inside a '00dc' chunk, with avih/strh/strf headers and a
+    keyframe idx1 index (every MJPEG frame is a keyframe)."""
+    import struct
+
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) or f.dtype != np.uint8 for f in frames):
+        raise ValueError("frames must share (H, W) uint8 shape")
+    payloads = [encode_jpeg_gray(f) for f in frames]
+
+    avih = struct.pack(
+        "<10I",
+        1_000_000 // fps,            # microseconds per frame
+        sum(len(p) for p in payloads) * fps // max(len(payloads), 1),
+        0,
+        0x10,                        # AVIF_HASINDEX
+        len(payloads),
+        0,
+        1,                           # one stream
+        max(len(p) for p in payloads),
+        w,
+        h,
+    ) + b"\x00" * 16
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(payloads),
+                      max(len(p) for p in payloads), 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_chunk(
+        b"LIST",
+        b"hdrl"
+        + _riff_chunk(b"avih", avih)
+        + _riff_chunk(
+            b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+        ),
+    )
+    movi_body = bytearray(b"movi")
+    idx = bytearray()
+    for p in payloads:
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(p))
+        movi_body += _riff_chunk(b"00dc", p)
+    movi = _riff_chunk(b"LIST", bytes(movi_body))
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(raw: bytes, stride: int = 1) -> tuple[list["np.ndarray"], int]:
+    """Decode an MJPEG AVI to (list of every stride-th decoded frame,
+    total frame count). Walks the RIFF chunk tree generically (even-
+    byte padding honored, unknown chunks skipped), requires the MJPG
+    handler, JPEG-decodes only the sampled '00dc' chunks — the frame-
+    sample path never pays for skipped frames' entropy decode."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (bad RIFF signature)")
+    try:
+        return _decode_avi_body(raw, stride)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated AVI payload: {e}") from e
+
+
+def _decode_avi_body(raw: bytes, stride: int) -> tuple[list["np.ndarray"], int]:
+    import struct
+
+    handler = None
+    total_declared = None
+    chunks: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal handler, total_declared
+        while pos + 8 <= end:
+            tag = raw[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", raw, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + ln)
+            elif tag == b"strh":
+                if raw[body_start : body_start + 4] == b"vids":
+                    handler = raw[body_start + 4 : body_start + 8]
+            elif tag == b"avih":
+                (total_declared,) = struct.unpack_from("<I", raw, body_start + 16)
+            elif tag == b"00dc":
+                chunks.append(raw[body_start : body_start + ln])
+            pos = body_start + ln + (ln % 2)
+
+    walk(12, 8 + struct.unpack_from("<I", raw, 4)[0])
+    if handler != b"MJPG":
+        raise ValueError(f"unsupported AVI video handler {handler!r}")
+    if total_declared is not None and total_declared != len(chunks):
+        raise ValueError(
+            f"AVI frame count mismatch: header says {total_declared}, found {len(chunks)}"
+        )
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    return [decode_jpeg_gray(c) for c in chunks[::stride]], len(chunks)
+
+
+def _avi_frames(doc_id: int) -> list["np.ndarray"]:
+    """Deterministic block-constant frames: frame f's 8x8 block (by,bx)
+    is ((id*5 + f*17 + by*13 + bx*29) mod 256) — exact through the
+    per-frame JPEG (see _jpeg_block_values)."""
+    h = 11 + doc_id % 6
+    w = 9 + doc_id % 7
+    n = 3 + doc_id % 4
+    by = np.arange(-(-h // 8), dtype=np.int64)[:, None] * 13
+    bx = np.arange(-(-w // 8), dtype=np.int64)[None, :] * 29
+    out = []
+    for f in range(n):
+        vals = ((doc_id * 5 + f * 17 + by + bx) % 256).astype(np.uint8)
+        out.append(np.kron(vals, np.ones((8, 8), np.uint8))[:h, :w])
+    return out
+
+
+def synthesize_avi_media(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """REAL compressed-video media table: payload = MJPEG AVI of the
+    deterministic block-constant frame stack."""
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = [encode_avi_mjpeg(_avi_frames(int(i))) for i in ids]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    return docs.map_batches(make, batch_format="pyarrow", batch_size=512)
+
+
+class AviFrameSampler:
+    """REAL compressed-video frame-sample stage: walk the container,
+    JPEG-decode every stride-th frame only, emit exact int sums of the
+    sampled decoded pixels + frame counts — same actor contract as
+    Y4mFrameSampler."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, totals, sampled, sums = [], [], [], []
+        for mid, buf in zip(t["media_id"], t["payload"]):
+            frames, total = decode_avi_mjpeg(buf.as_py(), stride=self.stride)
+            ids.append(mid.as_py())
+            totals.append(total)
+            sampled.append(len(frames))
+            sums.append(int(sum(f.astype(np.int64).sum() for f in frames)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "n_frames": pa.array(totals, type=pa.int64()),
+                "n_sampled": pa.array(sampled, type=pa.int64()),
                 "sum_gray": pa.array(sums, type=pa.int64()),
             }
         )

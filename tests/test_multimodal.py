@@ -609,3 +609,66 @@ def test_jpeg_lossy_roundtrip_bounded_and_markers_skipped():
         decode_jpeg_gray(bytes(sof2))                 # progressive
     with pytest.raises(ValueError):
         encode_jpeg_gray(np.zeros((0, 4), np.uint8))  # empty
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    """MJPEG-AVI container roundtrip: block-constant frames decode
+    exactly (per-frame JPEG DC-only property), stride sampling decodes
+    only every k-th frame, arbitrary frames stay within the JPEG
+    quantization bound, odd-length JPEG chunks exercise RIFF even-byte
+    padding."""
+    import numpy as np
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        _avi_frames,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    for doc in (0, 7, 123, 4567):
+        frames = _avi_frames(doc)
+        raw = encode_avi_mjpeg(frames)
+        dec, total = decode_avi_mjpeg(raw)
+        assert total == len(frames)
+        assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+        dec2, total2 = decode_avi_mjpeg(raw, stride=2)
+        assert total2 == len(frames) and len(dec2) == (len(frames) + 1) // 2
+        assert all(np.array_equal(a, b) for a, b in zip(dec2, frames[::2]))
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (24, 33)).astype(np.uint8) for _ in range(5)]
+    dec, _ = decode_avi_mjpeg(encode_avi_mjpeg(frames))
+    for a, b in zip(dec, frames):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 120
+
+
+def test_avi_mjpeg_rejects_malformed():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        _avi_frames,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    good = encode_avi_mjpeg(_avi_frames(3))
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"JUNK" + good[4:])          # bad signature
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(good, stride=0)              # bad stride
+    bad_handler = good.replace(b"MJPG", b"H264", 1)
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(bad_handler)                 # wrong codec
+    # corrupt declared frame count in avih
+    pos = good.index(b"avih") + 8 + 16
+    wrong = good[:pos] + struct.pack("<I", 99) + good[pos + 4 :]
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(wrong)
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([])                          # no frames
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg(
+            [np.zeros((8, 8), np.uint8), np.zeros((8, 9), np.uint8)]
+        )                                             # mismatched shapes
