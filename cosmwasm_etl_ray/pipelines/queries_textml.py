@@ -771,6 +771,27 @@ def media_avi_frames(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_flac_stats(sf_dir: str) -> "ray.data.Dataset":
+    """REAL compressed-audio decode through the gate: payloads are
+    FLAC-style streams (stages/multimodal.py encode_flac16 — fLaC
+    framing, STREAMINFO with stream MD5, CRC-8/16-protected frames,
+    fixed linear predictors with Golomb-Rice residual coding — the
+    predictive+unary compression family, lossless). The actor-pool
+    FlacDecoder CRC/MD5-verifies and reconstructs, and the DECODED
+    sample stats hash-check against a DuckDB twin regenerating the
+    closed-form waveform — a bug anywhere in Rice coding, predictor
+    reconstruction, or framing flips the stats (or trips a CRC)."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        FlacDecoder,
+        synthesize_flac_media,
+    )
+
+    media = synthesize_flac_media(_docs(sf_dir))
+    return media.map_batches(
+        FlacDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -1039,6 +1060,7 @@ QUERIES = {
     "media_gif_stats": media_gif_stats,
     "media_jpeg_stats": media_jpeg_stats,
     "media_avi_frames": media_avi_frames,
+    "media_flac_stats": media_flac_stats,
     "media_bmp_resize": media_bmp_resize,
     "media_wav_stats": media_wav_stats,
     "media_y4m_frames": media_y4m_frames,
@@ -1429,6 +1451,24 @@ SELECT d.doc_id AS media_id,
 FROM documents d
 CROSS JOIN range(161) t(i)
 WHERE t.i < 64 + d.doc_id % 97
+GROUP BY d.doc_id
+""",
+    # REAL FLAC decode twin: regenerate the closed-form waveform
+    # ((id*17 + i*11) % 65536 - 32768 over n = 96 + id%113 samples) —
+    # equals the engine's stats over samples decoded back through
+    # Rice residuals + fixed predictors iff the whole codec is exact
+    "media_flac_stats": """
+SELECT d.doc_id AS media_id,
+       CAST(96 + d.doc_id % 113 AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(sum((d.doc_id * 17 + t.i * 11) % 65536 - 32768) AS BIGINT) AS sum_amp,
+       CAST(sum(abs((d.doc_id * 17 + t.i * 11) % 65536 - 32768)) AS BIGINT)
+           AS sum_abs_amp,
+       CAST(min((d.doc_id * 17 + t.i * 11) % 65536 - 32768) AS BIGINT) AS min_amp,
+       CAST(max((d.doc_id * 17 + t.i * 11) % 65536 - 32768) AS BIGINT) AS max_amp
+FROM documents d
+CROSS JOIN range(209) t(i)
+WHERE t.i < 96 + d.doc_id % 113
 GROUP BY d.doc_id
 """,
     # REAL Y4M decode twin: regenerate the closed-form planes

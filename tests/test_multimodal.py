@@ -672,3 +672,79 @@ def test_avi_mjpeg_rejects_malformed():
         encode_avi_mjpeg(
             [np.zeros((8, 8), np.uint8), np.zeros((8, 9), np.uint8)]
         )                                             # mismatched shapes
+
+
+def test_flac_roundtrip_exact():
+    """FLAC-style encode/decode are exact inverses across signal
+    shapes (noise/smooth/constant/random-walk), block sizes (partial
+    last blocks, multi-frame streams with UTF-8 frame numbers >= 1),
+    and the gate waveform; CONSTANT and FIXED-predictor subframes plus
+    Rice parameter selection are all exercised."""
+    import numpy as np
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        _flac_samples,
+        decode_flac16,
+        encode_flac16,
+    )
+
+    for doc in (0, 1, 7, 123, 4567, 99999):
+        s = _flac_samples(doc)
+        d, rate = decode_flac16(encode_flac16(s))
+        assert rate == 8000 and np.array_equal(d, s), doc
+    rng = np.random.default_rng(9)
+    for trial in range(12):
+        n = int(rng.integers(1, 3000))
+        kind = trial % 4
+        if kind == 0:
+            s = rng.integers(-32768, 32768, n).astype(np.int16)
+        elif kind == 1:
+            s = (1000 * np.sin(np.arange(n) / 10)).astype(np.int16)
+        elif kind == 2:
+            s = np.full(n, int(rng.integers(-32768, 32768)), np.int16)
+        else:
+            s = np.cumsum(rng.integers(-3, 4, n)).clip(-32768, 32767).astype(np.int16)
+        bs = int(rng.choice([16, 64, 256, 4096]))
+        d, _ = decode_flac16(encode_flac16(s, block_size=bs))
+        assert np.array_equal(d, s), (trial, kind, bs)
+
+
+def test_flac_compresses_and_rejects_malformed():
+    """Smooth audio compresses well below raw PCM (the predictive
+    family actually predicting); every integrity layer trips on
+    tampering: magic, frame-header CRC-8, frame CRC-16, stream MD5,
+    truncation."""
+    import numpy as np
+    import pytest
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        _flac_samples,
+        decode_flac16,
+        encode_flac16,
+    )
+
+    smooth = (1000 * np.sin(np.arange(8000) / 20)).astype(np.int16)
+    assert len(encode_flac16(smooth, block_size=4096)) < 2 * len(smooth) * 0.3
+
+    good = encode_flac16(_flac_samples(42))
+    with pytest.raises(ValueError):
+        decode_flac16(b"RIFF" + good[4:])       # bad magic
+    with pytest.raises(ValueError):
+        decode_flac16(good[:-6])                # truncated
+    # flip one bit inside the first frame's residual bytes: either the
+    # frame CRC-16 or (if the damage cancels structurally) the MD5 trips
+    frame_start = 4 + 4 + 34
+    bad = bytearray(good)
+    bad[frame_start + 12] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac16(bytes(bad))
+    # corrupt the header CRC-8 byte itself
+    bad = bytearray(good)
+    # header: ff f8 70 08 <utf8:1> <bs:2> <crc8> -> crc8 at offset 7
+    bad[frame_start + 7] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac16(bytes(bad))
+    with pytest.raises(ValueError):
+        encode_flac16(np.zeros(0, np.int16))    # empty
+    with pytest.raises(ValueError):
+        encode_flac16(np.zeros(4, np.int32))    # wrong dtype
