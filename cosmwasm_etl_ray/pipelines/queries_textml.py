@@ -792,6 +792,29 @@ def media_flac_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_quarantine(sf_dir: str) -> "ray.data.Dataset":
+    """Robust decode with a quarantine path through the gate: one bit
+    is flipped mid-payload in every 29th FLAC stream
+    (stages/multimodal.py corrupt_payloads), and the actor-pool
+    RobustMediaDecoder must keep the stream flowing — good rows carry
+    decode_ok + the exact decoded-sample sum, corrupt rows carry
+    decode_ok=false and a zero stat. FLAC's CRC-8/16 + MD5 layers
+    guarantee the flipped bit RAISES rather than mis-decoding, so the
+    quarantined set is exactly (doc_id % 29 == 0) and the twin is
+    closed-form. This is the reference's skip-don't-abort discipline
+    (Code!=0 tx skip) applied to media payloads."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        RobustMediaDecoder,
+        corrupt_payloads,
+        synthesize_flac_media,
+    )
+
+    media = corrupt_payloads(synthesize_flac_media(_docs(sf_dir)), every=29)
+    return media.map_batches(
+        RobustMediaDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -1061,6 +1084,7 @@ QUERIES = {
     "media_jpeg_stats": media_jpeg_stats,
     "media_avi_frames": media_avi_frames,
     "media_flac_stats": media_flac_stats,
+    "media_quarantine": media_quarantine,
     "media_bmp_resize": media_bmp_resize,
     "media_wav_stats": media_wav_stats,
     "media_y4m_frames": media_y4m_frames,
@@ -1470,6 +1494,19 @@ FROM documents d
 CROSS JOIN range(209) t(i)
 WHERE t.i < 96 + d.doc_id % 113
 GROUP BY d.doc_id
+""",
+    # Robust-decode quarantine twin: the fault set is exactly
+    # doc_id % 29 == 0 (one flipped bit, guaranteed to trip FLAC's
+    # CRC/MD5); good rows reproduce the closed-form waveform sum
+    "media_quarantine": """
+SELECT d.doc_id AS media_id,
+       d.doc_id % 29 <> 0 AS decode_ok,
+       CASE WHEN d.doc_id % 29 <> 0 THEN
+           CAST((SELECT sum((d.doc_id * 17 + t.i * 11) % 65536 - 32768)
+                 FROM range(209) t(i)
+                 WHERE t.i < 96 + d.doc_id % 113) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS sum_amp
+FROM documents d
 """,
     # REAL Y4M decode twin: regenerate the closed-form planes
     # (Y = (id*3 + f*17 + y*5 + x*7) % 256 on the full grid, U/V on the

@@ -2142,3 +2142,70 @@ class FlacDecoder:
                 "max_amp": pa.array(smax, type=pa.int64()),
             }
         )
+
+
+# ---------------------------------------------------------------------
+# Robust decode: at corpus scale some payloads WILL be corrupt, and a
+# decode stage must route them to quarantine instead of killing the
+# pipeline — the same discipline as the change-stream quarantine
+# (state/quarantine.py; reference: parser skips Code!=0 txs rather
+# than aborting the height). corrupt_payloads is the deterministic
+# fault injector for gates/tests; RobustMediaDecoder wraps any
+# per-payload decode fn.
+
+
+def corrupt_payloads(media: "ray.data.Dataset", every: int = 29) -> "ray.data.Dataset":
+    """Deterministically corrupt payloads where media_id % every == 0
+    by flipping one bit mid-payload (SQL-predictable fault set)."""
+
+    def flip(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for mid, buf in zip(ids, t["payload"]):
+            b = buf.as_py()
+            if int(mid) % every == 0:
+                mid_pos = len(b) // 2
+                b = b[:mid_pos] + bytes([b[mid_pos] ^ 0x40]) + b[mid_pos + 1 :]
+            out.append(b)
+        cols = {n: t[n] for n in t.column_names}
+        cols["payload"] = pa.array(out, type=pa.large_binary())
+        return pa.table(cols)
+
+    return media.map_batches(flip, batch_format="pyarrow", batch_size=512)
+
+
+class RobustMediaDecoder:
+    """Actor-pool decode stage with a quarantine path: each payload
+    decodes under a ValueError guard (the codec contract: ANY
+    malformed input raises ValueError, never garbage output). Good
+    rows carry decode_ok=true + the stat; corrupt rows carry
+    decode_ok=false and a zero stat — the stream keeps flowing and
+    the quarantined set is exact. decode_fn must return an int stat
+    for a payload (default: FLAC sum of decoded samples — FLAC's
+    CRC-8/16 + MD5 layers guarantee a flipped bit raises rather than
+    mis-decoding, which is why the gate uses it)."""
+
+    def __init__(self, decode_fn=None):
+        if decode_fn is None:
+            def decode_fn(b: bytes) -> int:
+                s, _ = decode_flac16(b)
+                return int(s.astype(np.int64).sum())
+        self.decode_fn = decode_fn
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, oks, stats = [], [], []
+        for mid, buf in zip(t["media_id"], t["payload"]):
+            ids.append(mid.as_py())
+            try:
+                stats.append(int(self.decode_fn(buf.as_py())))
+                oks.append(True)
+            except ValueError:
+                stats.append(0)
+                oks.append(False)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "decode_ok": pa.array(oks, type=pa.bool_()),
+                "sum_amp": pa.array(stats, type=pa.int64()),
+            }
+        )

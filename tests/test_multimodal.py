@@ -748,3 +748,46 @@ def test_flac_compresses_and_rejects_malformed():
         encode_flac16(np.zeros(0, np.int16))    # empty
     with pytest.raises(ValueError):
         encode_flac16(np.zeros(4, np.int32))    # wrong dtype
+
+
+def test_robust_decoder_quarantines_corrupt_payloads():
+    """RobustMediaDecoder keeps the stream flowing: a flipped bit in
+    every k-th FLAC payload lands in decode_ok=false with a zero stat
+    while every other row carries the exact decoded sum — and the
+    corruptor itself is deterministic (same media_id -> same fault)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        RobustMediaDecoder,
+        _flac_samples,
+        corrupt_payloads,
+        encode_flac16,
+    )
+
+    ids = list(range(60))
+    t = pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(
+                [encode_flac16(_flac_samples(i)) for i in ids],
+                type=pa.large_binary(),
+            ),
+        }
+    )
+    import ray.data as rd
+
+    ds = rd.from_arrow(t)
+    out = corrupt_payloads(ds, every=29).map_batches(
+        RobustMediaDecoder,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    for i in ids:
+        row = out.iloc[i]
+        if i % 29 == 0:
+            assert not row["decode_ok"] and row["sum_amp"] == 0, i
+        else:
+            expect = int(_flac_samples(i).astype(np.int64).sum())
+            assert row["decode_ok"] and row["sum_amp"] == expect, i
