@@ -227,6 +227,8 @@ def decode_bmp24(raw: bytes) -> "np.ndarray":
             f"unsupported BMP variant (hdr={hdr}, bpp={bpp}, "
             f"compression={compression}); only 24-bit uncompressed"
         )
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
     flipped = h > 0  # positive height = bottom-up rows (the common case)
     h = abs(h)
     stride = (w * 3 + 3) & ~3
@@ -355,6 +357,8 @@ def decode_wav16(raw: bytes) -> tuple["np.ndarray", int]:
         cid, size = struct.unpack_from("<4sI", raw, pos)
         body = raw[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
@@ -712,6 +716,16 @@ def decode_png_rgb8(raw: bytes) -> "np.ndarray":
 
     if raw[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload (bad signature)")
+    try:
+        return _decode_png_body(raw)
+    except (IndexError, struct.error) as e:  # truncated payload
+        raise ValueError(f"truncated PNG payload: {e}") from e
+
+
+def _decode_png_body(raw: bytes) -> "np.ndarray":
+    import struct
+    import zlib
+
     pos, w = len(_PNG_SIG), None
     idat = []
     while pos + 8 <= len(raw):
@@ -735,8 +749,23 @@ def decode_png_rgb8(raw: bytes) -> "np.ndarray":
         pos += 12 + length
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    scan = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if scan.size != h * (1 + w * 3):
+    # bounded inflate: cap output at the IHDR-expected size + 1 so a
+    # crafted deflate bomb raises instead of expanding unbounded —
+    # and cap the expectation itself (DEFLATE tops out ~1030:1, so a
+    # legit IDAT can't expand 2000x) so a crafted IHDR can't raise
+    # the cap to tens of GB
+    expected = h * (1 + w * 3)
+    if expected > sum(len(b) for b in idat) * 2048:
+        raise ValueError(
+            f"implausible PNG dimensions {w}x{h} for the IDAT payload size"
+        )
+    dec = zlib.decompressobj()
+    try:
+        scan_bytes = dec.decompress(b"".join(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"PNG inflate failed: {e}") from e
+    scan = np.frombuffer(scan_bytes, dtype=np.uint8)
+    if scan.size != expected or dec.unconsumed_tail:
         raise ValueError("PNG pixel data length mismatch")
     scan = scan.reshape(h, 1 + w * 3).astype(np.int16)
     out = np.empty((h, w, 3), dtype=np.uint8)
@@ -894,11 +923,13 @@ def _lzw_encode_gif(symbols: "np.ndarray", mcs: int, reset_at: int = 4096) -> by
     return bytes(out)
 
 
-def _lzw_decode_gif(data: bytes, mcs: int) -> bytes:
+def _lzw_decode_gif(data: bytes, mcs: int, max_out: int | None = None) -> bytes:
     """Inverse of _lzw_encode_gif: variable-width LSB-first codes,
     CLEAR resets, the KwKwK (code == next slot) case, 12-bit cap.
     Strict: out-of-range codes, truncation before EOI, or a first
-    code that is not a literal all raise."""
+    code that is not a literal all raise. max_out (the declared
+    image's pixel count) bounds the output so a hostile stream can't
+    force the decoder's O(n^2) worst-case expansion."""
     clear = 1 << mcs
     eoi = clear + 1
     literals = [bytes([i]) for i in range(clear)]
@@ -946,6 +977,8 @@ def _lzw_decode_gif(data: bytes, mcs: int) -> bytes:
         else:
             raise ValueError(f"GIF LZW code {code} beyond table ({len(table)})")
         out += entry
+        if max_out is not None and len(out) > max_out:
+            raise ValueError(f"GIF LZW output exceeds declared {max_out} pixels")
         if prev:
             if len(table) < 4096:
                 table.append(prev + entry[:1])
@@ -1045,7 +1078,7 @@ def _decode_gif8_body(raw: bytes) -> tuple["np.ndarray", "np.ndarray"]:
             ln = raw[pos]
             chunks.append(raw[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
-        sym = _lzw_decode_gif(b"".join(chunks), mcs)
+        sym = _lzw_decode_gif(b"".join(chunks), mcs, max_out=w * h)
         if len(sym) != w * h:
             raise ValueError(f"GIF pixel count {len(sym)} != {w}x{h}")
         idx = np.frombuffer(sym, dtype=np.uint8).reshape(h, w)
@@ -1426,6 +1459,14 @@ def _decode_jpeg_body(raw: bytes) -> "np.ndarray":
             if body[7] != 0x11:
                 raise ValueError("subsampled component unsupported")
             comp_tq = body[8]
+            # plausibility cap: baseline entropy coding can't exceed
+            # ~256 px/byte (an EOB-only 8x8 block costs >= 2 bits), so
+            # 4096x is unreachable — corrupt SOF0 dims must raise, not
+            # allocate TB-scale block arrays
+            if h * w > len(raw) * 4096:
+                raise ValueError(
+                    f"implausible JPEG dimensions {w}x{h} for {len(raw)}-byte stream"
+                )
             dims = (h, w)
         elif marker == 0xDA:
             if dims is None:
@@ -1991,6 +2032,14 @@ def _decode_flac_body(raw: bytes) -> tuple["np.ndarray", int]:
             if br.read(5) != 15:
                 raise ValueError("only 16-bit FLAC supported")
             total = br.read(36)
+            # plausibility cap BEFORE allocating the output buffer: a
+            # legit stream can't pack more than ~300 samples/byte
+            # (constant 4096-sample frames), so 512x is unreachable —
+            # a corrupt 36-bit field must raise, not np.empty(64 GB)
+            if total > len(raw) * 512:
+                raise ValueError(
+                    f"implausible FLAC total_samples {total} for {len(raw)}-byte stream"
+                )
             info = (rate, total, body[18:34])
         pos += 4 + ln
         if hdr & 0x80:

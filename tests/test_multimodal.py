@@ -791,3 +791,91 @@ def test_robust_decoder_quarantines_corrupt_payloads():
         else:
             expect = int(_flac_samples(i).astype(np.int64).sum())
             assert row["decode_ok"] and row["sum_amp"] == expect, i
+
+
+def test_decoders_raise_only_valueerror_on_hostile_bytes():
+    """The RobustMediaDecoder contract: EVERY decoder raises ValueError
+    (and only ValueError) on malformed input — never IndexError/
+    struct.error/MemoryError/garbage — and plausibility caps prevent
+    crafted headers from allocating unbounded memory (FLAC 36-bit
+    total_samples, JPEG SOF0 dims, PNG deflate-bomb inflate, GIF LZW
+    expansion). Fuzz: random bytes, magic-prefixed random bytes, and
+    mutated valid payloads through all eight decoders."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        _avi_frames,
+        _flac_samples,
+        _gif_indices,
+        _GIF_PALETTE,
+        _jpeg_block_values,
+        _png_pixels,
+        _wav_samples,
+        _y4m_planes,
+        decode_avi_mjpeg,
+        decode_bmp24,
+        decode_flac16,
+        decode_gif8,
+        decode_jpeg_gray,
+        decode_png_rgb8,
+        decode_wav16,
+        decode_y4m,
+        encode_avi_mjpeg,
+        encode_bmp24,
+        encode_flac16,
+        encode_gif8,
+        encode_jpeg_gray,
+        encode_png_rgb8,
+        encode_wav16,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(17)
+    img = _png_pixels(5)
+    gray = np.kron(_jpeg_block_values(5)[2], np.ones((8, 8), np.uint8))
+    cases = {
+        decode_bmp24: (encode_bmp24(img), b"BM"),
+        decode_png_rgb8: (encode_png_rgb8(img), b"\x89PNG\r\n\x1a\n"),
+        decode_gif8: (encode_gif8(_gif_indices(5), _GIF_PALETTE), b"GIF89a"),
+        decode_jpeg_gray: (encode_jpeg_gray(gray), b"\xff\xd8"),
+        decode_wav16: (encode_wav16(_wav_samples(5)), b"RIFF"),
+        decode_flac16: (encode_flac16(_flac_samples(5)), b"fLaC"),
+        decode_y4m: (encode_y4m(_y4m_planes(5)), b"YUV4MPEG2 "),
+        decode_avi_mjpeg: (encode_avi_mjpeg(_avi_frames(5)), b"RIFF"),
+    }
+    for dec, (good, magic) in cases.items():
+        # sanity: the pristine payload decodes
+        dec(good)
+        for trial in range(40):
+            kind = trial % 4
+            if kind == 0:       # pure noise
+                buf = rng.bytes(int(rng.integers(0, 400)))
+            elif kind == 1:     # magic + noise (reaches the parser)
+                buf = magic + rng.bytes(int(rng.integers(0, 400)))
+            elif kind == 2:     # truncation
+                buf = good[: int(rng.integers(0, len(good)))]
+            else:               # bit flips in a valid payload
+                b = bytearray(good)
+                for _ in range(int(rng.integers(1, 4))):
+                    b[int(rng.integers(0, len(b)))] ^= 1 << int(rng.integers(0, 8))
+                buf = bytes(b)
+            try:
+                dec(buf)        # decoding to *something* is fine...
+            except ValueError:
+                pass            # ...and ValueError is the only legal raise
+    # the specific giant-allocation vectors stay cheap and raise
+    flac_bomb = bytearray(encode_flac16(_flac_samples(1)))
+    # STREAMINFO total_samples: bits 144..180 of the 34-byte block at
+    # offset 8 -> bytes 8+18..8+22; force the top bits high
+    flac_bomb[8 + 17] |= 0x0F
+    flac_bomb[8 + 18] = 0xFF
+    with pytest.raises(ValueError):
+        decode_flac16(bytes(flac_bomb))
+    jpeg_bomb = bytearray(encode_jpeg_gray(gray))
+    sof = jpeg_bomb.index(b"\xff\xc0")
+    struct.pack_into(">HH", jpeg_bomb, sof + 5, 65500, 65500)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(jpeg_bomb))
