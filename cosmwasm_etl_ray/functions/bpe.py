@@ -1,0 +1,261 @@
+"""Distributed BPE tokenizer training (Sennrich-style, over the
+word-frequency dictionary) and encoding.
+
+Scale shape: the ONE heavy pass is the corpus scan that builds the
+word-frequency table (map-side Counters -> grouped_agg shuffle — the
+same partial/fold discipline as vocab_topk). Training then iterates
+over the DISTINCT-WORD table, which is bounded by vocabulary size
+(~10^6-10^7 at web scale), NOT corpus size — it lives sharded across
+long-lived actors (block refs passed zero-copy via plasma), and each
+merge round is one tiny exact reduce (partial pair-count dicts ->
+driver argmax, global tie-break) plus one broadcast apply. The merge
+table itself is n_merges rows — trivially small. Encoding broadcasts
+the rank table (ray.put once) and memoizes per distinct word inside
+each actor.
+
+The round-0 pair counts are exactly SQL-expressible and gate the
+distributed machinery (bpe_pair_counts); the full iterative train is
+pinned against an independent clean-room serial reference in
+tests/test_bpe.py (the cdc_final_state dict-replay-oracle pattern) —
+iterative argmax chains are not SQL-expressible, so bpe_merges is the
+repo's one rows-only gate entry, documented as such.
+
+Reference analogue: the aggregator's iterative window folds keep
+state resident across rounds (/root/reference/aggregator/repo/repo.go);
+here the resident state is the sharded symbol table.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+WORD_RE = re.compile(r"[a-z]+")
+MAX_WORD_LEN = 30  # cap mirrored in the SQL twin's range() bound
+
+
+def _batch_word_counts(t: pa.Table) -> pa.Table:
+    c: Counter = Counter()
+    for s in t["text"].to_pylist():
+        if s:
+            for w in WORD_RE.findall(s.lower()):
+                c[w[:MAX_WORD_LEN]] += 1
+    return pa.table(
+        {
+            "word": pa.array(list(c.keys()), type=pa.string()),
+            "freq": pa.array(list(c.values()), type=pa.int64()),
+        }
+    )
+
+
+def word_freqs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed word-frequency table: per-batch Counter partials,
+    then a shuffle-mode grouped sum (word cardinality is unbounded —
+    never a driver funnel)."""
+    from cosmwasm_etl_ray.functions.agg import grouped_agg
+
+    partials = docs.map_batches(
+        _batch_word_counts, batch_format="pyarrow", batch_size=4096
+    )
+    return grouped_agg(
+        partials, ["word"], {"freq": ("freq", "sum")}, final="shuffle"
+    )
+
+
+def pair_counts(docs: "ray.data.Dataset", min_count: int = 40) -> "ray.data.Dataset":
+    """Round-0 BPE statistics: adjacent-character pair counts over the
+    corpus (weighted by word frequency == direct occurrence counts),
+    thresholded (no top-k LIMIT, so no tie hazard). Exactly
+    SQL-expressible — this is the full-value gate for the distributed
+    word-freq machinery bpe_train builds on."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for w, f in zip(t["word"].to_pylist(), t["freq"].to_pylist()):
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += f
+        pairs = list(c.keys())
+        return pa.table(
+            {
+                "left_ch": pa.array([p[0] for p in pairs], type=pa.string()),
+                "right_ch": pa.array([p[1] for p in pairs], type=pa.string()),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    from cosmwasm_etl_ray.functions.agg import grouped_agg
+
+    exploded = word_freqs(docs).map_batches(
+        explode, batch_format="pyarrow", batch_size=65536
+    )
+    summed = grouped_agg(
+        exploded, ["left_ch", "right_ch"], {"cnt": ("cnt", "sum")}, final="shuffle"
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["cnt"], min_count))
+
+    return summed.map_batches(keep, batch_format="pyarrow")
+
+
+def _merge_word(sym: tuple, left: str, right: str) -> tuple:
+    """Apply one merge to a symbol tuple, left-to-right non-overlapping
+    (standard BPE application order)."""
+    out = []
+    i = 0
+    n = len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+@ray.remote
+class BpeShard:
+    """One shard of the distinct-word symbol table, resident across
+    merge rounds. Holds (symbols tuple, freq) rows; count_pairs
+    returns this shard's exact weighted pair counts, apply_merge
+    rewrites only the words that contain the pair (an inverted
+    occurrence index would prune further at 10^7 vocab — the rewrite
+    is O(shard) here and the shard is vocabulary-, not corpus-,
+    sized)."""
+
+    def __init__(self, *blocks):
+        words: list = []
+        freqs: list = []
+        for b in blocks:
+            t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            words.extend(t["word"].to_pylist())
+            freqs.extend(t["freq"].to_pylist())
+        self.syms = [tuple(w) for w in words]
+        self.freqs = np.asarray(freqs, dtype=np.int64)
+
+    def count_pairs(self) -> dict:
+        c: Counter = Counter()
+        for sym, f in zip(self.syms, self.freqs):
+            f = int(f)
+            for i in range(len(sym) - 1):
+                c[(sym[i], sym[i + 1])] += f
+        return dict(c)
+
+    def apply_merge(self, left: str, right: str) -> None:
+        for idx, sym in enumerate(self.syms):
+            for i in range(len(sym) - 1):
+                if sym[i] == left and sym[i + 1] == right:
+                    self.syms[idx] = _merge_word(sym, left, right)
+                    break
+
+
+def bpe_train(
+    docs: "ray.data.Dataset",
+    n_merges: int = 15,
+    min_freq: int = 2,
+    n_shards: int = 8,
+) -> pd.DataFrame:
+    """Learn n_merges BPE merges over the corpus. Returns the merge
+    table (rank, left, right, freq) — deterministic regardless of
+    sharding: every round reduces EXACT pair counts and breaks ties
+    globally by (count desc, left asc, right asc)."""
+    from cosmwasm_etl_ray.functions.joins import _drain_block_refs
+
+    refs = _drain_block_refs(word_freqs(docs))
+    n_shards = max(1, min(n_shards, len(refs)))
+    shards = [
+        BpeShard.remote(*refs[i::n_shards]) for i in range(n_shards)
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        total: Counter = Counter()
+        for part in ray.get([s.count_pairs.remote() for s in shards]):
+            total.update(part)
+        if not total:
+            break
+        (left, right), cnt = min(
+            total.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_freq:
+            break
+        merges.append((rank, left, right, int(cnt)))
+        ray.get([s.apply_merge.remote(left, right) for s in shards])
+    for s in shards:
+        ray.kill(s)
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "freq"]).astype(
+        {"rank": "int64", "freq": "int64"}
+    )
+
+
+def _encode_word(w: str, ranks: dict) -> tuple:
+    """Classic BPE encode of one word: repeatedly merge the
+    lowest-rank adjacent pair until none applies."""
+    sym = tuple(w)
+    while len(sym) > 1:
+        best = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, sym[i], sym[i + 1])
+        if best is None:
+            return sym
+        sym = _merge_word(sym, best[1], best[2])
+    return sym
+
+
+def bpe_encode(
+    docs: "ray.data.Dataset", merges: pd.DataFrame
+) -> "ray.data.Dataset":
+    """Tokenize every doc with a trained merge table: ranks broadcast
+    once (ray.put), per-distinct-word memo inside each actor, output
+    (doc_id, n_words, n_tokens, n_chars)."""
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    ref = ray.put(ranks)
+
+    class Encode:
+        def __init__(self):
+            self.ranks = ray.get(ref)
+            self.memo: dict[str, int] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, nw, nt, nc = [], [], [], []
+            for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                words = [
+                    w[:MAX_WORD_LEN] for w in WORD_RE.findall((s or "").lower())
+                ]
+                toks = 0
+                for w in words:
+                    n = self.memo.get(w)
+                    if n is None:
+                        n = len(_encode_word(w, self.ranks))
+                        self.memo[w] = n
+                    toks += n
+                ids.append(did)
+                nw.append(len(words))
+                nt.append(toks)
+                nc.append(sum(len(w) for w in words))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "n_words": pa.array(nw, type=pa.int64()),
+                    "n_tokens": pa.array(nt, type=pa.int64()),
+                    "n_chars": pa.array(nc, type=pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        Encode, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    )

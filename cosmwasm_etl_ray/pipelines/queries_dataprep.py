@@ -331,8 +331,35 @@ def pretrain_corpus(sf_dir: str) -> "ray.data.Dataset":
     return pretrain_chunks(sf_dir)
 
 
+def bpe_pair_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Round-0 BPE pair statistics through the gate: distributed
+    word-frequency table (map Counters -> shuffle grouped sum, the
+    exact machinery bpe_train builds on) -> weighted adjacent-char
+    pair counts, thresholded (no LIMIT, no tie hazard). Full-value
+    DuckDB twin regenerates the same counts via regexp word
+    extraction and a position-range explode."""
+    from cosmwasm_etl_ray.functions.bpe import pair_counts
+
+    return pair_counts(_docs(sf_dir), min_count=40)
+
+
+def bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE training (15 merges over the sharded-actor
+    distinct-word table; exact global argmax per round, deterministic
+    tie-break). Iterative argmax chains are not SQL-expressible, so
+    this is the repo's one rows-only gate entry — the full train is
+    pinned against an independent clean-room serial reference in
+    tests/test_bpe.py (the cdc dict-replay-oracle pattern), and the
+    machinery it builds on is full-value-gated by bpe_pair_counts."""
+    from cosmwasm_etl_ray.functions.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir), n_merges=15)
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
+    "bpe_pair_counts": bpe_pair_counts,
+    "bpe_merges": bpe_merges,
     "pretrain_corpus": pretrain_corpus,
     "cdc_chunks": cdc_chunks,
     "encode_docs": encode_docs,
@@ -404,6 +431,25 @@ FROM marked GROUP BY doc_id, chunk_id
 """
 
 ORACLE_SQL = {
+    # Round-0 BPE pair counts: words = lowercase [a-z]+ runs capped at
+    # 30 chars (range(29) positions), adjacent chars counted per
+    # OCCURRENCE (the engine's word-freq weighting collapses to the
+    # same counts); threshold matches min_count=40
+    "bpe_pair_counts": """
+WITH words AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+), wt AS (
+    SELECT substr(w, 1, 30) AS w FROM words WHERE len(w) >= 2
+), pairs AS (
+    SELECT substr(wt.w, t.i + 1, 1) AS left_ch,
+           substr(wt.w, t.i + 2, 1) AS right_ch
+    FROM wt CROSS JOIN range(29) t(i)
+    WHERE t.i < len(wt.w) - 1
+)
+SELECT left_ch, right_ch, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY left_ch, right_ch HAVING count(*) >= 40
+""",
     "doc_chunks": f"""
 WITH tok AS (
     SELECT doc_id, string_split(text, ' ') AS t,

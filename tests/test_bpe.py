@@ -1,0 +1,114 @@
+"""Distributed BPE training vs an independent clean-room serial
+reference (the cdc_final_state dict-replay-oracle pattern): the
+sharded-actor trainer must produce the EXACT merge table the obvious
+single-process implementation produces, regardless of sharding."""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+from cosmwasm_etl_ray.functions.bpe import (
+    MAX_WORD_LEN,
+    WORD_RE,
+    _encode_word,
+    _merge_word,
+    bpe_encode,
+    bpe_train,
+    pair_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _serial_bpe(texts, n_merges, min_freq=2):
+    """Clean-room reference: dict word-freqs, Counter pair counts,
+    global (count desc, pair asc) argmax, left-to-right merges."""
+    wf = Counter()
+    for s in texts:
+        for w in WORD_RE.findall((s or "").lower()):
+            wf[w[:MAX_WORD_LEN]] += 1
+    syms = {w: tuple(w) for w in wf}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_freq:
+            break
+        merges.append((rank, l, r, cnt))
+        for w in wf:
+            s = syms[w]
+            for i in range(len(s) - 1):
+                if s[i] == l and s[i + 1] == r:
+                    syms[w] = _merge_word(s, l, r)
+                    break
+    return (
+        pd.DataFrame(merges, columns=["rank", "left", "right", "freq"]),
+        syms,
+        wf,
+    )
+
+
+def test_bpe_train_matches_serial_reference(ray_session):
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = bpe_train(docs, n_merges=12)
+    ref, _, _ = _serial_bpe(docs.to_pandas()["text"], 12)
+    assert got.values.tolist() == ref.values.tolist()
+    # sharding-independence: 1 shard == 8 shards
+    got1 = bpe_train(docs, n_merges=12, n_shards=1)
+    assert got1.values.tolist() == got.values.tolist()
+
+
+def test_bpe_encode_invariants(ray_session):
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=12)
+    enc = bpe_encode(docs, merges).to_pandas()
+    assert len(enc) == docs.count()
+    # tokens never exceed chars, never fall below words; totals exact
+    assert (enc["n_tokens"] <= enc["n_chars"]).all()
+    assert (enc["n_tokens"] >= enc["n_words"]).all()
+    # the merge table actually compresses this corpus
+    assert enc["n_tokens"].sum() < enc["n_chars"].sum()
+    # per-word property: encoded symbols concatenate back to the word,
+    # and full-rank encoding agrees with the serial trainer's final
+    # symbol table (same corpus -> same segmentation)
+    ref_merges, syms, wf = _serial_bpe(docs.to_pandas()["text"], 12)
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(ref_merges["rank"], ref_merges["left"], ref_merges["right"])
+    }
+    for w in list(wf)[:500]:
+        toks = _encode_word(w, ranks)
+        assert "".join(toks) == w
+        assert toks == syms[w], w
+
+
+def test_bpe_pair_counts_threshold_and_weighting(ray_session):
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(["abab abab", "ab Zab", None], type=pa.string()),
+            }
+        )
+    )
+    out = pair_counts(docs, min_count=2).to_pandas()
+    got = {
+        (l, r): c
+        for l, r, c in zip(out["left_ch"], out["right_ch"], out["cnt"])
+    }
+    # 'abab' x2 occurrences (ab x2, ba x1 each), 'ab' x1, 'zab' x1
+    # (lowercased; None text skipped); 'za' (count 1) falls below the
+    # threshold and must be absent
+    assert got == {("a", "b"): 6, ("b", "a"): 2}
