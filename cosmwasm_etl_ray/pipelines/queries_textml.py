@@ -815,6 +815,27 @@ def media_quarantine(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_flv_frames(sf_dir: str) -> "ray.data.Dataset":
+    """REAL inter-frame video decode through the gate: payloads are
+    FLV Screen Video v1 streams (stages/multimodal.py
+    encode_flv_screenvideo — FLV tag chain with verified
+    back-pointers, 16x16 block grid, keyframe + changed-blocks-only
+    inter frames, per-block zlib BGR). The actor-pool FlvDecoder
+    replays the temporal block updates and the summed DECODED pixels
+    hash-check against a DuckDB twin computing each block's
+    last-refresh frame in closed form — both the changed-block
+    detection and the copy-forward path sit on the hash."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        FlvDecoder,
+        synthesize_flv_media,
+    )
+
+    media = synthesize_flv_media(_docs(sf_dir))
+    return media.map_batches(
+        FlvDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -1085,6 +1106,7 @@ QUERIES = {
     "media_avi_frames": media_avi_frames,
     "media_flac_stats": media_flac_stats,
     "media_quarantine": media_quarantine,
+    "media_flv_frames": media_flv_frames,
     "media_bmp_resize": media_bmp_resize,
     "media_wav_stats": media_wav_stats,
     "media_y4m_frames": media_y4m_frames,
@@ -1507,6 +1529,30 @@ SELECT d.doc_id AS media_id,
                  WHERE t.i < 96 + d.doc_id % 113) AS BIGINT)
        ELSE CAST(0 AS BIGINT) END AS sum_amp
 FROM documents d
+""",
+    # REAL inter-frame (FLV Screen Video) twin: each 16x16 block's
+    # content is field(g) where g = max(0, f - ((y//16 + x//16 + f) % 2))
+    # is its last refresh frame — temporal copy-forward in closed form
+    "media_flv_frames": """
+WITH dims AS (
+    SELECT doc_id, 12 + doc_id % 8 AS h, 12 + doc_id % 11 AS w,
+           2 + doc_id % 4 AS n FROM documents
+), px AS (
+    SELECT d.doc_id, d.n,
+           GREATEST(0, f.f - ((t.y // 16 + s.x // 16 + f.f) % 2)) AS g,
+           t.y, s.x
+    FROM dims d
+    CROSS JOIN range(5) f(f)
+    CROSS JOIN range(19) t(y)
+    CROSS JOIN range(22) s(x)
+    WHERE f.f < d.n AND t.y < d.h AND s.x < d.w
+)
+SELECT doc_id AS media_id,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(sum((doc_id * 7 + g * 9 + y * 5 + x * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id * 7 + g * 9 + y * 5 + x * 3 + 11) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id * 7 + g * 9 + y * 5 + x * 3 + 22) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, n
 """,
     # REAL Y4M decode twin: regenerate the closed-form planes
     # (Y = (id*3 + f*17 + y*5 + x*7) % 256 on the full grid, U/V on the

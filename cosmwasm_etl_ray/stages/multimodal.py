@@ -64,17 +64,19 @@ def synthesize_media(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 class DecodeStub:
     """Actor-pool decode stage for codecs NOT implemented in-repo
-    (inter-frame video: H.264-class — everything else has a real codec
-    below: BMP/PNG/GIF/JPEG images, WAV audio, Y4M/MJPEG-AVI video).
-    Constructing with use_real_codec=True raises, exactly like a
-    missing-import gate would in production."""
+    (motion-compensated video: H.264-class DCT+MC — everything else
+    has a real codec below: BMP/PNG/GIF/JPEG images, WAV/FLAC audio,
+    Y4M/MJPEG-AVI/FLV-ScreenVideo video incl. genuine inter-frame
+    coding). Constructing with use_real_codec=True raises, exactly
+    like a missing-import gate would in production."""
 
     def __init__(self, use_real_codec: bool = False):
         if use_real_codec:
             raise NotImplementedError(
-                "inter-frame video codecs (H.264-class) are not installed in "
-                "this environment; use the in-repo codecs (BMP/PNG/GIF/JPEG/"
-                "WAV/Y4M/MJPEG-AVI) or run with use_real_codec=False"
+                "motion-compensated video codecs (H.264-class) are not "
+                "installed in this environment; use the in-repo codecs "
+                "(BMP/PNG/GIF/JPEG/WAV/FLAC/Y4M/MJPEG-AVI/FLV-ScreenVideo) "
+                "or run with use_real_codec=False"
             )
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -2256,5 +2258,232 @@ class RobustMediaDecoder:
                 "media_id": pa.array(ids, type=pa.int64()),
                 "decode_ok": pa.array(oks, type=pa.bool_()),
                 "sum_amp": pa.array(stats, type=pa.int64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------
+# REAL inter-frame video codec: FLV Screen Video v1 (codec id 3 — the
+# Flash screencast codec; ffmpeg decodes these as 'flashsv'). Genuine
+# TEMPORAL compression: the image is a 16x16 block grid, keyframes
+# carry every block, inter frames carry only changed blocks (an
+# unchanged block costs 2 bytes — "copy from previous frame"), each
+# present block is zlib-compressed bottom-up BGR24. Lossless, so the
+# gate hash-checks decoded pixels through real temporal delta coding.
+# The FLV container framing (header, tag chain with back-pointers,
+# VIDEODATA frame-type/codec-id nibbles) is real. Random access needs
+# a keyframe walk — the decoder replays block updates in order, the
+# honest cost of inter-frame coding.
+
+
+def encode_flv_screenvideo(frames: "np.ndarray", block: int = 16) -> bytes:
+    """Encode (N, H, W, 3) uint8 RGB frames as an FLV file carrying a
+    Screen Video v1 stream: frame 0 is a keyframe (every block
+    present), each later frame carries exactly the blocks that changed
+    vs the previous frame."""
+    import struct
+    import zlib
+
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError(f"expected (N, H, W, 3) uint8, got {frames.shape} {frames.dtype}")
+    n, h, w = frames.shape[:3]
+    if not n or not h or not w:
+        raise ValueError("empty video")
+    if not 16 <= block <= 256 or block % 16:
+        raise ValueError("block must be a multiple of 16 in [16, 256]")
+
+    def pack_frame(cur: "np.ndarray", prev: "np.ndarray | None") -> bytes:
+        bw = _MsbWriter()
+        bw.put(block // 16 - 1, 4)
+        bw.put(w, 12)
+        bw.put(block // 16 - 1, 4)
+        bw.put(h, 12)
+        body = bytearray(bw.out)
+        # blocks start at the LOWER-left, row-major moving right then up
+        for y0 in range(h, 0, -block):
+            ys, ye = max(0, y0 - block), y0
+            for x0 in range(0, w, block):
+                xe = min(w, x0 + block)
+                blk = cur[ys:ye, x0:xe]
+                if prev is not None and np.array_equal(blk, prev[ys:ye, x0:xe]):
+                    body += struct.pack(">H", 0)
+                    continue
+                bgr = blk[::-1, :, ::-1]  # bottom-up rows, BGR order
+                z = zlib.compress(bgr.tobytes(), 6)
+                body += struct.pack(">H", len(z)) + z
+        return bytes(body)
+
+    out = bytearray(b"FLV\x01\x01\x00\x00\x00\x09")  # header, video-only
+    out += struct.pack(">I", 0)  # PreviousTagSize0
+    for f in range(n):
+        payload = pack_frame(frames[f], frames[f - 1] if f else None)
+        video = bytes([((1 if f == 0 else 2) << 4) | 3]) + payload
+        ts = f * 40  # 25 fps in ms
+        tag = (
+            b"\x09"
+            + struct.pack(">I", len(video))[1:]
+            + struct.pack(">I", ts)[1:]
+            + bytes([ts >> 24 & 0xFF])
+            + b"\x00\x00\x00"
+            + video
+        )
+        out += tag + struct.pack(">I", len(tag))
+    return bytes(out)
+
+
+def decode_flv_screenvideo(raw: bytes) -> "np.ndarray":
+    """Decode an FLV Screen Video v1 file to (N, H, W, 3) uint8 RGB:
+    walk the tag chain (back-pointers verified), require codec id 3,
+    replay block updates onto the canvas (a zero-length block copies
+    the previous frame's block — which requires the first frame to be
+    a keyframe with every block present). Strict: bad signature/
+    back-pointer/codec, a non-key first frame, short block data, or
+    inflate failure all raise ValueError."""
+    import struct
+    import zlib
+
+    if raw[:5] != b"FLV\x01\x01" or raw[5:9] != b"\x00\x00\x00\x09":
+        raise ValueError("not a video-only FLV payload")
+    try:
+        return _decode_flv_body(raw)
+    except (IndexError, struct.error, zlib.error) as e:
+        raise ValueError(f"malformed FLV payload: {e}") from e
+
+
+def _decode_flv_body(raw: bytes) -> "np.ndarray":
+    import struct
+    import zlib
+
+    pos = 9
+    (pts,) = struct.unpack_from(">I", raw, pos)
+    if pts != 0:
+        raise ValueError("bad PreviousTagSize0")
+    pos += 4
+    frames: list["np.ndarray"] = []
+    canvas = None
+    while pos + 11 <= len(raw):
+        ttype = raw[pos]
+        dsize = int.from_bytes(raw[pos + 1 : pos + 4], "big")
+        data = raw[pos + 11 : pos + 11 + dsize]
+        if len(data) != dsize:
+            raise ValueError("truncated FLV tag")
+        tag_len = 11 + dsize
+        (back,) = struct.unpack_from(">I", raw, pos + tag_len)
+        if back != tag_len:
+            raise ValueError(f"FLV back-pointer mismatch ({back} != {tag_len})")
+        pos += tag_len + 4
+        if ttype != 9:
+            continue  # non-video tags skipped per container spec
+        ftype, codec = data[0] >> 4, data[0] & 0x0F
+        if codec != 3:
+            raise ValueError(f"unsupported FLV codec id {codec}; only Screen Video")
+        br = _MsbReader(data, 1)
+        block = (br.read(4) + 1) * 16
+        w = br.read(12)
+        br2 = br.read(4)
+        h = br.read(12)
+        if (br2 + 1) * 16 != block:
+            raise ValueError("Screen Video block width/height mismatch")
+        if not w or not h:
+            raise ValueError("bad Screen Video dimensions")
+        if canvas is None:
+            if ftype != 1:
+                raise ValueError("first FLV frame is not a keyframe")
+            canvas = np.zeros((h, w, 3), dtype=np.uint8)
+        elif canvas.shape[:2] != (h, w):
+            raise ValueError("Screen Video dimensions changed mid-stream")
+        bpos = 1 + 4  # VIDEODATA byte + 4 header bytes (4+12+4+12 bits)
+        first = canvas is not None and not frames
+        for y0 in range(h, 0, -block):
+            ys, ye = max(0, y0 - block), y0
+            for x0 in range(0, w, block):
+                xe = min(w, x0 + block)
+                (bsize,) = struct.unpack_from(">H", data, bpos)
+                bpos += 2
+                if bsize == 0:
+                    if first and ftype == 1:
+                        raise ValueError("keyframe with an empty block")
+                    continue
+                zdata = data[bpos : bpos + bsize]
+                if len(zdata) != bsize:
+                    raise ValueError("short Screen Video block data")
+                bpos += bsize
+                bh, bw_ = ye - ys, xe - x0
+                px = zlib.decompressobj().decompress(zdata, bh * bw_ * 3 + 1)
+                if len(px) != bh * bw_ * 3:
+                    raise ValueError("Screen Video block size mismatch")
+                blk = np.frombuffer(px, np.uint8).reshape(bh, bw_, 3)
+                canvas[ys:ye, x0:xe] = blk[::-1, :, ::-1]
+        frames.append(canvas.copy())
+    if not frames:
+        raise ValueError("FLV ended without video frames")
+    return np.stack(frames)
+
+
+def _flv_frames(doc_id: int) -> "np.ndarray":
+    """Deterministic frames with a closed-form TEMPORAL update rule:
+    16x16 block (by,bx) refreshes at frame f iff f == 0 or
+    (by+bx+f) % 2 == 0, so its content is field(g) with
+    g = max(0, f - ((by+bx+f) % 2)) — SQL-computable. field(g)[y,x,c]
+    = (id*7 + g*9 + y*5 + x*3 + c*11) % 256; refreshed blocks always
+    differ (the +9g step), skipped blocks are bit-equal, so the
+    encoder's changed-block detection and the decoder's copy-forward
+    path are both on the hash."""
+    h = 12 + doc_id % 8
+    w = 12 + doc_id % 11
+    n = 2 + doc_id % 4
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    bsum = y // 16 + x // 16
+    frames = []
+    for f in range(n):
+        g = np.maximum(0, f - ((bsum + f) % 2))
+        frames.append(
+            ((doc_id * 7 + g * 9 + y * 5 + x * 3 + c * 11) % 256).astype(np.uint8)
+        )
+    return np.stack(frames)
+
+
+def synthesize_flv_media(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """REAL inter-frame video media table: payload = FLV Screen Video
+    of the deterministic block-update frame stack."""
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = [encode_flv_screenvideo(_flv_frames(int(i))) for i in ids]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    return docs.map_batches(make, batch_format="pyarrow", batch_size=512)
+
+
+class FlvDecoder:
+    """REAL inter-frame decode stage: replay the block-update stream
+    (every frame must be decoded — the honest cost of temporal
+    coding), emit exact per-channel sums over ALL decoded frames."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ns, sr, sg, sb = [], [], [], [], []
+        for mid, buf in zip(t["media_id"], t["payload"]):
+            fr = decode_flv_screenvideo(buf.as_py()).astype(np.int64)
+            ids.append(mid.as_py())
+            ns.append(fr.shape[0])
+            s = fr.sum(axis=(0, 1, 2))
+            sr.append(int(s[0]))
+            sg.append(int(s[1]))
+            sb.append(int(s[2]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "n_frames": pa.array(ns, type=pa.int64()),
+                "sum_r": pa.array(sr, type=pa.int64()),
+                "sum_g": pa.array(sg, type=pa.int64()),
+                "sum_b": pa.array(sb, type=pa.int64()),
             }
         )

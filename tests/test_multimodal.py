@@ -879,3 +879,66 @@ def test_decoders_raise_only_valueerror_on_hostile_bytes():
     struct.pack_into(">HH", jpeg_bomb, sof + 5, 65500, 65500)
     with pytest.raises(ValueError):
         decode_jpeg_gray(bytes(jpeg_bomb))
+
+
+def test_flv_screenvideo_roundtrip_and_temporal_compression():
+    """FLV Screen Video: exact roundtrip incl. genuinely static
+    regions (the copy-forward path), the gate's block-update field,
+    and proof the temporal coding pays (a static 10-frame clip
+    compresses ~10x smaller than a per-frame-random one)."""
+    import numpy as np
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        _flv_frames,
+        decode_flv_screenvideo,
+        encode_flv_screenvideo,
+    )
+
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        n = int(rng.integers(1, 6))
+        h = int(rng.integers(4, 40))
+        w = int(rng.integers(4, 40))
+        frames = np.stack([rng.integers(0, 256, (h, w, 3)).astype(np.uint8)] * n).copy()
+        for f in range(1, n):
+            if rng.random() < 0.7:
+                y, x = int(rng.integers(0, h)), int(rng.integers(0, w))
+                frames[f:, y, x] = rng.integers(0, 256, 3)
+        assert np.array_equal(
+            decode_flv_screenvideo(encode_flv_screenvideo(frames)), frames
+        ), trial
+    for doc in (0, 3, 17, 123, 4567):
+        fr = _flv_frames(doc)
+        assert np.array_equal(
+            decode_flv_screenvideo(encode_flv_screenvideo(fr)), fr
+        ), doc
+    static = np.stack([rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)] * 10)
+    moving = rng.integers(0, 256, (10, 64, 64, 3)).astype(np.uint8)
+    assert len(encode_flv_screenvideo(static)) < len(encode_flv_screenvideo(moving)) / 5
+
+
+def test_flv_screenvideo_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        _flv_frames,
+        decode_flv_screenvideo,
+        encode_flv_screenvideo,
+    )
+
+    good = encode_flv_screenvideo(_flv_frames(3))
+    with pytest.raises(ValueError):
+        decode_flv_screenvideo(b"FLV\x02" + good[4:])   # bad version
+    with pytest.raises(ValueError):
+        decode_flv_screenvideo(good[:-7])               # truncated tag chain
+    non_key = bytearray(good)
+    non_key[13] = (2 << 4) | 3                          # first frame inter
+    with pytest.raises(ValueError):
+        decode_flv_screenvideo(bytes(non_key))
+    wrong_codec = bytearray(good)
+    wrong_codec[13] = (1 << 4) | 7                      # codec id 7 (AVC)
+    with pytest.raises(ValueError):
+        decode_flv_screenvideo(bytes(wrong_codec))
+    with pytest.raises(ValueError):
+        encode_flv_screenvideo(np.zeros((0, 4, 4, 3), np.uint8))
