@@ -1426,7 +1426,8 @@ def _decode_jpeg_body(raw: bytes) -> "np.ndarray":
         (seglen,) = struct.unpack_from(">H", raw, pos + 2)
         body = raw[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
-        if marker in (0xC1, 0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xC4, 0xCC):
+        # every SOFn except SOF0 (0xC4=DHT, 0xC8=JPG, 0xCC=DAC are not SOFs)
+        if 0xC1 <= marker <= 0xCF and marker not in (0xC0, 0xC4, 0xC8, 0xCC):
             raise ValueError(f"unsupported JPEG process (SOF{marker - 0xC0})")
         if marker == 0xDD:
             if body[:2] != b"\x00\x00":
