@@ -1,21 +1,28 @@
 """Multimodal columns: opaque binary payloads + typed metadata, with
 decode / feature-extract / resize / frame-sample as actor-pool stages.
 
-The compression codec libraries (JPEG/PNG/ffmpeg) are NOT in this
-container, so those codecs are stubbed: ``DecodeStub`` raises
-NotImplementedError when asked for one, and ``FakeDecoder`` produces a
-deterministic fake decode (byte-histogram "pixels") so the Ray-side
-plumbing — schema (binary + metadata struct), batch sizing for wide
-binary rows, actor signatures, output layout — is real and tested.
-One REAL codec needs no external library: 24-bit uncompressed BMP
-(``encode_bmp24``/``decode_bmp24`` + the ``BmpDecoder``/``BmpResizer``
-actor stages below) — spec-compliant encoded images flow through the
-same pipeline and their DECODED pixel sums are oracle-gated.
+No codec library exists in this container, so the codecs here are
+implemented FROM SPEC in numpy + stdlib — nine real formats, each
+oracle-gated on decoded output: images BMP (uncompressed 24-bit),
+PNG (predictive filters + stdlib-zlib DEFLATE), GIF89a (from-scratch
+variable-width LZW), baseline JPEG (canonical Huffman + DCT); audio
+WAV (RIFF PCM) and FLAC-style (fixed predictors + Golomb-Rice,
+CRC-8/16 + MD5 framed); video Y4M (uncompressed C420), MJPEG-AVI
+(RIFF container over per-frame JPEGs), and FLV Screen Video v1
+(genuine inter-frame block coding). Every decoder obeys one contract,
+fuzz-pinned: malformed input raises ValueError — and ONLY ValueError
+— with plausibility caps ahead of any large allocation, which is what
+``RobustMediaDecoder``'s quarantine path relies on. ``DecodeStub``
+covers only motion-compensated codecs (H.264-class); ``FakeDecoder``
+remains the plumbing-only stand-in and ``media_features``'s decoder
+arg is the extension point for a real third-party decoder class.
 
 Scale notes: binary payload rows are wide → small batch_size and
 ``batch_format="pyarrow"`` end-to-end (binary columns do not round-trip
 pandas object dtype safely); payload bytes stay zero-copy in Arrow
-until the decode kernel reads them.
+until the decode kernel reads them. Entropy decode is inherently
+sequential per payload; the scale axis is payloads-per-batch across
+the actor pool.
 """
 
 from __future__ import annotations
