@@ -836,6 +836,30 @@ def media_flv_frames(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_transcode(sf_dir: str) -> "ray.data.Dataset":
+    """Transcode-at-the-edge through the gate: GIF payloads decode
+    (LZW + color table), re-encode as PNG (adaptive filters + DEFLATE)
+    in an actor-pool stage, and the PNGs decode again for stats —
+    both codecs sit on one hash, end to end lossless. This is the
+    ingest-normalization shape a heterogeneous 100 TB media corpus
+    needs (many source formats -> one canonical storage format). The
+    twin is the media_gif_stats field: transcoding must preserve every
+    pixel."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        GifToPngTranscoder,
+        PngDecoder,
+        synthesize_gif_media,
+    )
+
+    media = synthesize_gif_media(_docs(sf_dir))
+    png = media.map_batches(
+        GifToPngTranscoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+    return png.map_batches(
+        PngDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -1107,6 +1131,7 @@ QUERIES = {
     "media_flac_stats": media_flac_stats,
     "media_quarantine": media_quarantine,
     "media_flv_frames": media_flv_frames,
+    "media_transcode": media_transcode,
     "media_bmp_resize": media_bmp_resize,
     "media_wav_stats": media_wav_stats,
     "media_y4m_frames": media_y4m_frames,
@@ -1461,6 +1486,21 @@ CROSS JOIN range(16) t(y)
 CROSS JOIN range(15) s(x)
 WHERE f.f < d.n AND f.f % 2 = 0 AND t.y < d.h AND s.x < d.w
 GROUP BY d.doc_id, d.n
+""",
+    # Transcode twin: GIF -> PNG -> decode must preserve every pixel,
+    # so the expectation is exactly the media_gif_stats field
+    "media_transcode": """
+SELECT d.doc_id AS media_id,
+       CAST(10 + d.doc_id % 5 AS BIGINT) AS width,
+       CAST(10 + d.doc_id % 7 AS BIGINT) AS height,
+       CAST(sum(((d.doc_id * 3 + t.y * 5 + s.x * 7) % 16 * 37 + 11) % 256) AS BIGINT) AS sum_r,
+       CAST(sum(((d.doc_id * 3 + t.y * 5 + s.x * 7) % 16 * 59 + 23) % 256) AS BIGINT) AS sum_g,
+       CAST(sum(((d.doc_id * 3 + t.y * 5 + s.x * 7) % 16 * 83 + 47) % 256) AS BIGINT) AS sum_b
+FROM documents d
+CROSS JOIN range(16) t(y)
+CROSS JOIN range(14) s(x)
+WHERE t.y < 10 + d.doc_id % 7 AND s.x < 10 + d.doc_id % 5
+GROUP BY d.doc_id
 """,
     # 2-D nearest-neighbor resize twin: same (ty*h)//16, (tx*w)//16
     # source-index math over the regenerated pixels (all non-negative,

@@ -2495,3 +2495,24 @@ class FlvDecoder:
                 "sum_b": pa.array(sb, type=pa.int64()),
             }
         )
+
+
+class GifToPngTranscoder:
+    """Transcode-at-the-edge stage: decode each GIF payload, expand
+    through its color table, re-encode as PNG (adaptive filters).
+    The ingest-normalization shape for heterogeneous media corpora —
+    lossless end to end, so downstream gates hash-check through BOTH
+    codecs. Actor pool: the palette/filter work is per-payload CPU."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, out = [], []
+        for mid, buf in zip(t["media_id"], t["payload"]):
+            idx, pal = decode_gif8(buf.as_py())
+            ids.append(mid.as_py())
+            out.append(encode_png_rgb8(np.ascontiguousarray(pal[idx])))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(out, type=pa.large_binary()),
+            }
+        )

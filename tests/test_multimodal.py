@@ -942,3 +942,37 @@ def test_flv_screenvideo_rejects_malformed():
         decode_flv_screenvideo(bytes(wrong_codec))
     with pytest.raises(ValueError):
         encode_flv_screenvideo(np.zeros((0, 4, 4, 3), np.uint8))
+
+
+def test_gif_to_png_transcode_lossless():
+    """Transcode-at-the-edge: GIF -> PNG preserves every pixel (both
+    codecs lossless), and the PNG payloads are genuinely re-encoded
+    (PNG magic, decodable standalone)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        _GIF_PALETTE,
+        _gif_indices,
+        GifToPngTranscoder,
+        decode_png_rgb8,
+        encode_gif8,
+    )
+
+    ids = [0, 3, 17, 123]
+    t = pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(
+                [encode_gif8(_gif_indices(i), _GIF_PALETTE) for i in ids],
+                type=pa.large_binary(),
+            ),
+        }
+    )
+    out = GifToPngTranscoder()(t)
+    for mid, buf in zip(out["media_id"], out["payload"]):
+        raw = buf.as_py()
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+        px = decode_png_rgb8(raw)
+        expect = _GIF_PALETTE[_gif_indices(mid.as_py())]
+        assert np.array_equal(px, expect), mid.as_py()
