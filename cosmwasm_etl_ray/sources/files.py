@@ -112,7 +112,14 @@ def read_events_csv(path: str) -> "ray.data.Dataset":
     ).map_batches(norm, batch_format="pyarrow")
 
 
-_FMT_EXT = {"jsonl": ("*.json", "*.jsonl"), "csv": ("*.csv",)}
+# .gz variants ride pyarrow's extension-based auto-decompression in
+# _read_one — compressed text logs are the shipping norm, and the
+# converter is exactly where decompression belongs (parsed once, at
+# the edge, in parallel; parquet downstream)
+_FMT_EXT = {
+    "jsonl": ("*.json", "*.jsonl", "*.json.gz", "*.jsonl.gz"),
+    "csv": ("*.csv", "*.csv.gz"),
+}
 
 
 def _read_one(path: str, fmt: str) -> pa.Table:

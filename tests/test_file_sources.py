@@ -196,3 +196,39 @@ def test_convert_ignores_stale_tmp_and_is_idempotent(ray_session, tmp_path):
     assert len(visible) == r1["files"]
     assert not any(v.endswith(".tmp.99999") for v in visible)
     assert os.path.exists(stale)  # litter is inert, not consumed
+
+
+def test_convert_events_dir_gzip_inputs(ray_session, tmp_path):
+    """Gzip-compressed JSONL/CSV inputs convert identically to their
+    plain twins (pyarrow extension-based auto-decompression inside the
+    per-file convert task) — compressed text logs are the shipping
+    norm, and a .gz drop must feed the same canonical parquet log."""
+    import glob as _glob
+    import gzip
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cosmwasm_etl_ray.sources.changes import changes_from_documents
+    from cosmwasm_etl_ray.sources.files import convert_events_dir
+
+    sf = "/root/testdata/sf0.001"
+    plain = str(tmp_path / "plain")
+    changes_from_documents(sf).limit(500).write_json(plain)
+
+    gz = str(tmp_path / "gz")
+    os.makedirs(gz)
+    for p in sorted(_glob.glob(f"{plain}/*.json")):
+        with open(p, "rb") as f, gzip.open(
+            os.path.join(gz, os.path.basename(p) + ".gz"), "wb"
+        ) as g:
+            g.write(f.read())
+
+    out_plain = str(tmp_path / "out_plain")
+    out_gz = str(tmp_path / "out_gz")
+    a = convert_events_dir(plain, out_plain, "jsonl")
+    b = convert_events_dir(gz, out_gz, "jsonl")
+    assert a["events"] == b["events"] > 0 and a["files"] == b["files"]
+    ta = pq.read_table(sorted(_glob.glob(f"{out_plain}/*.parquet"))[0])
+    tb = pq.read_table(sorted(_glob.glob(f"{out_gz}/*.parquet"))[0])
+    assert ta.equals(tb)
