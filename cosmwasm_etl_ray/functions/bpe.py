@@ -259,3 +259,96 @@ def bpe_encode(
     return docs.map_batches(
         Encode, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
     )
+
+
+# Fixed demo tokenizer for the exact encode gate: multi-level merges
+# (er->ers, th->the, in->ing) exercise composition. The SQL twin is
+# GENERATED from this same constant (chained replace() over a spaced
+# representation), so engine and oracle cannot drift.
+FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("o", "r"),
+    ("i", "n"),
+    ("s", "t"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("er", "s"),
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "n"),
+    ("o", "n"),
+    ("in", "g"),
+]
+
+
+def encode_tokens_sequential(w: str, merges: list[tuple[str, str]]) -> int:
+    """Token count after applying merges SEQUENTIALLY in rank order
+    (each merge applied left-to-right non-overlapping across the whole
+    word before the next) — the original Sennrich apply order, and the
+    semantics a chained SQL replace() reproduces exactly."""
+    sym = tuple(w)
+    for l, r in merges:
+        sym = _merge_word(sym, l, r)
+    return len(sym)
+
+
+def bpe_encode_fixed(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Tokenize with the FIXED_MERGES tokenizer (sequential apply) —
+    per-doc word and token counts, memoized per distinct word in each
+    actor. The exact-gate twin of the learned-tokenizer bpe_encode."""
+
+    class Encode:
+        def __init__(self):
+            self.memo: dict[str, int] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, nw, nt = [], [], []
+            for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                words = [
+                    w[:MAX_WORD_LEN] for w in WORD_RE.findall((s or "").lower())
+                ]
+                toks = 0
+                for w in words:
+                    n = self.memo.get(w)
+                    if n is None:
+                        n = encode_tokens_sequential(w, FIXED_MERGES)
+                        self.memo[w] = n
+                    toks += n
+                ids.append(did)
+                nw.append(len(words))
+                nt.append(toks)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "n_words": pa.array(nw, type=pa.int64()),
+                    "n_tokens": pa.array(nt, type=pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        Encode, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    )
+
+
+def fixed_merges_sql() -> str:
+    """The DuckDB twin for bpe_encode_fixed, GENERATED from
+    FIXED_MERGES: words -> spaced chars -> chained replace('l r' ->
+    'lr') in rank order (replace() is left-to-right non-overlapping,
+    exactly the sequential BPE apply) -> token count = spaces + 1."""
+    expr = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for l, r in FIXED_MERGES:
+        expr = f"replace({expr}, '{l} {r}', '{l}{r}')"
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+), capped AS (
+    SELECT doc_id, substr(w, 1, 30) AS w FROM words
+), enc AS (
+    SELECT doc_id, {expr} AS s FROM capped
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(s) - len(replace(s, ' ', '')) + 1) AS BIGINT) AS n_tokens
+FROM enc GROUP BY doc_id
+"""

@@ -356,10 +356,24 @@ def bpe_merges(sf_dir: str) -> pd.DataFrame:
     return bpe_train(_docs(sf_dir), n_merges=15)
 
 
+def bpe_encode_fixed_q(sf_dir: str) -> "ray.data.Dataset":
+    """BPE ENCODING under the gate, exactly: tokenize with the fixed
+    demo tokenizer (functions/bpe.py FIXED_MERGES — multi-level
+    merges, sequential rank-order apply). The DuckDB twin is GENERATED
+    from the same constant (chained replace() over spaced chars, the
+    exact left-to-right non-overlapping semantics), so the serving
+    path of a trained tokenizer is full-value hash-gated even though
+    training itself is iterative."""
+    from cosmwasm_etl_ray.functions.bpe import bpe_encode_fixed
+
+    return bpe_encode_fixed(_docs(sf_dir))
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merges": bpe_merges,
+    "bpe_encode_fixed": bpe_encode_fixed_q,
     "pretrain_corpus": pretrain_corpus,
     "cdc_chunks": cdc_chunks,
     "encode_docs": encode_docs,
@@ -430,7 +444,13 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
 FROM marked GROUP BY doc_id, chunk_id
 """
 
+from cosmwasm_etl_ray.functions.bpe import fixed_merges_sql as _fixed_merges_sql
+
 ORACLE_SQL = {
+    # BPE encode with the fixed tokenizer: twin GENERATED from
+    # FIXED_MERGES (chained replace over spaced chars) — one constant
+    # drives both sides
+    "bpe_encode_fixed": _fixed_merges_sql(),
     # Round-0 BPE pair counts: words = lowercase [a-z]+ runs capped at
     # 30 chars (range(29) positions), adjacent chars counted per
     # OCCURRENCE (the engine's word-freq weighting collapses to the

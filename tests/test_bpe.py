@@ -112,3 +112,28 @@ def test_bpe_pair_counts_threshold_and_weighting(ray_session):
     # (lowercased; None text skipped); 'za' (count 1) falls below the
     # threshold and must be absent
     assert got == {("a", "b"): 6, ("b", "a"): 2}
+
+
+def test_fixed_tokenizer_sequential_semantics():
+    """encode_tokens_sequential applies merges in rank order, each
+    left-to-right non-overlapping — the semantics the generated SQL
+    twin's chained replace() reproduces. Multi-level merges compose
+    (er->ers, th->the, in->ing); token counts are consistent with
+    manual derivations."""
+    from cosmwasm_etl_ray.functions.bpe import (
+        FIXED_MERGES,
+        encode_tokens_sequential,
+    )
+
+    # 'parsers': p a r s e r s -> (e,r): p a r s er s -> (a,r):
+    # p ar s er s -> (p,ar): par s er s -> (er,s): par s ers -> 3 tokens
+    assert encode_tokens_sequential("parsers", FIXED_MERGES) == 3
+    # 'the': t h e -> (t,h): th e -> (th,e): the -> 1 token
+    assert encode_tokens_sequential("the", FIXED_MERGES) == 1
+    # 'thing': t h i n g -> (i,n): t h in g -> (t,h): th in g ->
+    # (in,g): th ing -> 2
+    assert encode_tokens_sequential("thing", FIXED_MERGES) == 2
+    # left-to-right non-overlap: 'aaa' with a hypothetical (a,a) merge
+    from cosmwasm_etl_ray.functions.bpe import _merge_word
+
+    assert _merge_word(tuple("aaa"), "a", "a") == ("aa", "a")
