@@ -860,6 +860,25 @@ def media_transcode(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_dispatch(sf_dir: str) -> "ray.data.Dataset":
+    """Format-SNIFFING dispatch decode through the gate: the media
+    table is heterogeneous (doc_id % 3 selects BMP / PNG / GIF) with
+    NO format column — the actor-pool MediaSniffDecoder identifies
+    each payload by magic bytes, routes it to the right codec, and
+    emits a unified decoded-pixel sum. The twin regenerates each
+    format's closed-form field behind a CASE on doc_id % 3 — a wrong
+    sniff, wrong route, or wrong decode all flip the hash."""
+    from cosmwasm_etl_ray.stages.multimodal import (
+        MediaSniffDecoder,
+        synthesize_mixed_media,
+    )
+
+    media = synthesize_mixed_media(_docs(sf_dir))
+    return media.map_batches(
+        MediaSniffDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
 def lsh_neighbors(sf_dir: str) -> "ray.data.Dataset":
     """Raw LSH approximate top-10 (product API)."""
     qdf, db = _split_queries_db(sf_dir)
@@ -1132,6 +1151,7 @@ QUERIES = {
     "media_quarantine": media_quarantine,
     "media_flv_frames": media_flv_frames,
     "media_transcode": media_transcode,
+    "media_dispatch": media_dispatch,
     "media_bmp_resize": media_bmp_resize,
     "media_wav_stats": media_wav_stats,
     "media_y4m_frames": media_y4m_frames,
@@ -1501,6 +1521,40 @@ CROSS JOIN range(16) t(y)
 CROSS JOIN range(14) s(x)
 WHERE t.y < 10 + d.doc_id % 7 AND s.x < 10 + d.doc_id % 5
 GROUP BY d.doc_id
+""",
+    # Dispatch twin: the mixed corpus is doc_id % 3 -> BMP / PNG / GIF,
+    # each regenerated from its own closed-form field
+    "media_dispatch": """
+WITH base AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
+bmp AS (
+    SELECT b.doc_id, 'bmp' AS kind,
+           CAST(sum((b.doc_id * 7 + y.y * 5 + x.x * 3 + c.c * 11) % 256) AS BIGINT) AS sum_px
+    FROM base b
+    CROSS JOIN range(15) y(y) CROSS JOIN range(17) x(x) CROSS JOIN range(3) c(c)
+    WHERE b.m = 0 AND y.y < 8 + b.doc_id % 7 AND x.x < 8 + b.doc_id % 9
+    GROUP BY b.doc_id
+),
+png AS (
+    SELECT b.doc_id, 'png' AS kind,
+           CAST(sum((b.doc_id * 5 + y.y * 7 + x.x * 11 + c.c * 13) % 256) AS BIGINT) AS sum_px
+    FROM base b
+    CROSS JOIN range(15) y(y) CROSS JOIN range(17) x(x) CROSS JOIN range(3) c(c)
+    WHERE b.m = 1 AND y.y < 9 + b.doc_id % 6 AND x.x < 9 + b.doc_id % 8
+    GROUP BY b.doc_id
+),
+gif AS (
+    SELECT b.doc_id, 'gif' AS kind,
+           CAST(sum(((b.doc_id * 3 + y.y * 5 + x.x * 7) % 16 * 37 + 11) % 256
+                    + ((b.doc_id * 3 + y.y * 5 + x.x * 7) % 16 * 59 + 23) % 256
+                    + ((b.doc_id * 3 + y.y * 5 + x.x * 7) % 16 * 83 + 47) % 256) AS BIGINT) AS sum_px
+    FROM base b
+    CROSS JOIN range(16) y(y) CROSS JOIN range(14) x(x)
+    WHERE b.m = 2 AND y.y < 10 + b.doc_id % 7 AND x.x < 10 + b.doc_id % 5
+    GROUP BY b.doc_id
+)
+SELECT doc_id AS media_id, kind, sum_px FROM bmp
+UNION ALL SELECT doc_id AS media_id, kind, sum_px FROM png
+UNION ALL SELECT doc_id AS media_id, kind, sum_px FROM gif
 """,
     # 2-D nearest-neighbor resize twin: same (ty*h)//16, (tx*w)//16
     # source-index math over the regenerated pixels (all non-negative,

@@ -2516,3 +2516,111 @@ class GifToPngTranscoder:
                 "payload": pa.array(out, type=pa.large_binary()),
             }
         )
+
+
+# ---------------------------------------------------------------------
+# Format-sniffing dispatch: a heterogeneous media corpus doesn't
+# announce formats — the decode stage sniffs magic bytes and routes
+# each payload to the right codec. Unknown magic raises ValueError,
+# so RobustMediaDecoder(decode_fn=sniff_decode_pixel_sum) composes
+# the dispatch with the quarantine path unchanged.
+
+
+def sniff_media_format(raw: bytes) -> str:
+    """Identify a payload by magic bytes: bmp|png|gif|jpeg|wav|flac|
+    y4m|avi|flv. Unknown magic raises ValueError."""
+    if raw[:2] == b"BM":
+        return "bmp"
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if raw[:4] == b"GIF8":
+        return "gif"
+    if raw[:2] == b"\xff\xd8":
+        return "jpeg"
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return "wav"
+    if raw[:4] == b"fLaC":
+        return "flac"
+    if raw[:9] == b"YUV4MPEG2":
+        return "y4m"
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        return "avi"
+    if raw[:4] == b"FLV\x01":
+        return "flv"
+    raise ValueError(f"unknown media magic {raw[:8]!r}")
+
+
+def sniff_decode_pixel_sum(raw: bytes) -> int:
+    """Sniff + decode + one unified integer stat (sum of decoded
+    sample/pixel values across channels/frames) — the decode_fn shape
+    RobustMediaDecoder accepts."""
+    kind = sniff_media_format(raw)
+    if kind == "bmp":
+        return int(decode_bmp24(raw).astype(np.int64).sum())
+    if kind == "png":
+        return int(decode_png_rgb8(raw).astype(np.int64).sum())
+    if kind == "gif":
+        idx, pal = decode_gif8(raw)
+        return int(pal[idx].astype(np.int64).sum())
+    if kind == "jpeg":
+        return int(decode_jpeg_gray(raw).astype(np.int64).sum())
+    if kind == "wav":
+        return int(decode_wav16(raw)[0].astype(np.int64).sum())
+    if kind == "flac":
+        return int(decode_flac16(raw)[0].astype(np.int64).sum())
+    if kind == "y4m":
+        frames, _, _ = decode_y4m(raw)
+        return int(sum(int(p.astype(np.int64).sum()) for f in frames for p in f))
+    if kind == "avi":
+        frames, _ = decode_avi_mjpeg(raw)
+        return int(sum(int(f.astype(np.int64).sum()) for f in frames))
+    return int(decode_flv_screenvideo(raw).astype(np.int64).sum())  # flv
+
+
+class MediaSniffDecoder:
+    """Actor-pool dispatch decode: per payload, sniff the format and
+    emit (media_id, kind, sum_px) — the heterogeneous-corpus shape
+    where the format column doesn't exist and must not be trusted."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, kinds, sums = [], [], []
+        for mid, buf in zip(t["media_id"], t["payload"]):
+            raw = buf.as_py()
+            ids.append(mid.as_py())
+            kinds.append(sniff_media_format(raw))
+            sums.append(sniff_decode_pixel_sum(raw))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "sum_px": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+
+def synthesize_mixed_media(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Heterogeneous media table: doc_id % 3 selects BMP / PNG / GIF
+    payloads (each its own closed-form field) with NO format column —
+    the dispatch gate must sniff."""
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            if i % 3 == 0:
+                payloads.append(encode_bmp24(_bmp_pixels(i)))
+            elif i % 3 == 1:
+                payloads.append(
+                    encode_png_rgb8(_png_pixels(i), filter_mode=("cycle", i))
+                )
+            else:
+                payloads.append(encode_gif8(_gif_indices(i), _GIF_PALETTE))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    return docs.map_batches(make, batch_format="pyarrow", batch_size=512)

@@ -976,3 +976,70 @@ def test_gif_to_png_transcode_lossless():
         px = decode_png_rgb8(raw)
         expect = _GIF_PALETTE[_gif_indices(mid.as_py())]
         assert np.array_equal(px, expect), mid.as_py()
+
+
+def test_sniff_dispatch_all_formats_and_quarantine_composition():
+    """sniff_media_format identifies all nine formats by magic bytes,
+    unknown magic raises ValueError, and the dispatch decode_fn drops
+    into RobustMediaDecoder so a corrupt payload in a MIXED corpus
+    quarantines instead of aborting."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from cosmwasm_etl_ray.stages.multimodal import (
+        RobustMediaDecoder,
+        _avi_frames,
+        _bmp_pixels,
+        _flac_samples,
+        _flv_frames,
+        _GIF_PALETTE,
+        _gif_indices,
+        _jpeg_block_values,
+        _png_pixels,
+        _wav_samples,
+        _y4m_planes,
+        encode_avi_mjpeg,
+        encode_bmp24,
+        encode_flac16,
+        encode_flv_screenvideo,
+        encode_gif8,
+        encode_jpeg_gray,
+        encode_png_rgb8,
+        encode_wav16,
+        encode_y4m,
+        sniff_decode_pixel_sum,
+        sniff_media_format,
+    )
+
+    gray = np.kron(_jpeg_block_values(5)[2], np.ones((8, 8), np.uint8))
+    payloads = {
+        "bmp": encode_bmp24(_bmp_pixels(5)),
+        "png": encode_png_rgb8(_png_pixels(5)),
+        "gif": encode_gif8(_gif_indices(5), _GIF_PALETTE),
+        "jpeg": encode_jpeg_gray(gray),
+        "wav": encode_wav16(_wav_samples(5)),
+        "flac": encode_flac16(_flac_samples(5)),
+        "y4m": encode_y4m(_y4m_planes(5)),
+        "avi": encode_avi_mjpeg(_avi_frames(5)),
+        "flv": encode_flv_screenvideo(_flv_frames(5)),
+    }
+    for kind, raw in payloads.items():
+        assert sniff_media_format(raw) == kind
+        assert isinstance(sniff_decode_pixel_sum(raw), int)
+    with pytest.raises(ValueError):
+        sniff_media_format(b"\x00\x01\x02\x03junk")
+
+    # dispatch + quarantine composition: unknown magic lands in
+    # decode_ok=false, known payloads decode
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], type=pa.int64()),
+            "payload": pa.array(
+                [payloads["png"], b"not media at all", payloads["flac"]],
+                type=pa.large_binary(),
+            ),
+        }
+    )
+    out = RobustMediaDecoder(decode_fn=sniff_decode_pixel_sum)(t)
+    assert out["decode_ok"].to_pylist() == [True, False, True]
