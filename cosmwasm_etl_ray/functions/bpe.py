@@ -177,21 +177,23 @@ def bpe_train(
         BpeShard.remote(*refs[i::n_shards]) for i in range(n_shards)
     ]
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
-        total: Counter = Counter()
-        for part in ray.get([s.count_pairs.remote() for s in shards]):
-            total.update(part)
-        if not total:
-            break
-        (left, right), cnt = min(
-            total.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        if cnt < min_freq:
-            break
-        merges.append((rank, left, right, int(cnt)))
-        ray.get([s.apply_merge.remote(left, right) for s in shards])
-    for s in shards:
-        ray.kill(s)
+    try:
+        for rank in range(n_merges):
+            total: Counter = Counter()
+            for part in ray.get([s.count_pairs.remote() for s in shards]):
+                total.update(part)
+            if not total:
+                break
+            (left, right), cnt = min(
+                total.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if cnt < min_freq:
+                break
+            merges.append((rank, left, right, int(cnt)))
+            ray.get([s.apply_merge.remote(left, right) for s in shards])
+    finally:
+        for s in shards:
+            ray.kill(s)
     return pd.DataFrame(merges, columns=["rank", "left", "right", "freq"]).astype(
         {"rank": "int64", "freq": "int64"}
     )
