@@ -354,3 +354,59 @@ SELECT doc_id,
        CAST(sum(len(s) - len(replace(s, ' ', '')) + 1) AS BIGINT) AS n_tokens
 FROM enc GROUP BY doc_id
 """
+
+
+def bigram_model(docs: "ray.data.Dataset") -> dict:
+    """Corpus character-bigram model: ONE distributed pass (the
+    pair_counts machinery, threshold 1), reduced to a dict. The model
+    is bounded by the alphabet (<= 26^2 entries for [a-z] pairs), so
+    the driver pull is constant-size no matter the corpus — the
+    train-side of the CCNet-style model-based quality filter."""
+    df = pair_counts(docs, min_count=1).to_pandas()
+    return {
+        l + r: int(c)
+        for l, r, c in zip(df["left_ch"], df["right_ch"], df["cnt"])
+    }
+
+
+def doc_fluency(docs: "ray.data.Dataset", model: dict | None = None) -> "ray.data.Dataset":
+    """Model-based quality scoring, the perplexity-filter shape
+    (CCNet trains a KenLM on a reference corpus and scores documents;
+    here the model is the corpus's own bigram counts and the score is
+    integer-exact so the gate can hash it): broadcast the model once
+    (ray.put), score every doc as the sum over its in-word adjacent
+    char pairs of the model count. High fluency = built from the
+    corpus's common bigrams; rare-gibberish docs score near zero per
+    pair. Output (doc_id, n_pairs, fluency)."""
+    if model is None:
+        model = bigram_model(docs)
+    ref = ray.put(model)
+
+    class Score:
+        def __init__(self):
+            self.model = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, np_, fl = [], [], []
+            for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                pairs = 0
+                score = 0
+                for w in WORD_RE.findall((s or "").lower()):
+                    w = w[:MAX_WORD_LEN]
+                    for i in range(len(w) - 1):
+                        pairs += 1
+                        score += self.model.get(w[i : i + 2], 0)
+                ids.append(did)
+                np_.append(pairs)
+                fl.append(score)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "n_pairs": pa.array(np_, type=pa.int64()),
+                    "fluency": pa.array(fl, type=pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        Score, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    )

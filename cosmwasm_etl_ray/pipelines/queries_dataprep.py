@@ -369,11 +369,25 @@ def bpe_encode_fixed_q(sf_dir: str) -> "ray.data.Dataset":
     return bpe_encode_fixed(_docs(sf_dir))
 
 
+def doc_fluency_q(sf_dir: str) -> "ray.data.Dataset":
+    """Model-based quality scoring through the gate, the CCNet
+    perplexity-filter shape made integer-exact: pass 1 trains the
+    corpus char-bigram model (distributed pair counts, alphabet-
+    bounded), pass 2 broadcasts it (ray.put once) and scores every
+    doc as the sum of model counts over its in-word adjacent pairs.
+    The twin recomputes model and scores in SQL (self-join) — exact
+    integers, no float-perplexity hash hazard."""
+    from cosmwasm_etl_ray.functions.bpe import doc_fluency
+
+    return doc_fluency(_docs(sf_dir))
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merges": bpe_merges,
     "bpe_encode_fixed": bpe_encode_fixed_q,
+    "doc_fluency": doc_fluency_q,
     "pretrain_corpus": pretrain_corpus,
     "cdc_chunks": cdc_chunks,
     "encode_docs": encode_docs,
@@ -451,6 +465,30 @@ ORACLE_SQL = {
     # FIXED_MERGES (chained replace over spaced chars) — one constant
     # drives both sides
     "bpe_encode_fixed": _fixed_merges_sql(),
+    # Model-based fluency twin: the bigram model and the per-doc
+    # scores both recomputed in SQL (docs with no [a-z] pairs keep
+    # n_pairs = fluency = 0 via the LEFT JOINs)
+    "doc_fluency": """
+WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+), capped AS (
+    SELECT doc_id, substr(w, 1, 30) AS w FROM words WHERE len(w) >= 2
+), pairs AS (
+    SELECT doc_id, substr(w, t.i + 1, 2) AS p
+    FROM capped CROSS JOIN range(29) t(i)
+    WHERE t.i < len(w) - 1
+), model AS (
+    SELECT p, count(*) AS c FROM pairs GROUP BY p
+)
+SELECT d.doc_id,
+       CAST(count(p.p) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(sum(m.c), 0) AS BIGINT) AS fluency
+FROM documents d
+LEFT JOIN pairs p ON p.doc_id = d.doc_id
+LEFT JOIN model m ON m.p = p.p
+GROUP BY d.doc_id
+""",
     # Round-0 BPE pair counts: words = lowercase [a-z]+ runs capped at
     # 30 chars (range(29) positions), adjacent chars counted per
     # OCCURRENCE (the engine's word-freq weighting collapses to the

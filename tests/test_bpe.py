@@ -137,3 +137,38 @@ def test_fixed_tokenizer_sequential_semantics():
     from cosmwasm_etl_ray.functions.bpe import _merge_word
 
     assert _merge_word(tuple("aaa"), "a", "a") == ("aa", "a")
+
+
+def test_doc_fluency_model_and_scores(ray_session):
+    """Two-pass model-based scoring: the broadcast bigram model equals
+    a serial count, and per-doc fluency equals the sum of model counts
+    over the doc's own pairs — including a gibberish doc scoring only
+    its self-contributed counts and an empty doc scoring zero."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cosmwasm_etl_ray.functions.bpe import bigram_model, doc_fluency
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(
+                    ["the the the", "then", "xq xq", ""], type=pa.string()
+                ),
+            }
+        )
+    )
+    m = bigram_model(docs)
+    # th: 3 (the) + 1 (then) = 4; he: 4; en: 1; xq: 2
+    assert m == {"th": 4, "he": 4, "en": 1, "xq": 2}
+    out = (
+        doc_fluency(docs, m)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc1: pairs th,he x3 -> 3*(4+4)=24; doc2: th,he,en -> 9;
+    # doc3: xq x2 -> 4; doc4: none
+    assert out["n_pairs"].tolist() == [6, 3, 2, 0]
+    assert out["fluency"].tolist() == [24, 9, 4, 0]
