@@ -151,6 +151,13 @@ def run_once() -> dict:
         state_tier=STATE_TIER,
         pipeline_epochs=os.environ.get("GRAFT_BENCH_PIPELINE", "1") != "0",
         merge_exchange=os.environ.get("GRAFT_BENCH_EXCHANGE", "direct"),
+        # A/B hook (VERDICT r4 #2): GRAFT_BENCH_DICT_COLS=repo,lang
+        # dictionary-encodes those columns through the exchange
+        exchange_dict_cols=tuple(
+            c
+            for c in os.environ.get("GRAFT_BENCH_DICT_COLS", "").split(",")
+            if c
+        ),
         # one shard actor per 2 CPUs: the per-epoch fold+checkpoint
         # parallelizes across actors (64 pids / 16 actors = 4 serial
         # folds each)
@@ -199,11 +206,11 @@ def run_once() -> dict:
 
     # the derived-task DAG over the freshly replayed store (window
     # stats, repo history, the cross-key PriceTask, lang stats) — the
-    # aggregator tick the reference runs on its own schedule. Opt-in
-    # (GRAFT_BENCH_DERIVED=1): the PriceTask's per-event output makes
-    # this ~60 s at 8M events, measured separately in BASELINE.md.
+    # aggregator tick the reference runs on its own schedule. On by
+    # default (~16 s at 8M events since the direct price exchange,
+    # BASELINE.md); opt out with GRAFT_BENCH_DERIVED=0.
     derived_sec = None
-    if os.environ.get("GRAFT_BENCH_DERIVED"):
+    if os.environ.get("GRAFT_BENCH_DERIVED", "1") != "0":
         from cosmwasm_etl_ray.pipelines.aggregator import run_all_tasks
 
         t0 = time.time()

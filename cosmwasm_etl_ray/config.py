@@ -90,6 +90,17 @@ class EngineConfig:
     # the crossover is documented in BASELINE.md.
     merge_exchange: str = "streaming"
 
+    # Exchange byte-shaving A/B (VERDICT r4 #2): dictionary-encode
+    # these low-cardinality passthrough columns in the direct
+    # exchange's prep output, so the object-store shuffle ships int32
+    # indices + a small per-block dictionary instead of repeated
+    # strings; the merge decodes them back before folding (on-disk
+    # state schema unchanged). Only helps columns that REPEAT within
+    # a combined block (repo, lang); path/content are near-unique
+    # after the combiner, where a dictionary ADDS bytes. Measured
+    # A/B in BASELINE.md; default on/off follows the measurement.
+    exchange_dict_cols: tuple = ()
+
     # PriceTask exchange: "direct" = raw-task exchange exploiting the
     # state files' existing (repo,path)-hash partitioning (state side
     # of the J6 join needs NO shuffle); "dataset" = the hash_join +

@@ -334,12 +334,20 @@ def bpe_encode_fixed(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def fixed_merges_sql() -> str:
     """The DuckDB twin for bpe_encode_fixed, GENERATED from
-    FIXED_MERGES: words -> spaced chars -> chained replace('l r' ->
-    'lr') in rank order (replace() is left-to-right non-overlapping,
-    exactly the sequential BPE apply) -> token count = spaces + 1."""
-    expr = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    FIXED_MERGES. Each token is wrapped as ``|tok|`` (word ->
+    ``|u||n||d|...``) so the merge pattern ``|l||r|`` anchors BOTH
+    sides to full tokens: the pattern's inner ``||`` can only align
+    with a between-token boundary and the outer bars pin l and r to
+    whole tokens, so a token-suffix + next-token-prefix can never
+    spell a merge (the 'er|st' =/= 'er s' hazard a space-separated
+    encoding has). The replacement ``|lr|`` regenerates both outer
+    bars, so adjacent repeats keep chaining left-to-right exactly
+    like _merge_word's non-overlapping scan. Token count per word =
+    bar count / 2. Zero-word docs keep (0, 0) rows via the LEFT JOIN
+    back onto documents (the doc_fluency twin pattern)."""
+    expr = "regexp_replace(w, '(.)', '|\\1|', 'g')"
     for l, r in FIXED_MERGES:
-        expr = f"replace({expr}, '{l} {r}', '{l}{r}')"
+        expr = f"replace({expr}, '|{l}||{r}|', '|{l}{r}|')"
     return f"""
 WITH words AS (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
@@ -348,12 +356,99 @@ WITH words AS (
     SELECT doc_id, substr(w, 1, 30) AS w FROM words
 ), enc AS (
     SELECT doc_id, {expr} AS s FROM capped
+), agg AS (
+    SELECT doc_id, count(*) AS n_words,
+           sum((len(s) - len(replace(s, '|', ''))) // 2) AS n_tokens
+    FROM enc GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(len(s) - len(replace(s, ' ', '')) + 1) AS BIGINT) AS n_tokens
-FROM enc GROUP BY doc_id
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
+
+
+def bpe_train_sql(n_merges: int = 15, min_freq: int = 2) -> str:
+    """Full-value DuckDB twin for bpe_train, GENERATED as one CTE
+    chain with n_merges rounds. Each round k restates the engine's
+    exact loop in SQL over the distinct-word table:
+
+      t{k}: split the wrapped ``|tok|`` symbolization into tokens
+      p{k}: overlapping adjacent-pair counts weighted by word freq
+            (the same per-index scan as BpeShard.count_pairs)
+      b{k}: global argmax with the engine's tie-break
+            (count desc, left asc, right asc; binary collation ==
+            Python str ordering on [a-z] tokens), min_freq floor
+      s{k+1}: replace('|l||r|' -> '|lr|') — exactly _merge_word's
+            left-to-right non-overlapping apply (see fixed_merges_sql
+            for the boundary-anchoring argument)
+
+    If a round's best count falls below min_freq, b{k} is empty, the
+    COALESCE(chr(1)) no-op replace keeps s unchanged, and every later
+    round is empty too — the engine's `break`. Output (rank, left,
+    right, freq) matches bpe_train's frame column-for-column."""
+    parts = [
+        "WITH words AS (\n"
+        "    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w\n"
+        "    FROM documents\n"
+        "), w0 AS (\n"
+        f"    SELECT substr(w, 1, {MAX_WORD_LEN}) AS w,"
+        " CAST(count(*) AS BIGINT) AS f\n"
+        "    FROM words GROUP BY 1\n"
+        "), s0 AS MATERIALIZED (\n"
+        "    SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, f FROM w0\n"
+        ")"
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f", t{k} AS (\n"
+            f"    SELECT string_split(trim(s, '|'), '||') AS toks, f FROM s{k}\n"
+            f"), p{k} AS (\n"
+            f"    SELECT toks[u.i] AS l, toks[u.i + 1] AS r,\n"
+            f"           CAST(sum(f) AS BIGINT) AS cnt\n"
+            f"    FROM t{k}, LATERAL (SELECT unnest(generate_series(1,"
+            f" len(toks) - 1)) AS i) u\n"
+            f"    GROUP BY 1, 2\n"
+            f"), b{k} AS MATERIALIZED (\n"
+            f"    SELECT {k} AS rnk, l, r, cnt FROM p{k}\n"
+            f"    WHERE cnt >= {min_freq}\n"
+            f"    ORDER BY cnt DESC, l, r LIMIT 1\n"
+            f"), s{k + 1} AS MATERIALIZED (\n"
+            f"    SELECT replace(s,\n"
+            f"        COALESCE((SELECT '|' || l || '||' || r || '|'"
+            f" FROM b{k}), chr(1)),\n"
+            f"        COALESCE((SELECT '|' || l || r || '|'"
+            f" FROM b{k}), chr(1))) AS s, f\n"
+            f"    FROM s{k}\n"
+            f")"
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM b{k}" for k in range(n_merges))
+    parts.append(
+        "\nSELECT CAST(rnk AS BIGINT) AS \"rank\", l AS \"left\","
+        " r AS \"right\", cnt AS freq\n"
+        f"FROM ({union})\nORDER BY \"rank\"\n"
+    )
+    return "".join(parts)
+
+
+def encode_tokens_replace_chain(w: str, merges: list[tuple[str, str]]) -> int:
+    """Python simulation of the SQL twin's replace chain over the
+    wrapped ``|tok|`` representation — str.replace and DuckDB
+    replace() share left-to-right non-overlapping semantics, so this
+    IS the oracle's per-word computation. Pinned equal to
+    encode_tokens_sequential by a hypothesis property test."""
+    s = "".join(f"|{c}|" for c in w)
+    for l, r in merges:
+        s = s.replace(f"|{l}||{r}|", f"|{l}{r}|")
+    return (len(s) - len(s.replace("|", ""))) // 2
+
+
+# Hard ceiling on the bigram-model driver pull. The [a-z] char-pair
+# vocabulary is <= 26^2 = 676; the margin covers a future alphabet
+# widening, but re-pointing this at WORD bigrams (unbounded) must
+# crash loudly, not OOM the driver — the grouped_agg driver_limit
+# discipline.
+BIGRAM_MODEL_DRIVER_LIMIT = 65536
 
 
 def bigram_model(docs: "ray.data.Dataset") -> dict:
@@ -361,8 +456,12 @@ def bigram_model(docs: "ray.data.Dataset") -> dict:
     pair_counts machinery, threshold 1), reduced to a dict. The model
     is bounded by the alphabet (<= 26^2 entries for [a-z] pairs), so
     the driver pull is constant-size no matter the corpus — the
-    train-side of the CCNet-style model-based quality filter."""
-    df = pair_counts(docs, min_count=1).to_pandas()
+    train-side of the CCNet-style model-based quality filter.
+    to_pandas(limit=BIGRAM_MODEL_DRIVER_LIMIT) raises before the
+    driver materializes an unbounded result."""
+    df = pair_counts(docs, min_count=1).to_pandas(
+        limit=BIGRAM_MODEL_DRIVER_LIMIT
+    )
     return {
         l + r: int(c)
         for l, r, c in zip(df["left_ch"], df["right_ch"], df["cnt"])
@@ -379,6 +478,9 @@ def doc_fluency(docs: "ray.data.Dataset", model: dict | None = None) -> "ray.dat
     corpus's common bigrams; rare-gibberish docs score near zero per
     pair. Output (doc_id, n_pairs, fluency)."""
     if model is None:
+        # Two consumers of docs (pair_counts pass, then Score) —
+        # materialize once so the corpus read doesn't re-execute.
+        docs = docs.materialize()
         model = bigram_model(docs)
     ref = ray.put(model)
 

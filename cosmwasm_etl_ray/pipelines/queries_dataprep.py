@@ -346,11 +346,12 @@ def bpe_pair_counts(sf_dir: str) -> "ray.data.Dataset":
 def bpe_merges(sf_dir: str) -> pd.DataFrame:
     """Distributed BPE training (15 merges over the sharded-actor
     distinct-word table; exact global argmax per round, deterministic
-    tie-break). Iterative argmax chains are not SQL-expressible, so
-    this is the repo's one rows-only gate entry — the full train is
-    pinned against an independent clean-room serial reference in
-    tests/test_bpe.py (the cdc dict-replay-oracle pattern), and the
-    machinery it builds on is full-value-gated by bpe_pair_counts."""
+    tie-break). Full-value gated: the DuckDB twin (bpe_train_sql) is
+    a GENERATED 15-round CTE chain that re-derives each round's
+    argmax and replace-applies it over a boundary-anchored ``|tok|``
+    symbolization — the iterative train restated as SQL, not a
+    rows-only check. The serial clean-room reference in
+    tests/test_bpe.py additionally pins the engine."""
     from cosmwasm_etl_ray.functions.bpe import bpe_train
 
     return bpe_train(_docs(sf_dir), n_merges=15)
@@ -458,13 +459,20 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
 FROM marked GROUP BY doc_id, chunk_id
 """
 
-from cosmwasm_etl_ray.functions.bpe import fixed_merges_sql as _fixed_merges_sql
+from cosmwasm_etl_ray.functions.bpe import (
+    bpe_train_sql as _bpe_train_sql,
+    fixed_merges_sql as _fixed_merges_sql,
+)
 
 ORACLE_SQL = {
     # BPE encode with the fixed tokenizer: twin GENERATED from
-    # FIXED_MERGES (chained replace over spaced chars) — one constant
-    # drives both sides
+    # FIXED_MERGES (chained replace over the boundary-anchored |tok|
+    # encoding) — one constant drives both sides
     "bpe_encode_fixed": _fixed_merges_sql(),
+    # Distributed BPE training: the iterative argmax chain restated
+    # as a generated 15-round CTE chain (see bpe_train_sql) — the
+    # last rows-only gate entry upgraded to full-value
+    "bpe_merges": _bpe_train_sql(n_merges=15, min_freq=2),
     # Model-based fluency twin: the bigram model and the per-doc
     # scores both recomputed in SQL (docs with no [a-z] pairs keep
     # n_pairs = fluency = 0 via the LEFT JOINs)

@@ -60,11 +60,45 @@ def _merge_pid_parts(merge: MergeWithState, *parts):
     """One raw merge task: concatenate a pid's slices (in block order —
     the same positional tie-break the groupby path sees) and run the
     unchanged MergeWithState on the group."""
-    tables = [p for p in parts if p is not None and p.num_rows > 0]
+    tables = [
+        _dict_decode_cols(p)
+        for p in parts
+        if p is not None and p.num_rows > 0
+    ]
     if not tables:
         return None
     group = pa.concat_tables(tables, promote_options="permissive")
     return merge(group)
+
+
+def _dict_encode_cols(t: "pa.Table", cols: tuple) -> "pa.Table":
+    """Dictionary-encode repeating passthrough columns for the
+    exchange leg (int32 indices + small dict instead of repeated
+    strings through the object store). Decoded back at merge entry —
+    purely a wire format."""
+    import pyarrow.compute as pc
+
+    for c in cols:
+        if c in t.column_names:
+            i = t.schema.get_field_index(c)
+            t = t.set_column(
+                i, c, pc.dictionary_encode(t[c].combine_chunks())
+            )
+    return t
+
+
+def _dict_decode_cols(t: "pa.Table") -> "pa.Table":
+    """Undo _dict_encode_cols: cast any dictionary column back to its
+    value type so the merge fold and the on-disk state never see the
+    wire encoding."""
+    import pyarrow.types as pt
+
+    for i, f in enumerate(t.schema):
+        if pt.is_dictionary(f.type):
+            t = t.set_column(
+                i, f.name, t[f.name].cast(f.type.value_type)
+            )
+    return t
 
 
 def _prep_split_shard(
@@ -73,6 +107,7 @@ def _prep_split_shard(
     num_partitions: int,
     ruleset,
     combine: bool,
+    dict_cols: tuple = (),
 ):
     """One raw prep task of the direct replay: read a shard (a run of
     parquet row groups) → flag+partition → LWW-combine → split by pid.
@@ -87,6 +122,8 @@ def _prep_split_shard(
     out = fp(t)
     if combine:
         out = fold_partial_arrow(out)
+    if dict_cols:
+        out = _dict_encode_cols(out, dict_cols)
     return _split_block_by_pid(out, num_partitions)
 
 
@@ -145,7 +182,14 @@ def _launch_prep_tasks(
     target = max(cfg.batch_size, -(-rows // (2 * ncpu)))
     per_pid: list[list] = [[] for _ in range(P)]
     for path, rgs in _plan_shards(batch, target):
-        refs = prep.remote(path, rgs, P, ruleset_ref, not cfg.override_coalesce)
+        refs = prep.remote(
+            path,
+            rgs,
+            P,
+            ruleset_ref,
+            not cfg.override_coalesce,
+            tuple(cfg.exchange_dict_cols),
+        )
         if P == 1:
             refs = [refs]
         for p, r in enumerate(refs):
@@ -173,7 +217,11 @@ def _merge_pid_chain(
     orders anything). Returns (stats_table | None, state_file | None)
     for the next link."""
     prior = prev[1] if prev is not None else committed_prior
-    tables = [p for p in parts if p is not None and p.num_rows > 0]
+    tables = [
+        _dict_decode_cols(p)
+        for p in parts
+        if p is not None and p.num_rows > 0
+    ]
     if not tables:
         return (None, prior)
     group = pa.concat_tables(tables, promote_options="permissive")

@@ -575,15 +575,33 @@ class TransferParserPipeline:
             e for e in self.store.committed_epochs()
             if e <= latest["through_epoch"]
         ]
+        # CONCURRENT SWEEPERS (chaos-pinned): two gc_compacted calls
+        # may race on the same garbage. Every deletion target here is
+        # covered by a committed generation >= this sweeper's
+        # snapshot, so a racer removing it first is benign — removals
+        # are best-effort (ENOENT → the racer won) and rmdir skips on
+        # ENOTEMPTY/ENOENT (the racer is mid-sweep or already done).
+        def _rm_quiet(path: str) -> bool:
+            try:
+                os.remove(path)
+                return True
+            except FileNotFoundError:
+                return False
+
+        def _rmdir_quiet(path: str) -> None:
+            try:
+                os.rmdir(path)
+            except OSError:
+                pass  # ENOTEMPTY (racer mid-sweep) or ENOENT (done)
+
         for pid_files in self._own_epoch_partitions(covered).values():
             for f in pid_files:
-                if os.path.exists(f):
-                    os.remove(f)
+                if _rm_quiet(f):
                     deleted += 1
         for e in covered:
             d = os.path.join(self.store.root, f"epoch={e}")
             if os.path.isdir(d) and not os.listdir(d):
-                os.rmdir(d)
+                _rmdir_quiet(d)
         keep_dir = latest.get("dir")
         if not keep_dir and latest["partitions"]:
             # pre-"dir" manifests: derive from any partition file
@@ -601,9 +619,9 @@ class TransferParserPipeline:
                 if m is None or int(m.group(1)) not in committed_gens:
                     continue  # in-flight workspace — leave it alone
                 for f in os.listdir(d):
-                    os.remove(os.path.join(d, f))
-                    deleted += 1
-                os.rmdir(d)
+                    if _rm_quiet(os.path.join(d, f)):
+                        deleted += 1
+                _rmdir_quiet(d)
         return {"deleted": deleted}
 
     # -- readers ------------------------------------------------------

@@ -61,6 +61,12 @@ class StateShard:
         # counted), None/empty parts no-op. Returns (applied, invalid).
         if partial is None or partial.num_rows == 0:
             return (0, 0)
+        if any(pa.types.is_dictionary(f.type) for f in partial.schema):
+            # exchange wire encoding (cfg.exchange_dict_cols): decode
+            # before buffering so state tables never mix encodings
+            from cosmwasm_etl_ray.pipelines.replay import _dict_decode_cols
+
+            partial = _dict_decode_cols(partial)
         if "valid" in partial.column_names:
             valid = partial["valid"].combine_chunks()
             n_ok = int(pc.sum(valid).as_py() or 0)

@@ -172,3 +172,108 @@ def test_doc_fluency_model_and_scores(ray_session):
     # doc3: xq x2 -> 4; doc4: none
     assert out["n_pairs"].tolist() == [6, 3, 2, 0]
     assert out["fluency"].tolist() == [24, 9, 4, 0]
+
+
+def test_replace_chain_equals_sequential_on_collision_words():
+    """The SQL twin's replace chain over the wrapped |tok| encoding
+    must equal sequential tuple-apply even on words where a
+    token-suffix + next-token-prefix spells a merge pattern — the
+    exact hazard a space-separated encoding has ('er|st' vs 'er s';
+    understand/asthma/interstate flip under the naive encoding)."""
+    from cosmwasm_etl_ray.functions.bpe import (
+        FIXED_MERGES,
+        encode_tokens_replace_chain,
+        encode_tokens_sequential,
+    )
+
+    for w in [
+        "understand", "asthma", "interstate", "erst", "sth",
+        "ers", "erers", "sts", "thethe", "parst", "aning",
+    ]:
+        assert encode_tokens_sequential(w, FIXED_MERGES) == (
+            encode_tokens_replace_chain(w, FIXED_MERGES)
+        ), w
+
+
+def test_replace_chain_equals_sequential_property():
+    """Property pin: for random words and random merge tables
+    (including multi-char merge operands built from earlier merges),
+    str.replace over the wrapped encoding == _merge_word sequential
+    apply. str.replace and DuckDB replace() share left-to-right
+    non-overlapping semantics, so this pins the oracle itself."""
+    from hypothesis import given, settings, strategies as st
+
+    from cosmwasm_etl_ray.functions.bpe import (
+        encode_tokens_replace_chain,
+        encode_tokens_sequential,
+    )
+
+    @st.composite
+    def merges_and_word(draw):
+        n = draw(st.integers(1, 8))
+        merges = []
+        toks = [c for c in "abc"]
+        for _ in range(n):
+            l = draw(st.sampled_from(toks))
+            r = draw(st.sampled_from(toks))
+            merges.append((l, r))
+            toks.append(l + r)
+        w = draw(st.text(alphabet="abc", min_size=0, max_size=16))
+        return merges, w
+
+    @settings(max_examples=300, deadline=None)
+    @given(merges_and_word())
+    def check(mw):
+        merges, w = mw
+        assert encode_tokens_sequential(w, merges) == (
+            encode_tokens_replace_chain(w, merges)
+        )
+
+    check()
+
+
+def test_bpe_train_sql_matches_serial_reference():
+    """The generated 15-round CTE chain recomputes the merge table
+    from the data (full-value twin, not rows-only): equal to the
+    clean-room serial reference on a corpus chosen to exercise
+    repeated pairs, ties, and the min_freq early stop."""
+    import duckdb
+
+    from cosmwasm_etl_ray.functions.bpe import bpe_train_sql
+
+    texts = [
+        "the theory of the thing is thin",
+        "banana bandana and an anthem",
+        "aaa aaaa aa understand interstate",
+        "zq!! 123",
+    ]
+    ref, _, _ = _serial_bpe(texts, 15)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)"
+    )
+    got = con.execute(bpe_train_sql(15, 2)).fetchdf()
+    assert got["rank"].tolist() == ref["rank"].tolist()
+    assert got["left"].tolist() == ref["left"].tolist()
+    assert got["right"].tolist() == ref["right"].tolist()
+    assert got["freq"].tolist() == ref["freq"].tolist()
+
+
+def test_bigram_model_driver_limit_is_loud(ray_session, monkeypatch):
+    """Re-pointing bigram_model at an unbounded pair vocabulary must
+    crash loudly at the driver pull, not OOM: the to_pandas limit."""
+    import cosmwasm_etl_ray.functions.bpe as bpe_mod
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1], type=pa.int64()),
+                "text": pa.array(["abc bcd cde def"], type=pa.string()),
+            }
+        )
+    )
+    monkeypatch.setattr(bpe_mod, "BIGRAM_MODEL_DRIVER_LIMIT", 2)
+    with pytest.raises(ValueError):
+        bpe_mod.bigram_model(docs)

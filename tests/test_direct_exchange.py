@@ -157,3 +157,29 @@ def test_direct_override_mode(tmp_path):
     replay_files(log["files"], d, EngineConfig(**base, merge_exchange="direct"))
     cols = ["repo", "path", "commit", "content"]
     pd.testing.assert_frame_equal(_final(s)[cols], _final(d)[cols])
+
+
+def test_dict_encoded_exchange_equals_plain(change_log, tmp_path):
+    """cfg.exchange_dict_cols is a WIRE format only (VERDICT r4 #2
+    A/B): dictionary-encoding repo/lang through the direct exchange
+    must leave the final state — values AND dtypes (no Categorical
+    leaking into the on-disk schema) — bit-identical on both the disk
+    and actor state tiers."""
+    plain = StateStore(str(tmp_path / "plain"))
+    replay_files(change_log["files"], plain, DIRECT_CFG)
+    want = _final(plain)
+    assert all(dt == object for dt in want[["repo", "lang"]].dtypes)
+
+    import dataclasses
+
+    for tier in ("disk", "actor"):
+        cfg = dataclasses.replace(
+            DIRECT_CFG,
+            exchange_dict_cols=("repo", "lang"),
+            state_tier=tier,
+        )
+        store = StateStore(str(tmp_path / f"dict_{tier}"))
+        replay_files(change_log["files"], store, cfg)
+        got = _final(store)
+        assert all(dt == object for dt in got[["repo", "lang"]].dtypes)
+        pd.testing.assert_frame_equal(got, want)

@@ -57,7 +57,7 @@ def codec_throughput() -> None:
             frames.nbytes,
         ),
     }
-    print(f"{'codec':10} {'raw KB':>8} {'enc KB':>8} {'enc MB/s':>9} {'dec MB/s':>9}")
+    print(f"{'codec':12} {'raw KB':>8} {'enc KB':>8} {'enc MB/s':>9} {'dec MB/s':>9}")
     for name, (enc, dec, raw) in cases.items():
         t0 = time.perf_counter()
         payload = enc()
@@ -65,9 +65,54 @@ def codec_throughput() -> None:
         dec(payload)
         t2 = time.perf_counter()
         print(
-            f"{name:10} {raw/1024:8.0f} {len(payload)/1024:8.0f} "
+            f"{name:12} {raw/1024:8.0f} {len(payload)/1024:8.0f} "
             f"{raw/1e6/(t1-t0):9.1f} {raw/1e6/(t2-t1):9.1f}"
         )
+    adapter_throughput()
+
+
+def adapter_throughput() -> None:
+    """Real-library adapter vs builtin decode on the same payload
+    (VERDICT r4 #5): every adapter importable in this container gets
+    a measured row; absent libraries print as skipped so the recipe's
+    coverage is visible."""
+    from cosmwasm_etl_ray.stages import multimodal as mm
+    from cosmwasm_etl_ray.stages.codec_adapters import decode_wav16_stdlib
+
+    rng = np.random.default_rng(7)
+    audio = rng.integers(-32768, 32768, 1 << 20).astype(np.int16)
+    wav = mm.encode_wav16(audio)
+    raw = audio.nbytes
+
+    def rate(fn, payload, n=5):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn(payload)
+        return raw * n / 1e6 / (time.perf_counter() - t0)
+
+    print(f"\n{'adapter decode (1 MiB samples)':34} {'MB/s':>9}")
+    print(f"{'wav builtin (RIFF walk + frombuffer)':34} {rate(mm.decode_wav16, wav):9.1f}")
+    print(f"{'wav stdlib-wave adapter':34} {rate(decode_wav16_stdlib, wav):9.1f}")
+    try:
+        from cosmwasm_etl_ray.stages.codec_adapters import PillowImageDecoder
+
+        PillowImageDecoder()  # raises ImportError when absent
+        img = rng.integers(0, 256, (512, 512, 3)).astype(np.uint8)
+        png = mm.encode_png_rgb8(img)
+        dec = PillowImageDecoder()._decode
+        print(f"{'png builtin (zlib + unfilter)':34} "
+              f"{img.nbytes * 5 / 1e6 / _time_n(mm.decode_png_rgb8, png, 5):9.1f}")
+        print(f"{'png Pillow adapter':34} "
+              f"{img.nbytes * 5 / 1e6 / _time_n(dec, png, 5):9.1f}")
+    except ImportError:
+        print(f"{'png Pillow adapter':34} {'(Pillow absent — skipped)':>9}")
+
+
+def _time_n(fn, payload, n):
+    t0 = time.perf_counter()
+    for _ in range(n):
+        fn(payload)
+    return time.perf_counter() - t0
 
 
 def bpe_scaling(mult: int) -> None:
