@@ -57,11 +57,17 @@ def _chunk(
     key_ids = rng.integers(0, cfg.n_keys, size=m)
 
     op = np.where(rng.random(m) < cfg.delete_frac, "delete", "update").astype(object)
-    # first global occurrence of a key is its insert
-    uniq, first_idx = np.unique(key_ids, return_index=True)
-    new_mask = ~seen[uniq]
-    op[first_idx[new_mask]] = "insert"
-    seen[uniq] = True
+    if seen is not None:
+        # first global occurrence of a key is its insert. seen=None
+        # (the parallel soak generator) skips the relabel: insert and
+        # update are both upserts to the merge, so the final state —
+        # and every rng draw — is identical; only the op label on a
+        # key's first event differs. The serial path keeps exact
+        # labels for the op-distribution tests.
+        uniq, first_idx = np.unique(key_ids, return_index=True)
+        new_mask = ~seen[uniq]
+        op[first_idx[new_mask]] = "insert"
+        seen[uniq] = True
 
     repo = np.char.add("repo_", key_repo[key_ids].astype("U6")).astype(object)
     path = np.char.add("src/k", key_ids.astype("U10")).astype(object)
