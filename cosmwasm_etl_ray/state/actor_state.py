@@ -30,7 +30,11 @@ import ray
 import ray.data
 
 from cosmwasm_etl_ray.config import EngineConfig
-from cosmwasm_etl_ray.stages.merge import fold_lww_arrow, fold_partial_arrow
+from cosmwasm_etl_ray.stages.merge import (
+    STATE_CODEC,
+    fold_lww_arrow,
+    fold_partial_arrow,
+)
 from cosmwasm_etl_ray.stages.normalize import FlagAndPartition
 
 
@@ -140,7 +144,7 @@ class StateShard:
                 state_dir, f"epoch={epoch}", f"part-{pid:05d}.parquet"
             )
             tmp = f"{path}.tmp.{os.getpid()}"
-            pq.write_table(t, tmp)
+            pq.write_table(t, tmp, **STATE_CODEC)
             os.replace(tmp, path)
             live = int(
                 pc.sum(pc.not_equal(t["op"], pa.scalar("delete"))).as_py() or 0
