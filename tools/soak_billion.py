@@ -53,7 +53,12 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CHUNK_EVENTS = 2_000_000
+# 1M-event chunks at num_cpus=2 per generation task: the numpy U-dtype
+# string temporaries inside _chunk peak at ~2.3 GB per 1M-event chunk,
+# so 16-way concurrency bounds generation at ~37 GB — 32-way 2M chunks
+# OOM-killed workers (measured, first full-run attempt).
+CHUNK_EVENTS = 1_000_000
+GEN_TASK_CPUS = 2
 
 
 def _cpu_ticks() -> list[int]:
@@ -133,7 +138,7 @@ def main() -> None:
                       "epochs": args.epochs,
                       "sentinels": len(sent_ids)}), flush=True)
 
-    @ray.remote(num_cpus=1)
+    @ray.remote(num_cpus=GEN_TASK_CPUS)
     def gen_chunk(chunk_i: int, start: int, stop: int, out_path: str):
         kr = ray.get(key_repo_ref)
         sp = ray.get(sent_ref)
@@ -152,9 +157,15 @@ def main() -> None:
     in_root = os.path.join(args.root, "input")
     os.makedirs(in_root, exist_ok=True)
     store = StateStore(os.path.join(args.root, "store"))
+    n_chunks = -(-args.events // CHUNK_EVENTS)
+    chunks_per_epoch = -(-n_chunks // args.epochs)
     cfg = EngineConfig(
         num_partitions=args.parts,
-        epoch_max_events=per_epoch,
+        # one replay_files call == one epoch: the cap must sit at or
+        # above the files actually passed (ceil rounding can push an
+        # epoch's file total past events//epochs, which would split
+        # the call into two epochs and garble per-epoch accounting)
+        epoch_max_events=chunks_per_epoch * CHUNK_EVENTS,
         batch_size=262_144,
         merge_exchange="direct",
         actor_state_shards=min(64, max(8, args.cpus // 2)),
@@ -169,9 +180,6 @@ def main() -> None:
     total_quarantined = 0
     prev_cursor: str | None = None
     total_replay_sec = 0.0
-
-    n_chunks = -(-args.events // CHUNK_EVENTS)
-    chunks_per_epoch = -(-n_chunks // args.epochs)
 
     for e in range(args.epochs):
         lo_chunk = e * chunks_per_epoch
@@ -208,6 +216,7 @@ def main() -> None:
         replay_sec = time.time() - tr
         steal = _steal_pct(s0, _cpu_ticks())
         total_replay_sec += replay_sec
+        assert len(manifests) == 1, f"expected 1 epoch/call, got {len(manifests)}"
         m = manifests[-1]
         total_applied += m["counts"]["applied_events"]
         total_quarantined += m["counts"]["quarantined"]
