@@ -90,6 +90,18 @@ class EngineConfig:
     # the crossover is documented in BASELINE.md.
     merge_exchange: str = "streaming"
 
+    # State checkpoint layout. "full" (default): copy-on-write — each
+    # epoch rewrites every dirty partition's whole state; reads are
+    # one file per pid. "delta": each epoch APPENDS one folded delta
+    # file per touched pid (write volume = touched keys, not total
+    # state — the 1B soak's diagnosed limiter, SOAK_1B.json); reads
+    # fold the per-pid chain (fold_lww_arrow is associative, so the
+    # result is bit-identical), state/delta.compact_state folds
+    # chains into a base periodically. Delta requires the production
+    # path (merge_exchange="direct" + state_tier="disk"); the layout
+    # is store identity — resume refuses a mismatch.
+    state_layout: str = "full"
+
     # Exchange byte-shaving A/B (VERDICT r4 #2): dictionary-encode
     # these low-cardinality passthrough columns in the direct
     # exchange's prep output, so the object-store shuffle ships int32

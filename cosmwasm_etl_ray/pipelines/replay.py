@@ -149,19 +149,28 @@ def _plan_shards(files: list[str], target_rows: int) -> list[tuple[str, list[int
     return shards
 
 
-def _check_partition_compat(store, P: int) -> None:
+def _check_partition_compat(store, P: int, layout: str = "full") -> None:
     """num_partitions is part of the store's identity: pid = hash(key) % P
     routes keys to state files, so replaying with a different P would
     silently send a key's new events to a different partition than its
     existing state row. Manifests record P; refuse a mismatch. Shared by
-    every replay path (serial, direct, actor, actor-direct)."""
+    every replay path (serial, direct, actor, actor-direct). The state
+    layout is equally identity (a full reader over delta chains would
+    serve one epoch's slice as the whole state) — refuse that too."""
     latest = store.latest_epoch()
     if latest is not None:
-        committed_p = store.manifest(latest).get("num_partitions")
+        m = store.manifest(latest)
+        committed_p = m.get("num_partitions")
         if committed_p is not None and committed_p != P:
             raise ValueError(
                 f"store was built with num_partitions={committed_p}; "
                 f"config asks for {P} — refusing to mix"
+            )
+        committed_layout = m.get("layout") or "full"
+        if committed_layout != layout:
+            raise ValueError(
+                f"store was built with state_layout={committed_layout!r}; "
+                f"config asks for {layout!r} — refusing to mix"
             )
 
 
@@ -419,7 +428,7 @@ def pending_files(files: list[str], store) -> tuple[list[str], int]:
     # and are skipped
     for e in reversed(store.committed_epochs()):
         hi = store.manifest(e)["offset_range"][1]
-        if not hi or hi in ("bootstrap", "repair", "quarantine"):
+        if not hi or hi in ("bootstrap", "repair", "quarantine", "compact"):
             continue
         if hi in fileset:
             return files[files.index(hi) + 1 :], latest + 1
@@ -441,6 +450,19 @@ def replay_files(
     reads epoch e's state."""
     todo, start = pending_files(files, store)
     epochs = plan_epochs(todo, cfg)
+    if cfg.state_layout == "delta" and epochs:
+        if cfg.merge_exchange != "direct" or cfg.state_tier != "disk":
+            raise ValueError(
+                "state_layout='delta' requires merge_exchange='direct' "
+                "and state_tier='disk' (the production path); got "
+                f"exchange={cfg.merge_exchange!r}, tier={cfg.state_tier!r}"
+            )
+        if cfg.override_coalesce:
+            raise ValueError(
+                "state_layout='delta' is whole-row LWW only: Override "
+                "column-coalesce folds are not associative across "
+                "epochs, so delta chains cannot reproduce them"
+            )
     if cfg.state_tier == "actor" and epochs:
         if cfg.merge_exchange == "direct":
             return _replay_files_actor_direct(epochs, start, store, cfg)
@@ -490,7 +512,8 @@ def _replay_files_direct(
 
     MAX_WAVES = 2
     P = cfg.num_partitions
-    _check_partition_compat(store, P)
+    delta = cfg.state_layout == "delta"
+    _check_partition_compat(store, P, layout=cfg.state_layout)
 
     prep = cached_remote(("replay_prep", P), _prep_split_shard, num_returns=P)
     chain = cached_remote("replay_chain", _merge_pid_chain)
@@ -527,7 +550,12 @@ def _replay_files_direct(
             "touched_partitions": len(touched),
         }
         return store.commit_epoch(
-            e, touched, offset_range, counts, num_partitions=P
+            e,
+            touched,
+            offset_range,
+            counts,
+            num_partitions=P,
+            layout=cfg.state_layout,
         )
 
     for i, batch in enumerate(epochs):
@@ -539,14 +567,18 @@ def _replay_files_direct(
         rows, per_pid = _launch_prep_tasks(batch, P, cfg, prep, ruleset_ref, ncpu)
         wave = []
         for p in range(P):
+            # delta layout: no prior-state read and no pid chaining —
+            # each epoch folds ONLY its own rows into an append-only
+            # delta file (the read side folds the chain), so merges
+            # across epochs are fully independent tasks
             ref = chain.remote(
                 store.state_dir,
                 e,
                 p,
                 cfg.override_coalesce,
                 store.quarantine_dir,
-                committed_prior.get(p),
-                prev_refs.get(p),
+                None if delta else committed_prior.get(p),
+                None if delta else prev_refs.get(p),
                 *per_pid[p],
             )
             prev_refs[p] = ref
@@ -729,7 +761,13 @@ def _empty_state_table() -> "pa.Table":
 
 
 def read_state(store, epoch: int | None = None) -> "ray.data.Dataset":
-    """The live current-state table (tombstones dropped) as a Dataset."""
+    """The live current-state table (tombstones dropped) as a Dataset.
+    Layout-aware: a delta-layout store folds per-pid chains instead of
+    reading single partition files (state/delta.py)."""
+    from cosmwasm_etl_ray.state.delta import read_state_delta, store_layout
+
+    if store_layout(store) == "delta":
+        return read_state_delta(store, epoch)
     files = list(store.partition_files(epoch).values())
     if not files:
         # empty store (nothing committed yet): a typed empty Dataset —
@@ -759,7 +797,12 @@ def lookup_state(
     whatever the store's width (the same path-pruning discipline as the
     persistent IVF probe). Tombstoned keys simply miss. Returns the
     (live-rows) Dataset and the pruned file list (tests assert on it).
+    Layout-aware: delta stores fold only the probed pids' chains.
     """
+    from cosmwasm_etl_ray.state.delta import lookup_state_delta, store_layout
+
+    if store_layout(store) == "delta":
+        return lookup_state_delta(store, keys, num_partitions)
     import numpy as np
 
     from cosmwasm_etl_ray.functions.hashing import assign_partition
@@ -853,7 +896,18 @@ def epoch_diff(store, e_old: int, e_new: int) -> "ray.data.Dataset":
     and ONLY those pids' old+new files are read — IO follows the delta,
     not the store width (the CDC-out analogue of the reference's
     synced-height incremental consumers). One raw task per touched pid;
-    rows classify insert/update/delete by full-outer key merge."""
+    rows classify insert/update/delete by full-outer key merge.
+    Full-layout only: delta chains carry no per-epoch full partition
+    files to diff (compact first, or replay with state_layout='full')."""
+    from cosmwasm_etl_ray.state.delta import store_layout as _sl
+
+    if _sl(store) == "delta":
+        raise ValueError(
+            "epoch_diff is full-layout only: delta chains have no "
+            "per-epoch full partition files to diff — compact first "
+            "(state/delta.compact_state) or replay with "
+            "state_layout='full'"
+        )
     from cosmwasm_etl_ray.compat import cached_remote
 
     new_parts = store.manifest(e_new)["partitions"]

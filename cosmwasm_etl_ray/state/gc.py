@@ -33,11 +33,22 @@ def gc_state(store, keep_manifests: int = 1) -> dict:
     an in-flight (not-yet-committed) epoch — deleting them between
     MergeWithState's partition writes and commit_epoch would commit a
     manifest pointing at deleted files, so they are always kept."""
+    from cosmwasm_etl_ray.state.delta import partition_chains, store_layout
+
     epochs = store.committed_epochs()
     latest = epochs[-1] if epochs else -1
     referenced: set[str] = set()
-    for e in epochs[-keep_manifests:]:
-        referenced.update(store.partition_files(e).values())
+    if store_layout(store) == "delta":
+        # delta layout: EVERY file in every live chain is state — the
+        # latest manifest's per-pid file is just the newest link.
+        # Before compaction nothing is collectable; after
+        # compact_state commits a base generation the chains reset
+        # there, and the covered delta files fall out of `referenced`.
+        for chain in partition_chains(store).values():
+            referenced.update(chain)
+    else:
+        for e in epochs[-keep_manifests:]:
+            referenced.update(store.partition_files(e).values())
 
     all_files = glob.glob(os.path.join(store.state_dir, "epoch=*", "*.parquet"))
     deleted = 0

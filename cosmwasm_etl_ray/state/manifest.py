@@ -85,11 +85,15 @@ class StateStore:
         offset_range: tuple[str, str],
         counts: dict,
         num_partitions: int | None = None,
+        layout: str | None = None,
     ) -> dict:
         """Atomic commit: carry forward untouched partitions from the
         previous manifest, record touched ones, rename into place.
         ``num_partitions`` is recorded because it is part of the store's
-        identity (pid routing); apply_epoch validates it on resume."""
+        identity (pid routing); apply_epoch validates it on resume.
+        ``layout`` ("full" | "delta") is equally identity: a partition
+        entry means "current state" in full mode but "one chain link"
+        in delta mode, so readers and resume refuse a mismatch."""
         prev = self.latest_epoch()
         partitions: dict[str, dict] = {}
         if prev is not None:
@@ -97,6 +101,8 @@ class StateStore:
             partitions.update(prev_manifest["partitions"])
             if num_partitions is None:
                 num_partitions = prev_manifest.get("num_partitions")
+            if layout is None:
+                layout = prev_manifest.get("layout")
         for pid, info in touched.items():
             partitions[str(pid)] = {**info, "epoch": epoch}
         manifest = {
@@ -105,6 +111,7 @@ class StateStore:
             "committed_at": time.time(),
             "counts": counts,
             "num_partitions": num_partitions,
+            "layout": layout or "full",
             "partitions": partitions,
         }
         tmp = f"{self._mpath(epoch)}.tmp.{os.getpid()}"

@@ -85,6 +85,9 @@ def main() -> None:
     ap.add_argument("--trial", action="store_true",
                     help="64M / 4 epochs / 6.4M keys quick validation")
     ap.add_argument("--root", default="/tmp/soak_billion")
+    ap.add_argument("--layout", default="full", choices=["full", "delta"],
+                    help="state checkpoint layout (delta appends per-epoch "
+                         "folded files; compacted+GCed every 4 epochs)")
     args = ap.parse_args()
     if args.trial:
         args.events, args.epochs = 64_000_000, 4
@@ -168,6 +171,7 @@ def main() -> None:
         epoch_max_events=chunks_per_epoch * CHUNK_EVENTS,
         batch_size=262_144,
         merge_exchange="direct",
+        state_layout=args.layout,
         actor_state_shards=min(64, max(8, args.cpus // 2)),
     )
 
@@ -220,12 +224,29 @@ def main() -> None:
         m = manifests[-1]
         total_applied += m["counts"]["applied_events"]
         total_quarantined += m["counts"]["quarantined"]
-        live = sum(
-            int(v.get("live_rows", 0)) for v in m["partitions"].values()
-        )
+        if args.layout == "delta":
+            live = -1  # per-epoch manifests carry chain links, not totals
+        else:
+            live = sum(
+                int(v.get("live_rows", 0)) for v in m["partitions"].values()
+            )
 
         # --- gc + delete-behind ---
-        gc = gc_state(store, keep_manifests=1)
+        if args.layout == "delta":
+            # chains accumulate; fold them into a base every 4 epochs
+            # (the checkpoint-cadence dial's read-side twin), then the
+            # chain-aware gc sweeps the covered deltas
+            if (e + 1) % 4 == 0 or e == args.epochs - 1:
+                from cosmwasm_etl_ray.state.delta import compact_state
+
+                tc = time.time()
+                compact_state(store)
+                gc = gc_state(store, keep_manifests=1)
+                gc["compact_sec"] = round(time.time() - tc, 1)
+            else:
+                gc = {"deleted": 0}
+        else:
+            gc = gc_state(store, keep_manifests=1)
         for f in files:
             os.remove(f)
         prev_cursor = files[-1]
@@ -245,6 +266,7 @@ def main() -> None:
             "live_keys": live,
             "state_gb": round(state_bytes / 1e9, 2),
             "gc_deleted": gc["deleted"],
+            "compact_sec": gc.get("compact_sec"),
             "steal_pct": steal,
             "disk_free_gb": round(shutil.disk_usage("/tmp").free / 1e9, 1),
         }
@@ -289,7 +311,16 @@ def main() -> None:
         "decay_last_over_first": round(
             metrics[-1]["events_per_sec"] / metrics[0]["events_per_sec"], 3
         ),
-        "final_live_keys": metrics[-1]["live_keys"],
+        "final_live_keys": (
+            sum(
+                int(v.get("live_rows", 0))
+                for v in store.manifest(store.latest_epoch())[
+                    "partitions"
+                ].values()
+            )
+            if args.layout == "delta"
+            else metrics[-1]["live_keys"]
+        ),
         "final_state_gb": metrics[-1]["state_gb"],
         "quarantined": total_quarantined,
         "generated_malformed": total_bad,
