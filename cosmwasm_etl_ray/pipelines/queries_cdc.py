@@ -696,3 +696,74 @@ FROM changes c
 LEFT JOIN snap s ON s.repo = c.repo AND s.path = c.path
 WHERE c."commit" > '{_SNAPSHOT_COMMIT}'
 """
+
+
+_DELTA_STORE_CACHE: dict[str, object] = {}
+
+
+def _delta_store(sf_dir: str):
+    """A DELTA-layout store (state/delta.py) replayed through the
+    production direct-exchange path with a MID-STREAM compact + GC,
+    so the final read folds a real [base, delta] chain and the resume
+    cursor has walked past a synthetic compact manifest — the whole
+    delta lifecycle under the oracle gate. Built once per process
+    (the epoch-diff store discipline)."""
+    import dataclasses
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from cosmwasm_etl_ray.pipelines.replay import replay_files
+    from cosmwasm_etl_ray.state.delta import compact_state
+    from cosmwasm_etl_ray.state.gc import gc_state
+    from cosmwasm_etl_ray.state.manifest import StateStore
+
+    if sf_dir in _DELTA_STORE_CACHE:
+        return _DELTA_STORE_CACHE[sf_dir]
+    root = _tmp_store_root("cdc_delta_store_")
+    df = (
+        changes_from_documents(sf_dir)
+        .to_pandas()
+        .sort_values("commit", kind="stable")
+        .reset_index(drop=True)
+    )
+    n = len(df)
+    files = []
+    for i in range(3):
+        part = df.iloc[i * n // 3 : (i + 1) * n // 3]
+        f = _os.path.join(root, f"changes-{i:03d}.parquet")
+        _pq.write_table(pa.Table.from_pandas(part, preserve_index=False), f)
+        files.append(f)
+    cfg = dataclasses.replace(
+        _CFG,
+        merge_exchange="direct",
+        state_layout="delta",
+        epoch_max_events=n // 3 + 1,
+    )
+    store = StateStore(_os.path.join(root, "store"))
+    replay_files(files[:2], store, cfg)
+    compact_state(store)
+    gc_state(store)
+    replay_files(files, store, cfg)
+    _DELTA_STORE_CACHE[sf_dir] = store
+    return store
+
+
+def cdc_final_state_delta(sf_dir: str) -> "ray.data.Dataset":
+    """cdc_final_state re-derived THROUGH the delta state layout:
+    epoch-split replay -> compact -> gc -> resume -> chain-folding
+    read_state. Same oracle as cdc_final_state — the append layout
+    must hash-match the one-shot fold bit-for-bit."""
+    from cosmwasm_etl_ray.pipelines.replay import read_state
+
+    def hash_content(t: pa.Table) -> pa.Table:
+        t = t.append_column("content_sha256", sha256_hex(t["content"]))
+        return t.select(["repo", "path", "commit", "lang", "content_sha256"])
+
+    return read_state(_delta_store(sf_dir)).map_batches(
+        hash_content, batch_format="pyarrow"
+    )
+
+
+QUERIES["cdc_final_state_delta"] = cdc_final_state_delta
+ORACLE_SQL["cdc_final_state_delta"] = ORACLE_SQL["cdc_final_state"]
