@@ -185,6 +185,7 @@ def main() -> None:
     prev_cursor: str | None = None
     total_replay_sec = 0.0
 
+    compact_fut = None
     for e in range(args.epochs):
         lo_chunk = e * chunks_per_epoch
         hi_chunk = min((e + 1) * chunks_per_epoch, n_chunks)
@@ -213,6 +214,17 @@ def main() -> None:
         gen_sec = time.time() - tg
 
         # --- timed replay of this epoch ---
+        if compact_fut is not None:
+            tw = time.time()
+            compact_done = compact_fut.result()
+            compact_done["overlap_wait_sec"] = round(time.time() - tw, 1)
+            if metrics:
+                metrics[-1]["compact_sec"] = compact_done["compact_sec"]
+                metrics[-1]["gc_deleted"] = compact_done["deleted"]
+                metrics[-1]["overlap_wait_sec"] = compact_done[
+                    "overlap_wait_sec"
+                ]
+            compact_fut = None
         listing = ([prev_cursor] if prev_cursor else []) + files
         s0 = _cpu_ticks()
         tr = time.time()
@@ -233,16 +245,38 @@ def main() -> None:
 
         # --- gc + delete-behind ---
         if args.layout == "delta":
-            # chains accumulate; fold them into a base every 4 epochs
-            # (the checkpoint-cadence dial's read-side twin), then the
-            # chain-aware gc sweeps the covered deltas
+            # chains accumulate; fold them into a base every 4 epochs.
+            # Compaction runs on a BACKGROUND thread overlapping the
+            # NEXT epoch's generation phase (safe: generation never
+            # touches the store, and the thread is joined before the
+            # next replay_files call, so manifest epoch numbering
+            # stays single-writer) — the deployment shape where
+            # compaction rides ingest's idle IO. compact_sec records
+            # the thread's own wall; overlap_wait_sec the residue the
+            # next epoch actually waited.
             if (e + 1) % 4 == 0 or e == args.epochs - 1:
                 from cosmwasm_etl_ray.state.delta import compact_state
 
-                tc = time.time()
-                compact_state(store)
-                gc = gc_state(store, keep_manifests=1)
-                gc["compact_sec"] = round(time.time() - tc, 1)
+                def _compact_and_gc(t0=time.time()):
+                    compact_state(store)
+                    g = gc_state(store, keep_manifests=1)
+                    g["compact_sec"] = round(time.time() - t0, 1)
+                    return g
+
+                if e == args.epochs - 1:
+                    gc = _compact_and_gc()  # final fold: run inline
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    from cosmwasm_etl_ray.compat import (
+                        ensure_thread_safe_lazy_imports,
+                    )
+
+                    ensure_thread_safe_lazy_imports()
+                    _pool = ThreadPoolExecutor(max_workers=1)
+                    compact_fut = _pool.submit(_compact_and_gc)
+                    _pool.shutdown(wait=False)
+                    gc = {"deleted": -1}  # resolved at next join
             else:
                 gc = {"deleted": 0}
         else:
