@@ -151,6 +151,10 @@ def run_once() -> dict:
         state_tier=STATE_TIER,
         pipeline_epochs=os.environ.get("GRAFT_BENCH_PIPELINE", "1") != "0",
         merge_exchange=os.environ.get("GRAFT_BENCH_EXCHANGE", "direct"),
+        # GRAFT_BENCH_LAYOUT=delta benches the append state layout
+        # (bench state is small, so expect a wash here — the layout's
+        # regime is large state / low touch density, SOAK_DELTA.json)
+        state_layout=os.environ.get("GRAFT_BENCH_LAYOUT", "full"),
         # A/B hook (VERDICT r4 #2): GRAFT_BENCH_DICT_COLS=repo,lang
         # dictionary-encodes those columns through the exchange
         exchange_dict_cols=tuple(

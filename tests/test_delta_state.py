@@ -178,3 +178,44 @@ def test_delta_guard_rails(change_log, tmp_path, stores):
     replay_files(change_log["files"][:2], store, DELTA)
     with pytest.raises(ValueError, match="state_layout"):
         replay_files(change_log["files"], store, FULL)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crash_mid_compaction_is_invisible_delta(change_log, tmp_path):
+    """A compactor that crashed after writing base files but BEFORE
+    the manifest commit leaves an orphan epoch=L+1 dir. The resumed
+    replay commits its own epoch L+1 delta files into that dir
+    (tmp+rename overwrites shared pid names; non-overlapping orphans
+    are simply never referenced), chains stay correct, and GC sweeps
+    the unreferenced orphan bytes once L+1 commits."""
+    from cosmwasm_etl_ray.state.delta import _compact_pid
+
+    import ray as _ray
+
+    store = StateStore(str(tmp_path / "s"))
+    replay_files(change_log["files"][:4], store, DELTA)
+    latest = store.latest_epoch()
+    chains = partition_chains(store)
+    # simulate the crash: fold two pids into epoch=L+1 base files,
+    # then "die" before commit_epoch
+    orphan_dir = os.path.join(store.state_dir, f"epoch={latest + 1}")
+    os.makedirs(orphan_dir, exist_ok=True)
+    some = dict(list(chains.items())[:2])
+    _ray.get([
+        _compact_pid.remote(
+            c, os.path.join(orphan_dir, f"part-{pid:05d}.parquet")
+        )
+        for pid, c in some.items()
+    ])
+    # orphan is invisible: reads and chains unchanged
+    assert partition_chains(store) == chains
+    # resume replays the rest (its epoch L+1 shares the orphan's dir)
+    replay_files(change_log["files"], store, DELTA)
+    ref = StateStore(str(tmp_path / "ref"))
+    replay_files(change_log["files"], ref, FULL)
+    pd.testing.assert_frame_equal(_final(store), _final(ref))
+    # once a real compaction + gc run, nothing stale survives
+    compact_state(store)
+    gc_state(store)
+    pd.testing.assert_frame_equal(_final(store), _final(ref))
+    assert all(len(c) == 1 for c in partition_chains(store).values())
